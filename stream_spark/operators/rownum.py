@@ -1,0 +1,47 @@
+"""Scale-safe global row numbering.
+
+The reference's count-based windows (windows.go:56 TumblingWindow,
+windows.go:226 SlidingWindow) are defined over *arrival order*. In
+batch we realize arrival order as a total order over sort columns
+(e.g. ``(ts, event_id)``) and need a global row number.
+
+``row_number() OVER (ORDER BY ...)`` collapses to ONE partition — fine
+at 60k rows, fatal at 100 TB. Instead, two-pass partition-offset
+numbering:
+
+1. ``repartitionByRange`` on the order columns → partitions hold
+   contiguous, sorted ranges (each bounded by maxPartitionBytes).
+2. Count rows per partition (cheap scan), compute cumulative offsets
+   on the driver (one tiny array — #partitions entries).
+3. Local ``row_number`` within each range partition + broadcast-joined
+   offset ⇒ global rn with no single-partition stage. The widest
+   window group is one range partition, bounded, so this survives
+   1000× data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn") -> DataFrame:
+    spark = df.sparkSession
+    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+
+    counts = ranged.groupBy("_pid").count().collect()
+    cum = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], cum))
+        cum += row["count"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+
+    local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_lrn", F.row_number().over(local))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -1,0 +1,157 @@
+"""Windowed aggregation operators.
+
+Re-expresses the reference's four window kinds (activity/aggregate:
+windows.go — TumblingWindow:56, SlidingWindow:226, TumblingTimeWindow:126,
+SlidingTimeWindow:299) as Spark groupBy plans. Every window becomes a
+*window-id assignment + shuffle-on-window-id aggregation*: no global
+window frames, no single-partition stages, so the same plan holds on a
+1000-executor cluster.
+
+Semantics parity:
+
+- tumbling (count, size N): emit one aggregate per N consecutive rows
+  in arrival order; incomplete tail windows do not emit
+  (windows.go:97 emits only when numSamples == Size).
+- sliding (count, size N, resolution r): first emit once N samples
+  seen, then every r samples; each emit aggregates the last N rows
+  (windows.go:260).
+- timeTumbling (size ms): epoch-aligned buckets; every non-empty
+  bucket emits (windows.go:184 nextBlock).
+- timeSliding (size ms, resolution r ms): hopping windows with start
+  at multiples of r covering [start, start+size) (windows.go:364).
+- grouped variants (additionalSettings nameKey/valueKey →
+  windows.go:429 MapData): per-key windows; the reference emits a
+  map{key→agg}, which relationally is one (key, agg) row per key.
+
+The count-window total order is ``order_cols`` (e.g. ts, event_id) —
+the batch realization of arrival order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
+
+from stream_spark.functions.aggregates import agg_expr
+from stream_spark.operators.rownum import with_global_row_number
+
+
+def _fractional(df: DataFrame, col: str) -> bool:
+    """Float inputs get exact-decimal sum/avg so results are
+    independent of accumulation order (shuffle-order reproducibility)."""
+    return isinstance(df.schema[col].dataType, (DoubleType, FloatType))
+
+
+def _ordered(df: DataFrame, order_cols: Sequence[str], group_by: Sequence[str] | None) -> DataFrame:
+    """Attach the arrival-order row number ``rn`` (1-based).
+
+    Grouped windows number per key (scales by key partitioning);
+    global windows use the two-pass partition-offset scheme.
+    """
+    if group_by:
+        w = Window.partitionBy(*group_by).orderBy(*order_cols)
+        return df.withColumn("rn", F.row_number().over(w).cast("long"))
+    return with_global_row_number(df, list(order_cols), out="rn")
+
+
+def tumbling_count_window(
+    df: DataFrame,
+    value_col: str,
+    function: str,
+    size: int,
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    group_by: Sequence[str] | None = None,
+) -> DataFrame:
+    if size <= 0:
+        raise ValueError("size must be positive")
+    d = _ordered(df, order_cols, group_by)
+    d = d.withColumn("window_id", ((F.col("rn") - 1) / F.lit(size)).cast("long"))
+    keys = ([*group_by] if group_by else []) + ["window_id"]
+    out = (
+        d.groupBy(*keys)
+        .agg(
+            agg_expr(function, F.col(value_col), F.col("rn"), alias="result", exact_decimal=_fractional(df, value_col)),
+            F.count("*").alias("n_samples"),
+        )
+        .filter(F.col("n_samples") == size)
+        .drop("n_samples")
+    )
+    return out
+
+
+def sliding_count_window(
+    df: DataFrame,
+    value_col: str,
+    function: str,
+    size: int,
+    resolution: int = 1,
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    group_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Each emit k (k=0,1,...) aggregates rows rn in [k*r+1, k*r+N].
+
+    A row fans out to the (bounded, N/r) emits that cover it via an
+    exploded ``sequence`` — shuffle-on-emit-id, not a global frame, so
+    the plan is scale-safe. Emits with fewer than N rows (stream tail)
+    are dropped, matching the reference's canEmit warmup gate.
+    """
+    if size <= 0 or resolution <= 0:
+        raise ValueError("size and resolution must be positive")
+    d = _ordered(df, order_cols, group_by)
+    k_min = F.greatest(F.lit(0).cast("long"), F.ceil((F.col("rn") - size) / F.lit(resolution)).cast("long"))
+    k_max = F.floor((F.col("rn") - 1) / F.lit(resolution)).cast("long")
+    d = d.withColumn("window_id", F.explode(F.sequence(k_min, k_max)))
+    keys = ([*group_by] if group_by else []) + ["window_id"]
+    return (
+        d.groupBy(*keys)
+        .agg(
+            agg_expr(function, F.col(value_col), F.col("rn"), alias="result", exact_decimal=_fractional(df, value_col)),
+            F.count("*").alias("n_samples"),
+        )
+        .filter(F.col("n_samples") == size)
+        .withColumn("emit_rn", (F.col("window_id") * resolution + size).cast("long"))
+        .drop("n_samples")
+    )
+
+
+def tumbling_time_window(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    function: str,
+    size_ms: int,
+    group_by: Sequence[str] | None = None,
+) -> DataFrame:
+    if size_ms <= 0:
+        raise ValueError("size_ms must be positive")
+    win = F.window(F.col(ts_col), f"{size_ms} milliseconds")
+    keys = ([*group_by] if group_by else [])
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(agg_expr(function, F.col(value_col), None, alias="result", exact_decimal=_fractional(df, value_col)))
+        .select(*keys, F.col("w.start").alias("window_start"), "result")
+    )
+
+
+def sliding_time_window(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    function: str,
+    size_ms: int,
+    resolution_ms: int,
+    group_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Hopping window: starts at multiples of resolution, span [s, s+size)."""
+    if size_ms <= 0 or resolution_ms <= 0:
+        raise ValueError("size_ms and resolution_ms must be positive")
+    win = F.window(F.col(ts_col), f"{size_ms} milliseconds", f"{resolution_ms} milliseconds")
+    keys = ([*group_by] if group_by else [])
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(agg_expr(function, F.col(value_col), None, alias="result", exact_decimal=_fractional(df, value_col)))
+        .select(*keys, F.col("w.start").alias("window_start"), "result")
+    )

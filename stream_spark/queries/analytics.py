@@ -1,0 +1,274 @@
+"""Analytics backbone queries (SURVEY §2 B-block).
+
+Determinism: aggregate arithmetic runs in DECIMAL (exact and
+order-insensitive) then casts to DOUBLE, so Spark's shuffle-order
+summation hashes identically to DuckDB's. The decimal fragments are
+valid in both SQL dialects and are shared verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.queries.registry import register
+from stream_spark.sources import load_table
+
+
+def dsum(col: str, alias: str) -> str:
+    """Exact decimal sum surfaced as DOUBLE (order-insensitive)."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+def davg(col: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col}) AS {alias}"
+
+
+#: l_extendedprice * (1 - l_discount), exact decimal
+DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1.00 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))"
+)
+#: disc_price * (1 + l_tax), exact decimal
+CHARGE = (
+    f"CAST({DISC_PRICE} * "
+    "CAST(1.00 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(18,6))"
+)
+
+
+# --------------------------------------------------------------------------
+# B1: pricing summary (TPC-H Q1 shape)
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity', 'sum_qty')},
+           {dsum('l_extendedprice', 'sum_base_price')},
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({CHARGE}) AS DOUBLE) AS sum_charge,
+           {davg('l_quantity', 'avg_qty')},
+           {davg('l_extendedprice', 'avg_price')},
+           {davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr(f"TIMESTAMP '{_Q1_CUTOFF}'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity", "sum_qty")),
+            F.expr(dsum("l_extendedprice", "sum_base_price")),
+            F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS sum_disc_price"),
+            F.expr(f"CAST(SUM({CHARGE}) AS DOUBLE) AS sum_charge"),
+            F.expr(davg("l_quantity", "avg_qty")),
+            F.expr(davg("l_extendedprice", "avg_price")),
+            F.expr(davg("l_discount", "avg_disc")),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B2: shipping priority (TPC-H Q3 shape) — 3-way join, top-N
+
+_Q3_DATE = "1997-01-01 00:00:00"
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr(f"TIMESTAMP '{_Q3_DATE}'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr(f"TIMESTAMP '{_Q3_DATE}'")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# B3: local supplier volume (TPC-H Q5 shape) — 6-way join; flagship
+
+_Q5_LO = "1996-01-01 00:00:00"
+_Q5_HI = "1997-01-01 00:00:00"
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '{_Q5_LO}'
+      AND o_orderdate < TIMESTAMP '{_Q5_HI}'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: fact-fact join shuffles on orderkey; every dimension
+    (supplier/nation/region/customer) is broadcast — at 100 TB the only
+    shuffles are lineitem⋈orders and the final small groupBy."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr(f"TIMESTAMP '{_Q5_LO}'"))
+        & (F.col("o_orderdate") < F.expr(f"TIMESTAMP '{_Q5_HI}'"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B4: top-k events per user (rank within key)
+
+
+@register(
+    "top_events_per_user",
+    oracle="""
+    SELECT user_id, event_id, value, rank_in_user FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank_in_user
+        FROM events
+    ) WHERE rank_in_user <= 3
+    """,
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rank_in_user", F.row_number().over(w))
+        .filter(F.col("rank_in_user") <= 3)
+        .select("user_id", "event_id", "value", "rank_in_user")
+    )
+
+
+# --------------------------------------------------------------------------
+# B5: sessionization (30-min inactivity gap per user)
+
+_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id, epoch_ms(MIN(ts)) AS session_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via per-user lag + running count — all
+    partitioned by user_id, so it scales with key cardinality."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.lag("ts").over(w).cast("timestamp")) > _GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_new").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.unix_millis(F.min("ts").cast("timestamp")).alias("session_start_ms"),
+        F.count("*").alias("n_events"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B6: running total per customer (cumulative frame)
+
+
+@register(
+    "orders_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )

@@ -1,0 +1,236 @@
+"""Reference-parity window/filter queries (SURVEY §2 A-block).
+
+Each query runs a stream_spark window operator over the ``events``
+table in batch mode; the oracle replays identical semantics in DuckDB
+SQL. Arrival order for count windows is (ts, event_id).
+
+Conventions: window identity columns are BIGINT (window_id / emit_rn /
+window_start_ms), aggregate results are exact-decimal DOUBLEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.operators.filters import apply_filter
+from stream_spark.operators.windows import (
+    sliding_count_window,
+    sliding_time_window,
+    tumbling_count_window,
+    tumbling_time_window,
+)
+from stream_spark.queries.registry import register
+from stream_spark.sources import load_table
+
+_DSUM = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+_DAVG = f"{_DSUM} / COUNT(value)"
+
+_ORDERED = "SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events"
+
+
+def _start_ms(df: DataFrame) -> DataFrame:
+    """window_start (NTZ, UTC-aligned) → epoch ms bigint."""
+    return df.withColumn(
+        "window_start_ms", F.unix_millis(F.col("window_start").cast("timestamp"))
+    ).drop("window_start")
+
+
+# --------------------------------------------------------------------------
+# A1: tumbling count windows
+
+def _tumbling_count(function: str, size: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return tumbling_count_window(ev, "value", function, size)
+
+    return q
+
+
+def _tumbling_count_oracle(agg: str, size: int) -> str:
+    return f"""
+    WITH o AS ({_ORDERED})
+    SELECT CAST(floor((rn - 1) / {size}) AS BIGINT) AS window_id, {agg} AS result
+    FROM o GROUP BY window_id HAVING COUNT(*) = {size}
+    """
+
+
+for _fn, _agg in [
+    ("sum", _DSUM),
+    ("avg", _DAVG),
+    ("min", "MIN(value)"),
+    ("max", "MAX(value)"),
+    ("count", "COUNT(value)"),
+]:
+    register(f"agg_tumbling_count_{_fn}", oracle=_tumbling_count_oracle(_agg, 100))(
+        _tumbling_count(_fn, 100)
+    )
+
+register(
+    "agg_tumbling_count_accumulate",
+    oracle=f"""
+    WITH o AS ({_ORDERED})
+    SELECT CAST(floor((rn - 1) / 10) AS BIGINT) AS window_id,
+           list(value ORDER BY rn) AS result
+    FROM o GROUP BY window_id HAVING COUNT(*) = 10
+    """,
+)(_tumbling_count("accumulate", 10))
+
+
+# --------------------------------------------------------------------------
+# A2: sliding count windows (size N, resolution r)
+
+def _sliding_count(function: str, size: int, res: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return sliding_count_window(ev, "value", function, size, res)
+
+    return q
+
+
+def _sliding_count_oracle(agg: str, size: int, res: int) -> str:
+    return f"""
+    WITH o AS ({_ORDERED}),
+    fanout AS (
+        SELECT value, unnest(generate_series(
+            GREATEST(0, CAST(ceil((rn - {size}) / {res}.0) AS BIGINT)),
+            CAST(floor((rn - 1) / {res}.0) AS BIGINT))) AS window_id
+        FROM o
+    )
+    SELECT window_id, {agg} AS result,
+           CAST(window_id * {res} + {size} AS BIGINT) AS emit_rn
+    FROM fanout GROUP BY window_id HAVING COUNT(*) = {size}
+    """
+
+
+for _fn, _agg in [("sum", _DSUM), ("avg", _DAVG), ("max", "MAX(value)")]:
+    register(f"agg_sliding_count_{_fn}", oracle=_sliding_count_oracle(_agg, 50, 10))(
+        _sliding_count(_fn, 50, 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# A3: tumbling time windows
+
+_HOUR = 3_600_000
+
+
+def _tumbling_time(function: str, size_ms: int, group_by=None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return _start_ms(tumbling_time_window(ev, "ts", "value", function, size_ms, group_by=group_by))
+
+    return q
+
+
+def _tumbling_time_oracle(agg: str, size_ms: int, keys: str = "") -> str:
+    key_sel = f"{keys}, " if keys else ""
+    return f"""
+    SELECT {key_sel}{agg} AS result,
+           CAST((epoch_ms(ts) // {size_ms}) * {size_ms} AS BIGINT) AS window_start_ms
+    FROM events GROUP BY {key_sel}window_start_ms
+    """
+
+
+for _fn, _agg in [("sum", _DSUM), ("avg", _DAVG), ("min", "MIN(value)"), ("count", "COUNT(value)")]:
+    register(f"agg_time_tumbling_{_fn}", oracle=_tumbling_time_oracle(_agg, _HOUR))(
+        _tumbling_time(_fn, _HOUR)
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: sliding (hopping) time windows — size 1h, hop 15min
+
+_HOP = 900_000
+
+
+def _sliding_time(function: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return _start_ms(sliding_time_window(ev, "ts", "value", function, _HOUR, _HOP))
+
+    return q
+
+
+def _sliding_time_oracle(agg: str) -> str:
+    return f"""
+    WITH fanout AS (
+        SELECT value, unnest(generate_series(
+            CAST(floor((epoch_ms(ts) - {_HOUR}) / {_HOP}.0) AS BIGINT) + 1,
+            CAST(floor(epoch_ms(ts) / {_HOP}.0) AS BIGINT))) AS k
+        FROM events
+    )
+    SELECT CAST(k * {_HOP} AS BIGINT) AS window_start_ms, {agg} AS result
+    FROM fanout GROUP BY k
+    """
+
+
+register("agg_time_sliding_avg", oracle=_sliding_time_oracle(_DAVG))(_sliding_time("avg"))
+register("agg_time_sliding_sum", oracle=_sliding_time_oracle(_DSUM))(_sliding_time("sum"))
+
+
+# --------------------------------------------------------------------------
+# A5: grouped windows (reference nameKey/valueKey → per-key windows)
+
+
+@register(
+    "agg_grouped_tumbling_sum",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_type, CAST(floor((rn - 1) / 50) AS BIGINT) AS window_id, {_DSUM} AS result
+    FROM o GROUP BY event_type, window_id HAVING COUNT(*) = 50
+    """,
+)
+def agg_grouped_tumbling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_count_window(ev, "value", "sum", 50, group_by=["event_type"])
+
+
+register(
+    "agg_grouped_time_sum",
+    oracle=_tumbling_time_oracle(_DSUM, 6 * _HOUR, keys="event_type"),
+)(_tumbling_time("sum", 6 * _HOUR, group_by=["event_type"]))
+
+
+# --------------------------------------------------------------------------
+# A6: filters
+
+
+@register(
+    "filter_nonzero",
+    oracle="""
+    SELECT event_id, value FROM (
+        SELECT event_id, value, floor(value) AS value_floor FROM events
+    ) WHERE value_floor <> 0
+    """,
+)
+def filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference filters.go non-zero semantics, applied to the integer
+    part of the reading so zero actually occurs in the data."""
+    ev = load_table(spark, sf_dir, "events").withColumn("value_floor", F.floor("value"))
+    return apply_filter(ev, "non-zero", "value_floor").select("event_id", "value")
+
+
+@register(
+    "filter_threshold",
+    oracle="SELECT event_id, user_id, value FROM events WHERE value >= 250.0",
+)
+def filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return apply_filter(ev, "threshold", "value", value=250.0, op=">=").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "filter_regex",
+    oracle="SELECT event_id, event_type FROM events WHERE regexp_matches(event_type, '^(click|view)$')",
+)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return apply_filter(ev, "regex", "event_type", pattern="^(click|view)$").select(
+        "event_id", "event_type"
+    )

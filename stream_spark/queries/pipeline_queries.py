@@ -1,1 +1,172 @@
-"""Placeholder — populated in a later milestone."""
+"""Pipeline-DSL and multi-stream queries (SURVEY §2 A7–A9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.pipeline import Pipeline
+from stream_spark.queries.registry import register
+
+_DSUM = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+_HOUR = 3_600_000
+
+
+# --------------------------------------------------------------------------
+# A7: JSON pipeline — filter → grouped time-tumbling aggregate
+# (the reference's examples/agg-flogo.json + filter-flogo.json shapes)
+
+_PIPELINE_AGG_FILTER = {
+    "name": "agg_filter",
+    "source": {"table": "events"},
+    "stages": [
+        {"type": "filter", "settings": {"type": "non-zero", "column": "value_floor"}},
+        {
+            "type": "aggregate",
+            "settings": {
+                "function": "sum",
+                "windowType": "timeTumbling",
+                "windowSize": _HOUR,
+                "value": "value",
+                "groupBy": ["event_type"],
+            },
+        },
+        {
+            "type": "map",
+            "settings": {"exprs": {"window_start_ms": "unix_millis(CAST(window_start AS TIMESTAMP))"}},
+        },
+        {"type": "select", "settings": {"columns": ["event_type", "window_start_ms", "result"]}},
+    ],
+}
+
+
+@register(
+    "pipeline_agg_filter",
+    oracle=f"""
+    SELECT event_type,
+           CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           {_DSUM} AS result
+    FROM events WHERE floor(value) <> 0
+    GROUP BY event_type, window_start_ms
+    """,
+)
+def pipeline_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = Pipeline.from_dict(
+        {
+            **_PIPELINE_AGG_FILTER,
+            "stages": [
+                {"type": "map", "settings": {"exprs": {"value_floor": "floor(value)"}}},
+                *_PIPELINE_AGG_FILTER["stages"],
+            ],
+        }
+    )
+    return pipe.run(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# A8: stream merge — two sources unioned, windowed agg across both
+# (README "Join streams from multiple event sources"; channel example)
+
+
+@register(
+    "stream_merge",
+    oracle=f"""
+    WITH merged AS (
+        SELECT ts, value FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           COUNT(value) AS result
+    FROM merged GROUP BY window_start_ms
+    """,
+)
+def stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = Pipeline.from_dict(
+        {
+            "name": "merge",
+            "source": {"table": "events"},
+            "stages": [
+                {"type": "filter", "settings": {"type": "threshold", "column": "event_type", "value": "click", "op": "=="}},
+                {"type": "select", "settings": {"columns": ["ts", "value", "event_id"]}},
+                {
+                    "type": "union",
+                    "settings": {
+                        "pipeline": {
+                            "name": "views",
+                            "source": {"table": "events"},
+                            "stages": [
+                                {"type": "filter", "settings": {"type": "threshold", "column": "event_type", "value": "view", "op": "=="}},
+                                {"type": "select", "settings": {"columns": ["ts", "value", "event_id"]}},
+                            ],
+                        }
+                    },
+                },
+                {
+                    "type": "aggregate",
+                    "settings": {"function": "count", "windowType": "timeTumbling", "windowSize": _HOUR, "value": "value"},
+                },
+                {
+                    "type": "map",
+                    "settings": {"exprs": {"window_start_ms": "unix_millis(CAST(window_start AS TIMESTAMP))"}},
+                },
+                {"type": "select", "settings": {"columns": ["window_start_ms", "result"]}},
+            ],
+        }
+    )
+    return pipe.run(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# A9: stream-stream join within a time bound — purchases joined to the
+# clicks that preceded them by ≤1h for the same user
+
+
+@register(
+    "stream_join_time",
+    oracle=f"""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           epoch_ms(p.ts) AS purchase_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND epoch_ms(p.ts) - epoch_ms(c.ts) <= {_HOUR}
+    """,
+)
+def stream_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on user_id with a time-range residual — shuffles both
+    sides on the key once; the range predicate is evaluated post-join
+    (no cartesian), which is the scalable stream-stream join shape."""
+    pipe = Pipeline.from_dict(
+        {
+            "name": "purchase_attribution",
+            "source": {"table": "events"},
+            "stages": [
+                {"type": "filter", "settings": {"type": "threshold", "column": "event_type", "value": "purchase", "op": "=="}},
+                {
+                    "type": "join",
+                    "settings": {
+                        "pipeline": {
+                            "name": "clicks",
+                            "source": {"table": "events"},
+                            "stages": [
+                                {"type": "filter", "settings": {"type": "threshold", "column": "event_type", "value": "click", "op": "=="}},
+                            ],
+                        },
+                        "on": (
+                            "l.user_id = r.user_id AND r.ts <= l.ts "
+                            f"AND unix_millis(CAST(l.ts AS TIMESTAMP)) - unix_millis(CAST(r.ts AS TIMESTAMP)) <= {_HOUR}"
+                        ),
+                    },
+                },
+            ],
+        }
+    )
+    return pipe.run(spark, sf_dir).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.unix_millis(F.col("l.ts").cast("timestamp")).alias("purchase_ts_ms"),
+        F.unix_millis(F.col("r.ts").cast("timestamp")).alias("click_ts_ms"),
+    )

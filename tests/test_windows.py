@@ -1,0 +1,81 @@
+"""Window semantics tests — mirrors the reference's windows_test.go
+cases: emit cadence, warmup gating, grouped windows, accumulate order."""
+
+from __future__ import annotations
+
+from stream_spark.operators.windows import (
+    sliding_count_window,
+    sliding_time_window,
+    tumbling_count_window,
+    tumbling_time_window,
+)
+
+
+def rows_by(df, *keys):
+    return {tuple(r[k] for k in keys[:-1]) if len(keys) > 2 else r[keys[0]]: r[keys[-1]] for r in df.collect()}
+
+
+def test_tumbling_count_sum_drops_partial_tail(tiny_events):
+    out = tumbling_count_window(tiny_events, "value", "sum", 5, order_cols=("ts", "event_id"))
+    got = {r["window_id"]: r["result"] for r in out.collect()}
+    # values 1..12; windows of 5 → [1..5]=15, [6..10]=40; tail [11,12] dropped
+    assert got == {0: 15.0, 1: 40.0}
+
+
+def test_tumbling_count_avg(tiny_events):
+    out = tumbling_count_window(tiny_events, "value", "avg", 6)
+    got = {r["window_id"]: r["result"] for r in out.collect()}
+    assert got == {0: 3.5, 1: 9.5}
+
+
+def test_tumbling_count_accumulate_ordered(tiny_events):
+    out = tumbling_count_window(tiny_events, "value", "accumulate", 4)
+    got = {r["window_id"]: r["result"] for r in out.collect()}
+    assert got[0] == [1.0, 2.0, 3.0, 4.0]
+    assert got[2] == [9.0, 10.0, 11.0, 12.0]
+
+
+def test_sliding_count_warmup_and_cadence(tiny_events):
+    # size 4, resolution 2: emits at rn=4,6,8,10,12 over last 4 rows
+    out = sliding_count_window(tiny_events, "value", "sum", 4, 2)
+    got = {r["emit_rn"]: r["result"] for r in out.collect()}
+    assert got == {4: 10.0, 6: 18.0, 8: 26.0, 10: 34.0, 12: 42.0}
+
+
+def test_sliding_count_resolution_one_emits_every_row_after_warmup(tiny_events):
+    out = sliding_count_window(tiny_events, "value", "max", 3, 1)
+    got = {r["emit_rn"]: r["result"] for r in out.collect()}
+    assert len(got) == 10  # rn 3..12
+    assert got[3] == 3.0 and got[12] == 12.0
+
+
+def test_tumbling_time_window_buckets(tiny_events):
+    # 60s buckets over 10s-spaced events: 6 per bucket
+    out = tumbling_time_window(tiny_events, "ts", "value", "sum", 60_000)
+    got = sorted(r["result"] for r in out.collect())
+    assert got == [21.0, 57.0]  # 1..6, 7..12
+
+
+def test_tumbling_time_grouped(tiny_events):
+    out = tumbling_time_window(tiny_events, "ts", "value", "count", 60_000, group_by=["event_type"])
+    got = {(r["event_type"], r["result"]) for r in out.collect()}
+    assert got == {("view", 3), ("click", 3)}
+
+
+def test_sliding_time_hop(tiny_events):
+    # size 60s, hop 30s: event at t covers starts in (t-60, t]
+    out = sliding_time_window(tiny_events, "ts", "value", "count", 60_000, 30_000)
+    got = {r["window_start"].second + 60 * r["window_start"].minute: r["result"] for r in out.collect()}
+    # starts: -30(covers 0..20s events? start=-30 covers [-30,30): events 0,10,20 → 3)
+    assert got[0] == 6  # [0,60): events at 0..50
+    assert got[30] == 6  # [30,90): events at 30..80
+    assert got[90] == 3  # [90,150): events at 90,100,110
+
+
+def test_grouped_tumbling_count(tiny_events):
+    out = tumbling_count_window(tiny_events, "value", "sum", 3, group_by=["user_id"])
+    got = {(r["user_id"], r["window_id"]): r["result"] for r in out.collect()}
+    # user 100: values 1,3,5,7,9,11 → [1,3,5]=9, [7,9,11]=27
+    assert got[(100, 0)] == 9.0 and got[(100, 1)] == 27.0
+    # user 101: values 2,4,6,8,10,12 → 12, 30
+    assert got[(101, 0)] == 12.0 and got[(101, 1)] == 30.0

@@ -1,0 +1,138 @@
+"""Vector similarity: exact cosine, brute-force top-k, and
+random-hyperplane LSH bucketing.
+
+Cosine is computed with an exact-DECIMAL dot product (products of
+doubles cast to DECIMAL(28,12), summed exactly) so results are
+bit-identical regardless of accumulation order or engine — float sums
+are not associative, decimal sums are.
+
+Scale: brute-force top-k broadcasts the (small) query set over the
+corpus — one scan, no shuffle of the corpus, a per-query top-k
+aggregation. The LSH variant buckets both sides on hyperplane sign
+bits so the join is an equi-join on bucket id — the 100 TB path.
+Hyperplane weights are md5-derived (reproducible anywhere):
+w(j,i) = ((md5_60bit(j:i) mod 2001) - 1000)/1000.0.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 4
+DIM = 64
+
+
+def _dec_sum(arr: Column) -> Column:
+    """Exact sum of an array<double> via DECIMAL accumulation."""
+    # accumulator precision must stay below Spark's 38 cap: a
+    # (30,12)+(28,12) add yields (31,12) — full scale preserved — and
+    # the cast back to (30,12) is exact for our magnitudes. (A (38,12)
+    # accumulator would silently round every step to scale 11.)
+    return F.aggregate(
+        F.transform(arr, lambda x: x.cast("decimal(28,12)")),
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _dec_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))).cast("double")
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_dec_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))).cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine ≥ threshold (brute; LSH-bucket at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (queries broadcast)."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic md5-derived hyperplanes (same formula as the SQL
+    oracle: ((md5_60bit(j:i) % 2001) - 1000) / 1000.0)."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
+    """Bucket id = concatenated sign bits of hyperplane projections."""
+    planes = hyperplane_weights(n_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for j, weights in enumerate(planes):
+        wcol = F.array(*[F.lit(w) for w in weights])
+        proj = _dec_sum(F.zip_with(vec, wcol, lambda x, y: x.cast("double") * y)).cast("double")
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return bucket
+
+
+def topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within bucket."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), lsh_bucket(F.col(vec_col), n_planes).alias("bq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), lsh_bucket(F.col(vec_col), n_planes).alias("bc")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("bq") == F.col("bc"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

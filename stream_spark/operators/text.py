@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side Catalyst expressions (split/regexp/md5/aggregate) — no
+Python in the row path. Tokenization = whitespace split of trimmed
+text; shingles are word n-grams (char n-grams over a small synthetic
+vocabulary produce pathologically hot join keys; word n-grams keep the
+inverted-index join keys selective).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small multilingual stopword lists for the lang-id heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est", "un"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+#: English stopwords used by the quality score
+QUALITY_STOPWORDS = STOPWORDS["en"] + ("on", "for", "it")
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + trim + collapse whitespace (shared by dedup + fingerprint)."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-grams; empty array when fewer than n tokens."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 as BIGINT.
+
+    Reproducible in any engine with md5() — the cross-engine portable
+    hash used by minhash/simhash/fingerprints (DuckDB:
+    CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of letter-runs / digit-runs / single symbols — a cheap
+    proxy for BPE token count."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / stopword / digit / punctuation features + score."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_list = ",".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*QUALITY_STOPWORDS)))
+    n_char = F.length(F.col(text_col))
+    n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    d = (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("stopword_ratio", n_stop / n_tok)
+        .withColumn("digit_ratio", n_digit / n_char)
+        .withColumn("punct_ratio", n_punct / n_char)
+        .withColumn(
+            "mean_token_len",
+            (n_char - (n_tok - 1)) / n_tok,  # chars minus single separators
+        )
+    )
+    # score: in-range length, some stopwords, low digit/punct noise
+    return d.withColumn(
+        "quality_score",
+        (
+            F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 0.4).otherwise(0.0)
+            + F.when(F.col("stopword_ratio") >= 0.05, 0.3).otherwise(0.0)
+            + F.when(F.col("digit_ratio") <= 0.2, 0.2).otherwise(0.0)
+            + F.when(F.col("punct_ratio") <= 0.1, 0.1).otherwise(0.0)
+        ),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic with deterministic tie-break
+    (langs checked in fixed order, strict > to switch)."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def hits(words):
+        # real closure: pyspark's lambda introspection binds a Column to
+        # every declared parameter, so default-arg capture doesn't work
+        return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+    d = df
+    for lang, words in STOPWORDS.items():
+        d = d.withColumn(f"hits_{lang}", hits(words))
+    best = F.lit("unknown")
+    best_hits = F.lit(0)
+    for lang in STOPWORDS:  # fixed iteration order = deterministic tie-break
+        cond = F.col(f"hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+    return d.withColumn("predicted_lang", best)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two fingerprints per doc: md5-60bit of the normalized text and
+    the min rolling word-5-gram hash (winnowing-style, robust to small
+    edits)."""
+    norm = normalize_text(F.col(text_col))
+    grams5 = word_ngrams(tokens(norm), 5)
+    min_shingle = F.array_min(F.transform(grams5, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")))
+    return df.withColumn("fp_md5", md5_long(norm)).withColumn("fp_min_shingle", min_shingle)

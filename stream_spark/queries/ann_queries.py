@@ -1,1 +1,117 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search and multimodal queries (SURVEY §2 C6, C7, C12).
+
+Query set = vec_id < 10, corpus = the rest. The LSH variant must
+produce the SAME result as its oracle because bucketing is
+deterministic (md5-derived hyperplanes) — approximation error vs
+brute force is a recall property, not nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.operators.multimodal import extract_binary_features, to_media_table
+from stream_spark.operators.similarity import N_PLANES, topk_bruteforce, topk_lsh
+from stream_spark.queries.registry import register
+from stream_spark.sources import load_table
+
+_K = 5
+
+_UNNEST_E = """
+    e AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        FROM e GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+        JOIN norms nq ON q.vec_id = nq.vec_id
+        JOIN norms nc ON c.vec_id = nc.vec_id
+        GROUP BY query_id, neighbor_id, nq.nrm, nc.nrm
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_bruteforce(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_HP = """
+    hp AS (
+        SELECT j, i,
+               ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+        FROM unnest(generate_series(0, {np})) t(j), unnest(generate_series(0, 63)) s(i)
+    ),
+    buckets AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN proj >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        FROM (
+            SELECT e.vec_id, hp.j,
+                   CAST(SUM(CAST(e.x * hp.w AS DECIMAL(28,12))) AS DOUBLE) AS proj
+            FROM e JOIN hp ON e.i = hp.i + 1
+            GROUP BY e.vec_id, hp.j
+        ) e GROUP BY e.vec_id
+    )
+"""
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HP.format(np=N_PLANES - 1)},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+        JOIN buckets bq ON q.vec_id = bq.vec_id
+        JOIN buckets bc ON c.vec_id = bc.vec_id AND bq.bucket = bc.bucket
+        JOIN norms nq ON q.vec_id = nq.vec_id
+        JOIN norms nc ON c.vec_id = nc.vec_id
+        GROUP BY query_id, neighbor_id, nq.nrm, nc.nrm
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_lsh(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: encode → mapInPandas feature extraction.
+    The oracle checks byte length + md5 of the payload, proving the
+    Arrow round-trip is byte-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_binary_features(to_media_table(docs))

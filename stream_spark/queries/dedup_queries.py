@@ -1,1 +1,153 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries (SURVEY §2 C1–C5) over ``documents`` /
+``embeddings``. Oracles replay identical md5-derived hash math in
+DuckDB; pair outputs are (doc_a < doc_b)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.operators.dedup import (
+    BAND_SIZE,
+    PERMS,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from stream_spark.operators.similarity import cosine_pairs
+from stream_spark.queries.registry import register
+from stream_spark.sources import load_table
+
+NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+MD5_60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHINGLES3 = f"""
+    n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    toks AS (SELECT doc_id, string_split_regex(norm, '\\s+') AS ws FROM n),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM toks, unnest(generate_series(1, len(ws) - 2)) t(i)
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, md5({NORM}) AS ck FROM documents)
+    GROUP BY ck
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    co AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, common / (sa.sz + sb.sz - common) AS jaccard
+    FROM co JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+    WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+_MH_HASH = MD5_60.format(x="CAST(p AS VARCHAR) || ':' || g")
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    h AS (
+        SELECT doc, p, MIN({_MH_HASH}) AS mh
+        FROM sh, unnest(generate_series(0, {PERMS - 1})) t(p)
+        GROUP BY doc, p
+    ),
+    bands AS (
+        SELECT doc, p // {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+        FROM h GROUP BY doc, p // {BAND_SIZE}
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    toks AS (
+        SELECT DISTINCT doc_id AS doc, unnest(string_split_regex(norm, '\\s+')) AS w FROM n
+    ),
+    h AS (SELECT doc, {MD5_60.format(x='w')} AS h FROM toks),
+    bits AS (
+        SELECT doc, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h, unnest(generate_series(0, {SIMHASH_BITS - 1})) t(j)
+        GROUP BY doc, j
+    ),
+    sig AS (
+        SELECT doc, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc < b.doc
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_UNNEST_E = """
+    e AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        FROM e GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)

@@ -1,1 +1,139 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries (SURVEY §2 C8–C11) over ``documents``.
+
+Shared SQL fragments mirror the Spark operators exactly — note
+DuckDB's regexp_replace needs the 'g' flag to match Spark's
+replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.operators.text import (
+    STOPWORDS,
+    QUALITY_STOPWORDS,
+    fingerprint,
+    langid,
+    quality_features,
+    bpe_ish_token_count,
+    token_count,
+)
+from stream_spark.queries.registry import register
+from stream_spark.sources import load_table
+
+TOKS = "string_split_regex(trim(text), '\\s+')"
+NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+MD5_60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter({TOKS}, w -> w IN ({_STOP_IN}))) AS BIGINT) AS n_stopwords,
+               length(text) AS n_char,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           n_stopwords / n_tokens AS stopword_ratio,
+           n_digit / n_char AS digit_ratio,
+           n_punct / n_char AS punct_ratio,
+           (n_char - (n_tokens - 1)) / n_tokens AS mean_token_len,
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN n_stopwords / n_tokens >= 0.05 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN n_digit / n_char <= 0.2 THEN 0.2 ELSE 0.0 END
+            + CASE WHEN n_punct / n_char <= 0.1 THEN 0.1 ELSE 0.0 END) AS quality_score
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.col("n_stopwords").cast("long"),
+        "stopword_ratio",
+        "digit_ratio",
+        "punct_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = ",\n               ".join(
+        f"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"w -> w IN ({', '.join(repr(w) for w in words)}))) AS BIGINT) AS hits_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    pred = "'unknown'"
+    hits = "0"
+    for lang in STOPWORDS:  # same fixed order + strict > as the operator
+        pred = f"CASE WHEN hits_{lang} > ({hits}) THEN '{lang}' ELSE ({pred}) END"
+        hits = f"CASE WHEN hits_{lang} > ({hits}) THEN hits_{lang} ELSE ({hits}) END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {hit_cols}
+        FROM documents
+    )
+    SELECT doc_id, lang, {', '.join('hits_' + l for l in STOPWORDS)},
+           {pred} AS predicted_lang
+    FROM scored
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = langid(docs)
+    return out.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}") for lang in STOPWORDS],
+        "predicted_lang",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    toks AS (SELECT doc_id, string_split_regex(norm, '\\s+') AS ws FROM n),
+    g5 AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+        FROM toks, unnest(generate_series(1, len(ws) - 4)) t(i)
+    ),
+    mins AS (SELECT doc_id, MIN({MD5_60.format(x='g')}) AS fp_min_shingle FROM g5 GROUP BY doc_id)
+    SELECT n.doc_id, {MD5_60.format(x='norm')} AS fp_md5, mins.fp_min_shingle
+    FROM n LEFT JOIN mins ON n.doc_id = mins.doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp_md5", "fp_min_shingle")

@@ -1,0 +1,129 @@
+"""Streaming window jobs.
+
+Time windows reuse the exact batch operators — ``F.window`` groupBy
+plans are streaming-native, so `tumbling_time_window` /
+`sliding_time_window` run unchanged on a streaming DataFrame; only the
+watermark (late-data bound, windows.go has no equivalent — flogo drops
+nothing and never emits late corrections) and the sink differ.
+
+Count-based windows are genuinely stateful-custom (arrival-order
+semantics), so they use ``applyInPandasWithState`` — the Structured
+Streaming escape hatch for reference-style per-key window state
+(windows.go TumblingWindow.AddSample): state carries the open
+window's (count, accumulator); each completed group of N emits.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from stream_spark.operators.windows import sliding_time_window, tumbling_time_window
+
+
+def streaming_tumbling_time_window(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    function: str,
+    size_ms: int,
+    watermark: str = "1 hour",
+    group_by=None,
+) -> DataFrame:
+    return tumbling_time_window(
+        stream.withWatermark(ts_col, watermark), ts_col, value_col, function, size_ms, group_by=group_by
+    )
+
+
+def streaming_sliding_time_window(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    function: str,
+    size_ms: int,
+    resolution_ms: int,
+    watermark: str = "1 hour",
+    group_by=None,
+) -> DataFrame:
+    return sliding_time_window(
+        stream.withWatermark(ts_col, watermark), ts_col, value_col, function, size_ms, resolution_ms, group_by=group_by
+    )
+
+
+def streaming_tumbling_count(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    function: str,
+    size: int,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key count-tumbling window over a stream.
+
+    Mirrors windows.go TumblingWindow.AddSample:70 — accumulate until
+    ``size`` samples, emit, reset. State = (samples_seen, running
+    accumulator[, count for avg]). Rows are folded in ``order_cols``
+    order within each micro-batch; cross-batch order is arrival order,
+    as in the reference.
+    """
+    if function not in ("sum", "count", "min", "max", "avg"):
+        raise ValueError(f"unsupported streaming count-window function: {function}")
+
+    def fold(acc: float | None, n: int, v: float) -> tuple[float, int]:
+        if acc is None:
+            return v if function != "count" else 1.0, 1
+        if function == "sum":
+            return acc + v, n + 1
+        if function == "count":
+            return acc + 1.0, n + 1
+        if function == "min":
+            return min(acc, v), n + 1
+        if function == "max":
+            return max(acc, v), n + 1
+        return acc + v, n + 1  # avg accumulates sum; divide at emit
+
+    def process(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_seen, acc, window_id = state.get
+        else:
+            n_seen, acc, window_id = 0, None, 0
+        out_rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(list(order_cols), kind="mergesort")
+        for v in batch[value_col]:
+            acc, n_seen = fold(acc if n_seen else None, n_seen, float(v))
+            if n_seen == size:
+                result = acc / size if function == "avg" else acc
+                out_rows.append((key[0], window_id, float(result)))
+                n_seen, acc, window_id = 0, None, window_id + 1
+        state.update((n_seen, float(acc) if acc is not None else 0.0, window_id))
+        yield pd.DataFrame(out_rows, columns=[key_col, "window_id", "result"])
+
+    out_schema = f"{key_col} string, window_id long, result double"
+    return stream.groupBy(key_col).applyInPandasWithState(
+        process, out_schema, "n long, acc double, window_id long", "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stream_to_memory(result: DataFrame, output_mode: str = "complete", timeout_s: int = 120) -> DataFrame:
+    """Run a streaming plan to completion (availableNow) into a memory
+    sink and return the final table as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = result.sparkSession
+    return spark.table(name)

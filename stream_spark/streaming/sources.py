@@ -1,0 +1,48 @@
+"""Streaming sources.
+
+The reference's trigger/streamtester (dataset.go + emitter.go) replays
+a recorded dataset into the pipeline at a controlled pace for testing.
+Spark equivalents:
+
+- ``file_replay_stream``: stage a batch table as parquet and readStream
+  it — with ``maxFilesPerTrigger`` each micro-batch consumes one file
+  slice, which is the batch-replay semantics.
+- ``rate_stream``: the built-in rate source joined to an indexed batch
+  table — paced emission (rows_per_second), the emitter.go analog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_replay_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    stage_dir: str,
+    n_slices: int = 4,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stage ``df`` into ``stage_dir`` as ``n_slices`` parquet files and
+    return a streaming DataFrame replaying them slice-by-slice."""
+    df.repartition(n_slices).write.mode("overwrite").parquet(stage_dir)
+    reader = spark.readStream.schema(df.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stage_dir)
+
+
+def rate_stream(spark: SparkSession, df: DataFrame, order_cols: list[str], rows_per_second: int = 100) -> DataFrame:
+    """Paced replay: rate-source ticks joined to row-numbered batch data.
+
+    The rate source emits (timestamp, value=0,1,2,...); joining on the
+    batch row number releases one recorded row per tick — emitter.go's
+    pacing, expressed as a stream-static join (no custom receiver)."""
+    from stream_spark.operators.rownum import with_global_row_number
+
+    indexed = with_global_row_number(df, order_cols, out="_idx")
+    ticks = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return ticks.join(indexed, ticks["value"] == indexed["_idx"] - 1).drop("timestamp", "value", "_idx")

@@ -1,0 +1,85 @@
+"""Structured Streaming ≡ batch equivalence (SURVEY §5): the same
+window operators must produce identical results fed incrementally."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_spark.operators.windows import tumbling_count_window, tumbling_time_window
+from stream_spark.sources import load_table
+from stream_spark.streaming import (
+    TelemetryListener,
+    file_replay_stream,
+    run_stream_to_memory,
+    streaming_tumbling_count,
+    streaming_tumbling_time_window,
+)
+
+SCRATCH = "/root/repo/.scratch"
+HOUR = 3_600_000
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_streaming_time_window_matches_batch(spark, events, tmp_path_factory):
+    stage = f"{SCRATCH}/replay_time"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, events, stage, n_slices=4)
+    got = run_stream_to_memory(
+        streaming_tumbling_time_window(stream, "ts", "value", "sum", HOUR), output_mode="complete"
+    )
+    expected = tumbling_time_window(events, "ts", "value", "sum", HOUR)
+    g = {(r["window_start"], round(r["result"], 6)) for r in got.collect()}
+    e = {(r["window_start"], round(r["result"], 6)) for r in expected.collect()}
+    assert g == e
+
+
+def test_streaming_count_window_matches_batch(spark, events):
+    stage = f"{SCRATCH}/replay_count"
+    shutil.rmtree(stage, ignore_errors=True)
+    # single slice → one micro-batch → arrival order == (ts, event_id) order
+    stream = file_replay_stream(spark, events, stage, n_slices=1, max_files_per_trigger=None)
+    got = run_stream_to_memory(
+        streaming_tumbling_count(stream, "event_type", "value", "sum", 50), output_mode="append"
+    )
+    expected = tumbling_count_window(events, "value", "sum", 50, group_by=["event_type"])
+    g = {(r["event_type"], r["window_id"], round(r["result"], 6)) for r in got.collect()}
+    e = {(r["event_type"], r["window_id"], round(r["result"], 6)) for r in expected.collect()}
+    assert g == e
+
+
+def test_streaming_count_window_state_across_batches(spark, events):
+    stage = f"{SCRATCH}/replay_count_multi"
+    shutil.rmtree(stage, ignore_errors=True)
+    # 4 slices replayed one file per trigger: windows span micro-batches.
+    # Cross-batch arrival order is file order, so totals (not per-window
+    # contents) are checked: every complete window emits exactly once.
+    stream = file_replay_stream(spark, events, stage, n_slices=4)
+    got = run_stream_to_memory(
+        streaming_tumbling_count(stream, "event_type", "value", "count", 50), output_mode="append"
+    )
+    per_type = {r["event_type"]: r["n"] for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    totals = {r["event_type"]: r["n"] for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for etype, n in totals.items():
+        assert per_type.get(etype, 0) == n // 50
+
+
+def test_telemetry_listener(spark, events):
+    stage = f"{SCRATCH}/replay_telemetry"
+    shutil.rmtree(stage, ignore_errors=True)
+    listener = TelemetryListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = file_replay_stream(spark, events, stage, n_slices=2)
+        run_stream_to_memory(
+            streaming_tumbling_time_window(stream, "ts", "value", "count", HOUR), output_mode="complete"
+        )
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.summary()["queries_started"] >= 1

@@ -45,10 +45,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct word n-grams of normalized text."""
-    return df.select(
+    """(id, shingle) pairs, distinct word n-grams of normalized text.
+
+    Tokenization is materialized behind a hash-repartition on the doc
+    id before the n-gram explode: a small parquet arrives as ONE input
+    split, and without the exchange the whole corpus would tokenize +
+    explode single-threaded (and projection collapse would re-inline
+    the split() per element access). The exchange buys even
+    parallelism and a once-per-row token array.
+    """
+    toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(word_ngrams(tokens(normalize_text(F.col(text_col))), n)).alias("g"),
+        tokens(normalize_text(F.col(text_col))).alias("ws"),
+    )
+    # explicit partition count: AQE would coalesce this ~10 MB shuffle
+    # to 1-2 partitions by size, but the downstream explode+hash work is
+    # CPU-bound — spread it over every core
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return toks.repartition(par, F.col("doc")).select(
+        "doc", F.explode(word_ngrams(F.col("ws"), n)).alias("g")
     )
 
 
@@ -73,12 +88,32 @@ def ngram_jaccard_pairs(
     )
 
 
+MERSENNE31 = 2_147_483_647
+
+
+def perm_consts(p: int) -> tuple[int, int]:
+    """Affine permutation constants for minhash p (shared with the SQL
+    oracle): h_p = (a·h + b) mod 2^31-1."""
+    a = (2_654_435_761 * (p + 1)) % MERSENNE31
+    b = (40_503 * (p + 1) + 17) % MERSENNE31
+    return a, b
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """PERMS min-hashes per doc; hash p of shingle g = md5_long(p:g)."""
-    sh = shingle_docs(df, text_col, id_col, n)
-    aggs = [
-        F.min(md5_long(F.concat(F.lit(f"{p}:"), F.col("g")))).alias(f"mh{p}") for p in range(PERMS)
-    ]
+    """PERMS min-hashes per doc.
+
+    One md5 per shingle, then PERMS cheap affine permutations
+    h_p = (a_p·h31 + b_p) mod 2^31-1 over the 31-bit base hash —
+    ~PERMS× less hashing than md5-per-permutation, and a·h stays under
+    2^62 so the arithmetic is exact BIGINT in any engine.
+    """
+    sh = shingle_docs(df, text_col, id_col, n).withColumn(
+        "h31", md5_long(F.col("g")) % MERSENNE31
+    )
+    aggs = []
+    for p in range(PERMS):
+        a, b = perm_consts(p)
+        aggs.append(F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MERSENNE31).alias(f"mh{p}"))
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -120,10 +155,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     is bit j of the token's 60-bit md5 hash. Realized as an explode on
     bit position + two keyed aggregations — linear in tokens, no wide
     rows, shuffles only on (id, bit)."""
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("w"),
-    ).withColumn("h", md5_long(F.col("w")))
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(tokens(normalize_text(F.col(text_col)))).alias("ws"),
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("doc"))
+        .select("doc", F.explode(F.col("ws")).alias("w"))
+        .withColumn("h", md5_long(F.col("w")))
+    )
     bits = toks.select(
         "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
     ).withColumn(

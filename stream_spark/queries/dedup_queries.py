@@ -66,14 +66,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
-_MH_HASH = MD5_60.format(x="CAST(p AS VARCHAR) || ':' || g")
+_MH_PERM = (
+    f"((((2654435761 * (p + 1)) % 2147483647) * ({MD5_60.format(x='g')} % 2147483647)"
+    " + ((40503 * (p + 1) + 17) % 2147483647)) % 2147483647)"
+)
 
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES3},
     h AS (
-        SELECT doc, p, MIN({_MH_HASH}) AS mh
+        SELECT doc, p, MIN({_MH_PERM}) AS mh
         FROM sh, unnest(generate_series(0, {PERMS - 1})) t(p)
         GROUP BY doc, p
     ),

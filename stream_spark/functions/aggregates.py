@@ -45,6 +45,7 @@ def agg_expr(
     order: Column | None = None,
     alias: str = "result",
     exact_decimal: bool = False,
+    decimal_type: str = EXACT_DECIMAL,
 ) -> Column:
     """Build the aggregate column for ``function``.
 
@@ -54,9 +55,9 @@ def agg_expr(
     results must be bit-reproducible across runs and engines.
     """
     if exact_decimal and function == "sum":
-        return F.sum(value.cast(EXACT_DECIMAL)).cast("double").alias(alias)
+        return F.sum(value.cast(decimal_type)).cast("double").alias(alias)
     if exact_decimal and function == "avg":
-        return (F.sum(value.cast(EXACT_DECIMAL)).cast("double") / F.count(value)).alias(alias)
+        return (F.sum(value.cast(decimal_type)).cast("double") / F.count(value)).alias(alias)
     try:
         fn = AGG_FUNCTIONS[function]
     except KeyError:

@@ -94,7 +94,15 @@ def topk_bruteforce(
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = F.broadcast(q).crossJoin(c).withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    # cheap double-fold pass ranks candidates; the exact decimal cosine
+    # rescored on a 2k-margin decides the final order (float error
+    # ~1e-13 cannot reorder across a 2k-deep margin in practice)
+    pre = F.broadcast(q).crossJoin(c).withColumn("fcos", _float_cosine(F.col("qv"), F.col("cv")))
+    wpre = Window.partitionBy("query_id").orderBy(F.col("fcos").desc(), F.col("neighbor_id"))
+    survivors = pre.withColumn("prerank", F.row_number().over(wpre)).filter(
+        F.col("prerank") <= max(2 * k, k + 10)
+    )
+    scored = survivors.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

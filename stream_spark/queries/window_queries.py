@@ -234,3 +234,46 @@ def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_filter(ev, "regex", "event_type", pattern="^(click|view)$").select(
         "event_id", "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# A-extra: element-wise array aggregation (reference functions/sum.go:44
+# sumIntArray / average.go:40 — agg over []float64 samples per index)
+
+
+@register(
+    "agg_array_elementwise_avg",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS result
+    FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+    GROUP BY label, pos
+    """,
+)
+def agg_array_elementwise_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_spark.operators.arrays import elementwise_agg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return elementwise_agg(emb, "embedding", "avg", group_by=["label"])
+
+
+# --------------------------------------------------------------------------
+# A-extra: JSON field extraction (flogo input mappings pluck fields from
+# event payloads; props is a JSON string column)
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )

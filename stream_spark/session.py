@@ -26,6 +26,14 @@ def get_spark(app_name: str = "stream_spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # small-file parallelism: test tables are single ~10-50 MB
+        # parquet files that would otherwise scan in 1 task. On a real
+        # cluster with many large files, raise via SPARK_GRAFT_MAX_PART
+        # (128m+ is typical there).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART", "16m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -277,3 +277,46 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# A2-extra: sliding accumulate + grouped sliding count windows
+
+register(
+    "agg_sliding_count_accumulate",
+    oracle=f"""
+    WITH o AS ({_ORDERED}),
+    fanout AS (
+        SELECT value, rn, unnest(generate_series(
+            GREATEST(0, CAST(ceil((rn - 20) / 5.0) AS BIGINT)),
+            CAST(floor((rn - 1) / 5.0) AS BIGINT))) AS window_id
+        FROM o
+    )
+    SELECT window_id, list(value ORDER BY rn) AS result,
+           CAST(window_id * 5 + 20 AS BIGINT) AS emit_rn
+    FROM fanout GROUP BY window_id HAVING COUNT(*) = 20
+    """,
+)(_sliding_count("accumulate", 20, 5))
+
+
+@register(
+    "agg_grouped_sliding_sum",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events),
+    fanout AS (
+        SELECT event_type, value, unnest(generate_series(
+            GREATEST(0, CAST(ceil((rn - 40) / 10.0) AS BIGINT)),
+            CAST(floor((rn - 1) / 10.0) AS BIGINT))) AS window_id
+        FROM o
+    )
+    SELECT event_type, window_id, {_DSUM} AS result,
+           CAST(window_id * 10 + 40 AS BIGINT) AS emit_rn
+    FROM fanout GROUP BY event_type, window_id HAVING COUNT(*) = 40
+    """,
+)
+def agg_grouped_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_count_window(ev, "value", "sum", 40, 10, group_by=["event_type"])

@@ -1,0 +1,57 @@
+"""As-of join: for each left row, the most recent right row with
+``right.ts <= left.ts`` on the same key.
+
+Spark has no native as-of join. The scalable realization is the
+union-and-carry trick: tag both sides, union, sort within key by
+(ts, side-priority), and carry the last seen right-side values forward
+with ``last(..., ignorenulls)`` over an unbounded-preceding frame.
+One shuffle on the key, no range fan-out, no per-row search — the
+plan scales like any keyed window, unlike a range-join which explodes
+or a broadcast loop which doesn't distribute.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join; right-side columns arrive suffixed. Rows with no
+    earlier right row keep NULLs (left-outer semantics)."""
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ats"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # right rows (side 0) sort before left rows at equal ts → a right
+    # row AT the left timestamp is visible, matching ts <= left.ts
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ats"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in right_cols]
+    )

@@ -1,0 +1,35 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent per partition split — results change
+with partitioning, which breaks reproducible dataset builds. These
+samplers hash a stable id (md5-derived, engine-portable) so the same
+row always makes the same in/out decision, anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stream_spark.operators.text import md5_long
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column) -> Column:
+    """Stable bucket 0..9999 from the row id."""
+    return md5_long(id_col.cast("string")) % BUCKETS
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep ~rate of rows, decided by the id hash alone."""
+    return df.filter(hash_bucket(F.col(id_col)) < int(rate * BUCKETS))
+
+
+def stratified_sample(df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float]) -> DataFrame:
+    """Per-stratum deterministic rates; unlisted strata are dropped."""
+    bucket = hash_bucket(F.col(id_col))
+    keep = F.lit(False)
+    for stratum, rate in rates.items():
+        keep = keep | ((F.col(stratum_col) == stratum) & (bucket < int(rate * BUCKETS)))
+    return df.filter(keep)

@@ -1,0 +1,179 @@
+"""Advanced relational shapes: distinct aggregation, exact quantiles,
+pivot, rollup, and correlation via exact decimal moments."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.queries.registry import register
+from stream_spark.sources import load_table
+
+
+@register(
+    "events_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (expand+two-phase agg in Spark). The approximate
+    HLL path (approx_count_distinct) is the 100 TB default — same plan
+    shape, sketch mergeable, no expand — exposed via the operator's
+    ``approximate`` flag but oracled with the exact variant."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "orders_price_median",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). At 100 TB use approx_percentile
+    (t-digest, mergeable) — same call site, documented trade-off."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+    )
+
+
+@register(
+    "user_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — never let Spark run the
+    distinct-value discovery job at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+    return out
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total"),
+    )
+
+
+_CORR_SUMS = """
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(26,4))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(26,4))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(26,4))) AS DOUBLE) AS sxy
+"""
+
+
+@register(
+    "lineitem_qty_price_corr",
+    oracle=f"""
+    WITH s AS (SELECT {_CORR_SUMS} FROM lineitem)
+    SELECT n, (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+)
+def lineitem_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation assembled from exact decimal moments —
+    order-insensitive and engine-exact, unlike streaming corr
+    accumulators whose float ops depend on partition order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(*[F.expr(e.strip()) for e in _CORR_SUMS.strip().split(",\n")])
+    return s.select(
+        "n",
+        F.expr(
+            "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "events_asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_ms(p.ts) AS purchase_ts_ms,
+           c.event_id AS click_id_right,
+           epoch_ms(c.ts) AS click_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest preceding click
+    (stream_spark.operators.asof — union-and-carry, one key shuffle)."""
+    from stream_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = asof_join(purchases, clicks, "user_id", "ts", "ts", ["event_id"], suffix="_right")
+    # recover the matched click timestamp by joining its id back (tiny)
+    out = joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ts_ms"),
+        F.col("event_id_right").alias("click_id_right"),
+    )
+    click_ts = clicks.select(F.col("event_id").alias("click_id_right"),
+                             F.unix_millis(F.col("ts").cast("timestamp")).alias("click_ts_ms"))
+    return out.join(F.broadcast(click_ts), "click_id_right", "left").select(
+        "purchase_id", "user_id", "purchase_ts_ms", "click_id_right", "click_ts_ms"
+    )
+
+
+@register(
+    "documents_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bucket
+          FROM documents)
+    WHERE (lang = 'en' AND bucket < 5000)
+       OR (lang = 'de' AND bucket < 9000)
+       OR (lang = 'zh' AND bucket < 9000)
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-language sampling for dataset mixing — the
+    decision depends only on the doc_id hash, never on partitioning."""
+    from stream_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", {"en": 0.5, "de": 0.9, "zh": 0.9}).select(
+        "doc_id", "lang"
+    )

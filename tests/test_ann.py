@@ -56,3 +56,21 @@ def test_topk_lsh_returns_bucket_neighbors(spark):
     assert len(rows) <= 15
     for r in rows:
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_topk_pandas_matches_exact_neighbor_sets(spark):
+    import random
+
+    from stream_spark.operators.ann_pandas import topk_pandas
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(32)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 4)
+    c = df.filter(F.col("vec_id") >= 4)
+    exact = topk_bruteforce(q, c, k=5)
+    fast = topk_pandas(q, c, k=5)
+    es = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    fs = {(r["query_id"], r["neighbor_id"]) for r in fast.collect()}
+    assert es == fs

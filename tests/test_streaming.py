@@ -83,3 +83,19 @@ def test_telemetry_listener(spark, events):
     finally:
         spark.streams.removeListener(listener)
     assert listener.summary()["queries_started"] >= 1
+
+
+def test_streaming_exact_dedup(spark):
+    from stream_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma delta"), (4, "alpha beta")],
+        "doc_id long, text string",
+    )
+    stage = f"{SCRATCH}/replay_dedup"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, docs, stage, n_slices=1, max_files_per_trigger=None)
+    got = run_stream_to_memory(streaming_exact_dedup(stream), output_mode="append")
+    texts = sorted(r["text"].lower().split()[0] for r in got.collect())
+    assert got.count() == 2  # one survivor per distinct normalized text
+    assert texts == ["alpha", "gamma"]

@@ -23,9 +23,11 @@ HEADLINERS = [
     "events_sessionize",
     "pipeline_agg_filter",
     "stream_join_time",
-    # appended as C-block lands:
+    "tpch_q6_revenue_delta",
+    "events_asof_join_purchase_click",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality_score",
     "ann_topk_bruteforce",
 ]

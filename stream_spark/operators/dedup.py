@@ -68,10 +68,25 @@ def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram sets, via inverted-index join."""
+    """Exact Jaccard over word n-gram sets, via inverted-index join.
+
+    ``max_doc_freq``: drop shingles appearing in more than this many
+    docs before the self-join. Candidate volume is Σ freq(shingle)², so
+    one stop-shingle in 1M docs costs 10^12 pairs — the df-cut keeps
+    the join bounded at corpus scale. It changes semantics (Jaccard
+    over the pruned sets), so the oracle-checked query leaves it off.
+    """
     sh = shingle_docs(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        rare = sh.groupBy("g").count().filter(F.col("count") <= max_doc_freq).select("g")
+        sh = sh.join(rare, "g")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     co = (
         sh.alias("a")

@@ -1,0 +1,280 @@
+"""Extended TPC-H-shaped suite adapted to the test star schema —
+joins, correlated subqueries, IN/EXISTS, disjunctive predicates,
+having-filters. Decimal discipline as in analytics.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.queries.analytics import DISC_PRICE
+from stream_spark.queries.registry import register
+from stream_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: volume between nation pairs
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, {DISC_PRICE} AS vol
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN orders   ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_9', 'NATION_10') AND n2.n_name IN ('NATION_9', 'NATION_10')
+          AND n1.n_name <> n2.n_name
+    ) GROUP BY supp_nation, cust_nation
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            F.col("supp_nation").isin("NATION_9", "NATION_10")
+            & F.col("cust_nation").isin("NATION_9", "NATION_10")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item customers ranked by lost revenue
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share (conditional aggregation)
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM({DISC_PRICE}) AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-02-01 00:00:00'"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+                f" / CAST(SUM({DISC_PRICE}) AS DOUBLE) AS promo_share"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: small-quantity orders vs per-part average (correlated agg)
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk,
+               0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)) AS half_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < half_avg
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part average via a self-aggregation join (the scalable form
+    of the correlated subquery — one shuffle on partkey each side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.expr(
+            "0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)) AS half_avg"
+        )
+    )
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume orders (IN over grouped HAVING)
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_ok"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(big), li.l_orderkey == big.big_ok, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "total_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive predicates over joined dims
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+       OR (p_type = 'ECONOMY' AND l_discount <= 0.05)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") <= 0.05))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: above-average account balances with no orders (anti-join +
+# scalar subquery)
+
+
+@register(
+    "tpch_q22_idle_balances",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS ab"))
+        .collect()[0]["ab"]
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(
+            orders.filter(F.col("o_orderdate") >= F.expr("TIMESTAMP '2000-01-01 00:00:00'")),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal"),
+        )
+    )

@@ -320,3 +320,38 @@ register(
 def agg_grouped_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return sliding_count_window(ev, "value", "sum", 40, 10, group_by=["event_type"])
+
+
+# --------------------------------------------------------------------------
+# A-extra: hypertable-style rollup cascade — daily aggregates computed
+# by MERGING hourly partials (never rescanning raw events)
+
+_DAY = 24 * _HOUR
+
+
+@register(
+    "agg_rollup_cascade_daily",
+    oracle=f"""
+    SELECT CAST((epoch_ms(ts) // {_DAY}) * {_DAY} AS BIGINT) AS bucket_start_ms,
+           {_DSUM} AS sum_value,
+           {_DAVG} AS avg_value,
+           MIN(value) AS p_min, MAX(value) AS p_max, COUNT(value) AS p_count
+    FROM events GROUP BY bucket_start_ms
+    """,
+)
+def agg_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour partials → day merge → finalize; result provably equals a
+    direct daily aggregation (the oracle computes it directly)."""
+    from stream_spark.operators.rollup_cascade import finalize, merge_up, partials
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = partials(ev, "ts", "value", _HOUR)
+    daily = merge_up(hourly, _DAY)
+    return finalize(daily).select(
+        F.unix_millis(F.col("bucket_start").cast("timestamp")).alias("bucket_start_ms"),
+        "sum_value",
+        "avg_value",
+        "p_min",
+        "p_max",
+        "p_count",
+    )

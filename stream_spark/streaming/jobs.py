@@ -127,3 +127,36 @@ def run_stream_to_memory(result: DataFrame, output_mode: str = "complete", timeo
     q.awaitTermination(timeout_s)
     spark = result.sparkSession
     return spark.table(name)
+
+
+def streaming_stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows within
+    [left.ts - max_lag, left.ts]. Both sides carry watermarks so the
+    join state is bounded — the Structured Streaming requirement the
+    reference sidesteps by keeping everything in process memory."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l.join(r, cond, "inner")
+
+
+def run_stream_foreach_batch_parquet(result: DataFrame, out_dir: str, timeout_s: int = 120) -> None:
+    """Sink a streaming plan to parquet via foreachBatch (append)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = result.writeStream.foreachBatch(sink).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)

@@ -99,3 +99,41 @@ def test_streaming_exact_dedup(spark):
     texts = sorted(r["text"].lower().split()[0] for r in got.collect())
     assert got.count() == 2  # one survivor per distinct normalized text
     assert texts == ["alpha", "gamma"]
+
+
+def test_streaming_stream_stream_join(spark, events):
+    from stream_spark.streaming.jobs import streaming_stream_stream_join
+    from stream_spark.queries import QUERIES
+
+    stage_l = f"{SCRATCH}/ssj_left"
+    stage_r = f"{SCRATCH}/ssj_right"
+    shutil.rmtree(stage_l, ignore_errors=True)
+    shutil.rmtree(stage_r, ignore_errors=True)
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    sl = file_replay_stream(spark, purchases, stage_l, n_slices=1, max_files_per_trigger=None)
+    sr = file_replay_stream(spark, clicks, stage_r, n_slices=1, max_files_per_trigger=None)
+    joined = streaming_stream_stream_join(sl, sr, "user_id", "ts", "cts", max_lag="1 hour")
+    got = run_stream_to_memory(
+        joined.select("l.event_id", "r.click_id"), output_mode="append"
+    )
+    # batch reference: the oracle-checked stream_join_time query
+    expected = QUERIES["stream_join_time"](spark, "/root/testdata/sf0.001")
+    g = {(r["event_id"], r["click_id"]) for r in got.collect()}
+    e = {(r["purchase_id"], r["click_id"]) for r in expected.collect()}
+    assert g == e
+
+
+def test_foreach_batch_parquet_sink(spark, events):
+    from stream_spark.streaming.jobs import run_stream_foreach_batch_parquet
+
+    stage = f"{SCRATCH}/fb_src"
+    out = f"{SCRATCH}/fb_out"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    stream = file_replay_stream(spark, events.select("event_id", "value"), stage, n_slices=2)
+    run_stream_foreach_batch_parquet(stream, out)
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()

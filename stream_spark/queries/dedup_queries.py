@@ -154,3 +154,56 @@ _UNNEST_E = """
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.4)
+
+
+@register(
+    "training_data_prep",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    co AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    ),
+    dupes AS (
+        SELECT DISTINCT doc_b FROM co
+        JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+        WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    ),
+    kept AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE n_chars BETWEEN 150 AND 450
+          AND doc_id NOT IN (SELECT doc_b FROM dupes)
+          AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: length gate → near-dup removal (drop the
+    later doc of every Jaccard≥0.8 pair) → deterministic 80% sample →
+    per-language token accounting. One composed Catalyst plan — the
+    quality filter pushes into the scan, dedup pairs come from the
+    inverted-index join, the sample is hash-stable."""
+    from stream_spark.operators.sampling import deterministic_sample
+    from stream_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = ngram_jaccard_pairs(docs, threshold=0.8).select(F.col("doc_b").alias("dup_id")).distinct()
+    kept = (
+        docs.filter(F.col("n_chars").between(150, 450))
+        .join(F.broadcast(dupes), docs.doc_id == dupes.dup_id, "left_anti")
+    )
+    kept = deterministic_sample(kept, "doc_id", 0.8).withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -207,3 +207,44 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES3},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    co AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM co
+        JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+        WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    ),
+    und AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(node, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT component AS keeper_doc_id, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → one keeper per cluster
+    (stream_spark.operators.components label propagation; oracle uses a
+    recursive-CTE transitive closure)."""
+    from stream_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    comp = connected_components(edges)
+    return comp.groupBy("component").agg(F.count("*").alias("cluster_size")).select(
+        F.col("component").alias("keeper_doc_id"), "cluster_size"
+    )

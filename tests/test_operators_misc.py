@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_spark.operators.asof import asof_join
+from stream_spark.operators.components import connected_components
+from stream_spark.operators.rollup_cascade import finalize, merge_up, partials
+from stream_spark.operators.sampling import deterministic_sample, stratified_sample
+
+
+def ts(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(30), "p2"), (2, ts(5), "p3")],
+        "user long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), "c1"), (1, ts(10), "c2"), (1, ts(25), "c3"), (3, ts(1), "c4")],
+        "user long, ts timestamp, cid string",
+    )
+    out = {r["pid"]: r["cid_right"] for r in
+           asof_join(left, right, "user", "ts", "ts", ["cid"]).collect()}
+    assert out["p1"] == "c2"  # equal-ts right row is visible
+    assert out["p2"] == "c3"
+    assert out["p3"] is None  # user 2 has no clicks → left-outer NULL
+
+
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_connected_components_chain_convergence(spark):
+    # a 12-node path needs multiple propagation rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_rollup_cascade_merge_equals_direct(spark, sf_dir):
+    from stream_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = partials(ev, "ts", "value", 3_600_000)
+    daily = finalize(merge_up(hourly, 86_400_000))
+    direct = finalize(partials(ev, "ts", "value", 86_400_000))
+    d = {r["bucket_start"]: (r["sum_value"], r["p_count"]) for r in daily.collect()}
+    e = {r["bucket_start"]: (r["sum_value"], r["p_count"]) for r in direct.collect()}
+    assert d == e
+
+
+def test_deterministic_sample_is_stable_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    s1 = {r["id"] for r in deterministic_sample(df, "id", 0.5).collect()}
+    s2 = {r["id"] for r in deterministic_sample(df.repartition(7), "id", 0.5).collect()}
+    assert s1 == s2  # partitioning-independent
+    assert 0.45 < len(s1) / 2000 < 0.55
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_sample(df, "id", "s", {"a": 1.0, "b": 0.0})
+    got = {r["s"] for r in out.collect()}
+    assert got == {"a"} and out.count() == 1000

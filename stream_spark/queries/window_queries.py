@@ -355,3 +355,59 @@ def agg_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_max",
         "p_count",
     )
+
+
+# --------------------------------------------------------------------------
+# A-extra: DENSE tumbling time windows — the reference's timer emits a
+# (zero) result for every tick even with no samples
+# (windows.go:177 NextBlock runs unconditionally); groupBy semantics
+# only emit non-empty buckets, so this variant gap-fills the bucket
+# range and zero-fills sum/count.
+
+
+@register(
+    "agg_time_tumbling_dense_sum",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT (epoch_ms(MIN(ts)) // {_HOUR}) AS kmin, (epoch_ms(MAX(ts)) // {_HOUR}) AS kmax
+        FROM events
+    ),
+    buckets AS (
+        SELECT CAST(unnest(generate_series(kmin, kmax)) * {_HOUR} AS BIGINT) AS window_start_ms
+        FROM bounds
+    ),
+    agg AS (
+        SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS w, {_DSUM} AS s, COUNT(*) AS c
+        FROM events GROUP BY w
+    )
+    SELECT b.window_start_ms,
+           COALESCE(a.s, 0.0) AS result,
+           COALESCE(a.c, 0) AS n_samples
+    FROM buckets b LEFT JOIN agg a ON b.window_start_ms = a.w
+    """,
+)
+def agg_time_tumbling_dense_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", f"{_HOUR} milliseconds").alias("w"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+            F.count("*").alias("c"),
+        )
+        .select(F.unix_millis(F.col("w.start").cast("timestamp")).alias("w"), "s", "c")
+    )
+    bounds = ev.agg(
+        (F.unix_millis(F.min("ts").cast("timestamp")) / _HOUR).cast("long").alias("kmin"),
+        (F.unix_millis(F.max("ts").cast("timestamp")) / _HOUR).cast("long").alias("kmax"),
+    )
+    buckets = bounds.select(
+        F.explode(F.sequence(F.col("kmin"), F.col("kmax"))).alias("k")
+    ).select((F.col("k") * _HOUR).cast("bigint").alias("window_start_ms"))
+    return (
+        buckets.join(agg, buckets.window_start_ms == agg.w, "left")
+        .select(
+            "window_start_ms",
+            F.coalesce(F.col("s"), F.lit(0.0)).alias("result"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_samples"),
+        )
+    )

@@ -23,9 +23,14 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component =
     min node id reachable."""
-    undirected = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # materialize once: every propagation round joins against the edge
+    # list, and without this the full upstream plan (e.g. the Jaccard
+    # pipeline that produced the pairs) would recompute per iteration
+    undirected = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint()
+    )
     nodes = undirected.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
 

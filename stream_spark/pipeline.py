@@ -66,10 +66,16 @@ def _stage_aggregate(df: DataFrame, s: dict, ctx: "Pipeline", spark, sf_dir) -> 
     fn = s["function"]
     wtype = s["windowType"]
     size = int(s["windowSize"])
-    value = s.get("value", "value")
-    group_by = s.get("groupBy")
+    # accept the reference's additionalSettings schema verbatim
+    # (activity/aggregate README: nameKey → group key, valueKey → value)
+    extra = s.get("additionalSettings", {})
+    value = s.get("value", extra.get("valueKey", "value"))
+    group_by = s.get("groupBy") or ([extra["nameKey"]] if "nameKey" in extra else None)
     order_by = s.get("orderBy", ("ts", "event_id"))
     resolution = int(s.get("resolution", 1))
+    # proceedOnlyOnEmit is implicit in batch: windows emit only when
+    # complete, and downstream stages see only emitted rows
+    s.pop("proceedOnlyOnEmit", None)
     if wtype == "tumbling":
         return tumbling_count_window(df, value, fn, size, order_cols=order_by, group_by=group_by)
     if wtype == "sliding":

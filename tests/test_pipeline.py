@@ -46,3 +46,30 @@ def test_union_stage(spark, sf_dir):
 def test_bad_stage_type_rejected():
     with pytest.raises(ValueError, match="unsupported stage"):
         Pipeline.from_dict({"source": {"table": "events"}, "stages": [{"type": "nope"}]})
+
+
+def test_reference_settings_schema(spark, sf_dir):
+    """The reference's aggregate settings (windowType/windowSize/
+    additionalSettings nameKey+valueKey, proceedOnlyOnEmit) work
+    verbatim in the DSL."""
+    pipe = Pipeline.from_dict(
+        {
+            "name": "flogo_style",
+            "source": {"table": "events"},
+            "stages": [
+                {
+                    "type": "aggregate",
+                    "settings": {
+                        "function": "sum",
+                        "windowType": "tumbling",
+                        "windowSize": 50,
+                        "proceedOnlyOnEmit": True,
+                        "additionalSettings": {"nameKey": "event_type", "valueKey": "value"},
+                    },
+                }
+            ],
+        }
+    )
+    out = pipe.run(spark, sf_dir)
+    assert set(out.columns) == {"event_type", "window_id", "result"}
+    assert out.count() > 0

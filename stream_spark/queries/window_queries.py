@@ -411,3 +411,52 @@ def agg_time_tumbling_dense_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_samples"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A4-extra: grouped hopping window + ordered accumulate on time windows
+# (reference time windows support every function incl. accumulate;
+# order within a window = (ts, event_id))
+
+
+@register(
+    "agg_grouped_time_sliding_sum",
+    oracle=f"""
+    WITH fanout AS (
+        SELECT event_type, value, unnest(generate_series(
+            CAST(floor((epoch_ms(ts) - {_HOUR}) / {_HOP}.0) AS BIGINT) + 1,
+            CAST(floor(epoch_ms(ts) / {_HOP}.0) AS BIGINT))) AS k
+        FROM events
+    )
+    SELECT event_type, CAST(k * {_HOP} AS BIGINT) AS window_start_ms, {_DSUM} AS result
+    FROM fanout GROUP BY event_type, k
+    """,
+)
+def agg_grouped_time_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _start_ms(
+        sliding_time_window(ev, "ts", "value", "sum", _HOUR, _HOP, group_by=["event_type"])
+    )
+
+
+@register(
+    "agg_time_tumbling_accumulate",
+    oracle=f"""
+    SELECT CAST((epoch_ms(ts) // 21600000) * 21600000 AS BIGINT) AS window_start_ms,
+           list(value ORDER BY ts, event_id) AS result
+    FROM events GROUP BY window_start_ms
+    """,
+)
+def agg_time_tumbling_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window accumulate with deterministic (ts, event_id) order —
+    collect_list is shuffle-order-unstable, so values ride in a sorted
+    struct array and are projected out."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v")))
+    )
+    return (
+        ev.groupBy(F.window("ts", "21600000 milliseconds").alias("w"))
+        .agg(F.transform(pairs, lambda p: p["v"]).alias("result"))
+        .select(F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"), "result")
+    )

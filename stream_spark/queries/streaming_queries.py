@@ -1,0 +1,78 @@
+"""Streaming execution under the oracle gate.
+
+These queries run REAL Structured Streaming jobs (readStream → window
+agg / stateful operator → memory sink, availableNow trigger) and
+return the materialized result — so the DuckDB oracle checks the
+streaming engine's output, not a batch stand-in. Inputs are staged to
+a scratch dir per run; replay order within a micro-batch is made
+deterministic by the operators themselves (time windows are
+order-free; the count-window state fold sorts by (ts, event_id)).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_spark.queries.registry import register
+from stream_spark.sources import load_table
+from stream_spark.streaming import (
+    file_replay_stream,
+    run_stream_to_memory,
+    streaming_tumbling_count,
+    streaming_tumbling_time_window,
+)
+
+_SCRATCH = "/root/repo/.scratch/queries"
+_HOUR = 3_600_000
+_DSUM = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@register(
+    "streaming_time_tumbling_sum",
+    oracle=f"""
+    SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           {_DSUM} AS result
+    FROM events GROUP BY window_start_ms
+    """,
+)
+def streaming_time_tumbling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/time_tumbling"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    out = run_stream_to_memory(
+        streaming_tumbling_time_window(stream, "ts", "value", "sum", _HOUR), output_mode="complete"
+    )
+    return out.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"), "result"
+    )
+
+
+@register(
+    "streaming_count_window_sum",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_type, CAST(floor((rn - 1) / 50) AS BIGINT) AS window_id, {_DSUM} AS result
+    FROM o GROUP BY event_type, window_id HAVING COUNT(*) = 50
+    """,
+)
+def streaming_count_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState count-window operator, end to end:
+    replayed as one micro-batch so arrival order is the (ts, event_id)
+    sort the fold applies — matching the batch/oracle semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/count_window"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=1, max_files_per_trigger=None)
+    out = run_stream_to_memory(
+        streaming_tumbling_count(stream, "event_type", "value", "sum", 50), output_mode="append"
+    )
+    # decimal-exactness: the pandas fold sums float64; re-quantize to
+    # the oracle's DECIMAL(18,4) grid (values are 2-dp, so exact)
+    return out.select("event_type", "window_id", F.col("result").cast("decimal(18,4)").cast("double").alias("result"))

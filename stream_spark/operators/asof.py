@@ -39,10 +39,14 @@ def asof_join(
 
     merged = l.unionByName(r, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at equal ts → a right
-    # row AT the left timestamp is visible, matching ts <= left.ts
+    # row AT the left timestamp is visible, matching ts <= left.ts.
+    # The suffixed right columns break ties among right rows sharing
+    # (key, ts): last() then deterministically carries the greatest
+    # right tuple regardless of partitioning (they are NULL on left
+    # rows, whose relative order never affects the carry).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ats"), F.col("_side"))
+        .orderBy(F.col("_ats"), F.col("_side"), *[F.col(f"{c}{suffix}") for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(

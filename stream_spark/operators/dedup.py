@@ -94,9 +94,12 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
+    # sizes is one row per DOCUMENT — O(corpus), never broadcast it;
+    # these are shuffle joins on the doc id (AQE may still pick
+    # broadcast at small SF after measuring, which is fine)
     return (
-        co.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        co.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
         .withColumn("jaccard", F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -27,8 +27,15 @@ from pyspark.sql import functions as F
 
 def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn") -> DataFrame:
     spark = df.sparkSession
-    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # Both the counts job and the row-number job must see the SAME
+    # partition layout or the offsets are garbage. Two pins:
+    # an explicit numPartitions (user-specified counts are exempt from
+    # AQE coalescing), and persist() so the second job reuses the
+    # materialized partitions instead of re-running the (sampled)
+    # range exchange.
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
 
     counts = ranged.groupBy("_pid").count().collect()
     cum = 0
@@ -41,6 +48,7 @@ def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn"
     local = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         ranged.withColumn("_lrn", F.row_number().over(local))
+        # broadcast-ok: off_df is one row per partition (bounded metadata)
         .join(F.broadcast(off_df), "_pid")
         .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrn", "_off")

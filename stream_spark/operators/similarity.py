@@ -82,6 +82,43 @@ def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_co
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Near-dup pairs with cosine ≥ threshold, all-pairs only WITHIN a
+    random-hyperplane LSH bucket — the 100 TB path.
+
+    The join is an equi-join on the bucket id (shuffle on bucket, pair
+    volume Σ bucket²) instead of a corpus×corpus product. Bucketing is
+    deterministic (md5-derived hyperplanes), so the recall loss vs the
+    brute operator is a fixed, reproducible property: a pair straddling
+    a hyperplane lands in different buckets and is not reported. Use
+    fewer planes (bigger buckets) or multiple tables for higher recall;
+    collision probability per plane is 1 - θ/π.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bk_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bk_b"),
+    )
+    return (
+        a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(_float_cosine(F.col("va"), F.col("vb")) >= threshold - 1e-6)
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -97,6 +134,7 @@ def topk_bruteforce(
     # cheap double-fold pass ranks candidates; the exact decimal cosine
     # rescored on a 2k-margin decides the final order (float error
     # ~1e-13 cannot reorder across a 2k-deep margin in practice)
+    # broadcast-ok: q is the contract-bounded query set, not the corpus
     pre = F.broadcast(q).crossJoin(c).withColumn("fcos", _float_cosine(F.col("qv"), F.col("cv")))
     wpre = Window.partitionBy("query_id").orderBy(F.col("fcos").desc(), F.col("neighbor_id"))
     survivors = pre.withColumn("prerank", F.row_number().over(wpre)).filter(
@@ -154,6 +192,7 @@ def topk_lsh(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), lsh_bucket(F.col(vec_col), n_planes).alias("bc")
     )
     scored = (
+        # broadcast-ok: q is the contract-bounded query set, not the corpus
         F.broadcast(q)
         .join(c, F.col("bq") == F.col("bc"))
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))

@@ -117,6 +117,26 @@ def sliding_count_window(
     )
 
 
+def _time_order(
+    function: str, order_cols: Sequence[str] | None
+) -> Column | None:
+    """Within-window order for time-window accumulate.
+
+    ``accumulate`` keeps every sample in arrival order
+    (functions/accumulate.go); collect_list alone is shuffle-order
+    nondeterministic, so accumulate REQUIRES order columns (ts +
+    tie-break), realized as a sortable struct.
+    """
+    if function != "accumulate":
+        return None
+    if not order_cols:
+        raise ValueError(
+            "accumulate on time windows requires order_cols (e.g. ('ts', 'event_id')): "
+            "collect_list order is shuffle-dependent otherwise"
+        )
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
 def tumbling_time_window(
     df: DataFrame,
     ts_col: str,
@@ -124,14 +144,16 @@ def tumbling_time_window(
     function: str,
     size_ms: int,
     group_by: Sequence[str] | None = None,
+    order_cols: Sequence[str] = ("ts", "event_id"),
 ) -> DataFrame:
     if size_ms <= 0:
         raise ValueError("size_ms must be positive")
     win = F.window(F.col(ts_col), f"{size_ms} milliseconds")
     keys = ([*group_by] if group_by else [])
+    order = _time_order(function, order_cols)
     return (
         df.groupBy(win.alias("w"), *keys)
-        .agg(agg_expr(function, F.col(value_col), None, alias="result", exact_decimal=_fractional(df, value_col)))
+        .agg(agg_expr(function, F.col(value_col), order, alias="result", exact_decimal=_fractional(df, value_col)))
         .select(*keys, F.col("w.start").alias("window_start"), "result")
     )
 
@@ -144,14 +166,16 @@ def sliding_time_window(
     size_ms: int,
     resolution_ms: int,
     group_by: Sequence[str] | None = None,
+    order_cols: Sequence[str] = ("ts", "event_id"),
 ) -> DataFrame:
     """Hopping window: starts at multiples of resolution, span [s, s+size)."""
     if size_ms <= 0 or resolution_ms <= 0:
         raise ValueError("size_ms and resolution_ms must be positive")
     win = F.window(F.col(ts_col), f"{size_ms} milliseconds", f"{resolution_ms} milliseconds")
     keys = ([*group_by] if group_by else [])
+    order = _time_order(function, order_cols)
     return (
         df.groupBy(win.alias("w"), *keys)
-        .agg(agg_expr(function, F.col(value_col), None, alias="result", exact_decimal=_fractional(df, value_col)))
+        .agg(agg_expr(function, F.col(value_col), order, alias="result", exact_decimal=_fractional(df, value_col)))
         .select(*keys, F.col("w.start").alias("window_start"), "result")
     )

@@ -109,6 +109,8 @@ def _stage_join(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     cond = F.expr(s["on"])
     how = s.get("how", "inner")
     if s.get("broadcast"):
+        # explicit user opt-in in the pipeline JSON: the author asserts
+        # broadcast-ok: the joined side is a bounded dimension
         other = F.broadcast(other)
     return df.alias("l").join(other.alias("r"), cond, how)
 

@@ -141,18 +141,16 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    joined = asof_join(purchases, clicks, "user_id", "ts", "ts", ["event_id"], suffix="_right")
-    # recover the matched click timestamp by joining its id back (tiny)
-    out = joined.select(
+    # the matched click's ts rides through right_cols — no second join
+    # (clicks is a fact table; re-joining it, let alone broadcasting it,
+    # would be O(corpus) at scale)
+    joined = asof_join(purchases, clicks, "user_id", "ts", "ts", ["ts", "event_id"], suffix="_right")
+    return joined.select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ts_ms"),
         F.col("event_id_right").alias("click_id_right"),
-    )
-    click_ts = clicks.select(F.col("event_id").alias("click_id_right"),
-                             F.unix_millis(F.col("ts").cast("timestamp")).alias("click_ts_ms"))
-    return out.join(F.broadcast(click_ts), "click_id_right", "left").select(
-        "purchase_id", "user_id", "purchase_ts_ms", "click_id_right", "click_ts_ms"
+        F.unix_millis(F.col("ts_right").cast("timestamp")).alias("click_ts_ms"),
     )
 
 

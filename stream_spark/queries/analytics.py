@@ -109,7 +109,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-scaled (no hint): the planner broadcasts it at
+        # small SF from measured size and shuffle-joins at 100 TB
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -142,9 +144,11 @@ _Q5_HI = "1997-01-01 00:00:00"
     """,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: fact-fact join shuffles on orderkey; every dimension
-    (supplier/nation/region/customer) is broadcast — at 100 TB the only
-    shuffles are lineitem⋈orders and the final small groupBy."""
+    """Flagship: fact-fact join shuffles on orderkey. nation/region are
+    fixed-size (25/5 rows at every SF) and carry broadcast hints;
+    supplier/customer are SF-scaled, so they get NO hint — the planner
+    broadcasts them at small SF from measured size and falls back to
+    shuffle joins at 100 TB where they are billions of rows."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.expr(f"TIMESTAMP '{_Q5_LO}'"))
@@ -157,9 +161,11 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        # broadcast-ok: nation is 25 rows at every SF
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        # broadcast-ok: region is 5 rows at every SF
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
@@ -202,7 +208,7 @@ _GAP_MS = 30 * 60 * 1000
     "events_sessionize",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {_GAP_MS}
                     THEN 1 ELSE 0 END AS is_new
@@ -210,7 +216,8 @@ _GAP_MS = 30 * 60 * 1000
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM marked
     )
     SELECT user_id, session_id, epoch_ms(MIN(ts)) AS session_start_ms,
@@ -368,15 +375,16 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "events_session_window_native",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {_GAP_MS}
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= {_GAP_MS}
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked
     )
     SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms, COUNT(*) AS n_events

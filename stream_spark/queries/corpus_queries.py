@@ -97,9 +97,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sigs.select(F.col("doc").alias("doc_a"), *[F.col(f"mh{p}").alias(f"a{p}") for p in range(PERMS)])
     sb = sigs.select(F.col("doc").alias("doc_b"), *[F.col(f"mh{p}").alias(f"b{p}") for p in range(PERMS)])
     agree = sum(F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0) for p in range(PERMS))
+    # sigs is one row per DOCUMENT (O(corpus)) — shuffle joins on the
+    # doc id, never a broadcast hint; AQE can still pick broadcast at
+    # small SF after measuring the build side
     return (
-        true_pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        true_pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard_est", agree / F.lit(float(PERMS)))
         .select("doc_a", "doc_b", "jaccard", "jaccard_est")
     )

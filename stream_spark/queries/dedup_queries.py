@@ -16,7 +16,6 @@ from stream_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from stream_spark.operators.similarity import cosine_pairs
 from stream_spark.queries.registry import register
 from stream_spark.sources import load_table
 
@@ -136,14 +135,21 @@ _UNNEST_E = """
 """
 
 
+from stream_spark.operators.similarity import N_PLANES  # noqa: E402
+from stream_spark.queries.ann_queries import _HP  # noqa: E402
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH {_UNNEST_E},
+    {_HP.format(np=N_PLANES - 1)},
     dots AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        JOIN buckets ba ON a.vec_id = ba.vec_id
+        JOIN buckets bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
         GROUP BY id_a, id_b
     )
     SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
@@ -152,8 +158,15 @@ _UNNEST_E = """
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the LSH-bucketed operator — the
+    scale path (equi-join on deterministic hyperplane buckets, no
+    cartesian product). The brute all-pairs operator
+    (similarity.cosine_pairs) stays as the verification path and is
+    pytest-compared against this one (tests/test_ann.py)."""
+    from stream_spark.operators.similarity import cosine_pairs_lsh
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4)
+    return cosine_pairs_lsh(emb, threshold=0.4)
 
 
 @register(
@@ -179,7 +192,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND doc_id NOT IN (SELECT doc_b FROM dupes)
           AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM kept GROUP BY lang
     """,
@@ -195,9 +208,12 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     dupes = ngram_jaccard_pairs(docs, threshold=0.8).select(F.col("doc_b").alias("dup_id")).distinct()
+    # left_anti shuffles on doc_id — dupes is per-duplicate-doc sized
+    # (O(corpus)), so it must NOT be broadcast; AQE may still choose a
+    # broadcast join at small SF, which is fine (it measured the size).
     kept = (
         docs.filter(F.col("n_chars").between(150, 450))
-        .join(F.broadcast(dupes), docs.doc_id == dupes.dup_id, "left_anti")
+        .join(dupes, docs.doc_id == dupes.dup_id, "left_anti")
     )
     kept = deterministic_sample(kept, "doc_id", 0.8).withColumn(
         "n_tokens", token_count(F.col("text")).cast("long")

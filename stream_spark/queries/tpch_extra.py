@@ -42,9 +42,11 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        # broadcast-ok: nation is 25 rows at every SF
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        # broadcast-ok: nation is 25 rows at every SF
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .filter(
             F.col("supp_nation").isin("NATION_9", "NATION_10")
@@ -85,7 +87,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        # broadcast-ok: nation is 25 rows at every SF
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
@@ -116,7 +119,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.expr(
                 f"CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
@@ -154,7 +157,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        li.join(part_avg, li.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price"),
@@ -193,8 +196,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(big), li.l_orderkey == big.big_ok, "left_semi")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(big, li.l_orderkey == big.big_ok, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty"))
         .select(
@@ -229,7 +232,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") <= 0.05))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue"))
     )

@@ -66,15 +66,35 @@ for _fn, _agg in [
         _tumbling_count(_fn, 100)
     )
 
-register(
+# accumulate emits the window CONTENTS (functions/accumulate.go). The
+# operator returns an ordered array; the oracle-checked query explodes
+# it to (window_id, pos, value) rows so every column is a hashable
+# scalar (driver's canonicalizer can't sort array cells) and the value
+# doubles ride through both engines unmodified — no float formatting.
+
+
+def _explode_result(df: DataFrame, *keys: str) -> DataFrame:
+    return df.select(
+        *keys, F.posexplode("result").alias("pos", "value")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@register(
     "agg_tumbling_count_accumulate",
     oracle=f"""
-    WITH o AS ({_ORDERED})
-    SELECT CAST(floor((rn - 1) / 10) AS BIGINT) AS window_id,
-           list(value ORDER BY rn) AS result
-    FROM o GROUP BY window_id HAVING COUNT(*) = 10
+    WITH o AS ({_ORDERED}),
+    w AS (
+        SELECT CAST(floor((rn - 1) / 10) AS BIGINT) AS window_id,
+               CAST((rn - 1) % 10 AS BIGINT) AS pos, value,
+               COUNT(*) OVER (PARTITION BY floor((rn - 1) / 10)) AS cnt
+        FROM o
+    )
+    SELECT window_id, pos, value FROM w WHERE cnt = 10
     """,
-)(_tumbling_count("accumulate", 10))
+)
+def agg_tumbling_count_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _explode_result(tumbling_count_window(ev, "value", "accumulate", 10), "window_id")
 
 
 # --------------------------------------------------------------------------
@@ -282,7 +302,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A2-extra: sliding accumulate + grouped sliding count windows
 
-register(
+@register(
     "agg_sliding_count_accumulate",
     oracle=f"""
     WITH o AS ({_ORDERED}),
@@ -291,12 +311,21 @@ register(
             GREATEST(0, CAST(ceil((rn - 20) / 5.0) AS BIGINT)),
             CAST(floor((rn - 1) / 5.0) AS BIGINT))) AS window_id
         FROM o
+    ),
+    w AS (
+        SELECT window_id, CAST(rn - window_id * 5 - 1 AS BIGINT) AS pos, value,
+               COUNT(*) OVER (PARTITION BY window_id) AS cnt
+        FROM fanout
     )
-    SELECT window_id, list(value ORDER BY rn) AS result,
-           CAST(window_id * 5 + 20 AS BIGINT) AS emit_rn
-    FROM fanout GROUP BY window_id HAVING COUNT(*) = 20
+    SELECT window_id, pos, value, CAST(window_id * 5 + 20 AS BIGINT) AS emit_rn
+    FROM w WHERE cnt = 20
     """,
-)(_sliding_count("accumulate", 20, 5))
+)
+def agg_sliding_count_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _explode_result(
+        sliding_count_window(ev, "value", "accumulate", 20, 5), "window_id", "emit_rn"
+    )
 
 
 @register(
@@ -441,22 +470,22 @@ def agg_grouped_time_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_time_tumbling_accumulate",
-    oracle=f"""
-    SELECT CAST((epoch_ms(ts) // 21600000) * 21600000 AS BIGINT) AS window_start_ms,
-           list(value ORDER BY ts, event_id) AS result
-    FROM events GROUP BY window_start_ms
+    oracle="""
+    WITH o AS (
+        SELECT CAST((epoch_ms(ts) // 21600000) * 21600000 AS BIGINT) AS window_start_ms,
+               value, ts, event_id
+        FROM events
+    )
+    SELECT window_start_ms,
+           CAST(row_number() OVER (PARTITION BY window_start_ms ORDER BY ts, event_id) - 1 AS BIGINT) AS pos,
+           value
+    FROM o
     """,
 )
 def agg_time_tumbling_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-window accumulate with deterministic (ts, event_id) order —
-    collect_list is shuffle-order-unstable, so values ride in a sorted
-    struct array and are projected out."""
+    """Time-window accumulate via the operator's ordered path
+    (order_cols=(ts,event_id) → sorted struct collect), exploded to
+    (window_start_ms, pos, value) rows for the oracle gate."""
     ev = load_table(spark, sf_dir, "events")
-    pairs = F.array_sort(
-        F.collect_list(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v")))
-    )
-    return (
-        ev.groupBy(F.window("ts", "21600000 milliseconds").alias("w"))
-        .agg(F.transform(pairs, lambda p: p["v"]).alias("result"))
-        .select(F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"), "result")
-    )
+    out = _start_ms(tumbling_time_window(ev, "ts", "value", "accumulate", 21600000))
+    return _explode_result(out, "window_start_ms")

@@ -17,12 +17,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: queries where an all-pairs product is the documented algorithm
+#: queries where an all-pairs product is the documented algorithm.
+#: ann_topk_bruteforce is a broadcast of a CONTRACT-BOUNDED query set
+#: over the corpus scan — the product is the spec, not an accident.
 PAIRWISE_OK = {
-    "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "events_asof_join_purchase_click",  # broadcast ts-recovery join
 }
 
 
@@ -42,6 +41,34 @@ def audit(name: str, plan: str) -> list[str]:
     return flags
 
 
+def audit_broadcast_hints(pkg_root: str) -> list[str]:
+    """Source lint: every explicit ``F.broadcast(...)`` hint must carry
+    a ``# broadcast-ok: <reason>`` marker on its line (or the line
+    above) stating why the broadcast side is BOUNDED — a fixed-size
+    dimension (region/nation), driver metadata, or a contract-bounded
+    query set. Broadcasting a per-document / per-event / SF-scaled
+    table is O(corpus): it works at test SF and OOMs the driver at
+    100 TB, so unannotated hints are flagged. (AQE may still choose a
+    broadcast join at runtime after measuring — that needs no hint.)
+    """
+    flags = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as fh:
+                lines = fh.readlines()
+            for i, line in enumerate(lines):
+                if "F.broadcast(" not in line:
+                    continue
+                prev = lines[i - 1] if i else ""
+                if "broadcast-ok:" not in line and "broadcast-ok:" not in prev:
+                    rel = os.path.relpath(path, os.path.dirname(pkg_root))
+                    flags.append(f"{rel}:{i + 1}: unannotated F.broadcast hint")
+    return flags
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from stream_spark.queries import QUERIES
@@ -51,6 +78,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     worst = 0
+    pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "stream_spark")
+    for flag in audit_broadcast_hints(pkg):
+        print(f"FLAG  {flag}")
+        worst = 1
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, sf_dir)

@@ -10,9 +10,10 @@ Scale design (100 TB):
 - minhash/LSH: fixed-size signatures (PERMS hashes) per doc, banded;
   the only shuffle is on (band, bucket); bucket sizes are bounded, so
   the in-bucket pair join is bounded.
-- simhash: pairs must share one of HAMMING_CHUNKS signature chunks
-  (pigeonhole: ≤3 differing bits over 4 chunks ⇒ ≥1 equal chunk), so
-  the join is an equi-join on chunks — exact, no cross join.
+- simhash: pairs must share a PAIR of equal signature chunks
+  (pigeonhole: ≤3 differing bits over 6 chunks ⇒ ≥3 equal chunks ⇒
+  ≥1 equal chunk pair), so the join is an equi-join on 20-bit
+  chunk-pair keys — exact, no cross join, bounded bucket frequency.
 - embedding-cosine: exact decimal dot products; all-pairs only within
   LSH buckets at scale (see similarity.py); brute variant kept for
   small/verification use.
@@ -31,7 +32,6 @@ from stream_spark.operators.text import md5_long, normalize_text, tokens, word_n
 PERMS = 16
 BAND_SIZE = 4
 SIMHASH_BITS = 60
-HAMMING_CHUNKS = 4  # 15 bits each
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -135,8 +135,30 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return sh.groupBy("doc").agg(*aggs)
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on any minhash band."""
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket_size: int | None = None,
+    block_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on any minhash band.
+
+    Hot-bucket controls for adversarial corpora (a bucket of m docs
+    yields m² pairs — one 10⁶-doc boilerplate bucket is 10¹² pairs):
+
+    - ``max_bucket_size``: DROP buckets larger than this before pairing
+      (changes the candidate set; oversized buckets are near-identical
+      swarms better routed through exact_dedup first).
+    - ``block_size``: blocked pair generation — members of a bucket are
+      split into deterministic hash blocks of ~block_size and the
+      self-join key becomes (band, bucket, block), so no join task ever
+      builds more than ~block_size rows. SAME candidate pairs, bounded
+      tasks; costs one extra bucket-size shuffle, so it's opt-in (the
+      oracle-gated query runs with both off — test corpora have no hot
+      buckets).
+    """
     sigs = minhash_signatures(df, text_col, id_col, n)
     n_bands = PERMS // BAND_SIZE
     bands = F.array(
@@ -153,17 +175,40 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
     exploded = sigs.select("doc", F.explode(bands).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    return (
-        exploded.alias("a")
-        .join(
-            exploded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    if max_bucket_size is not None or block_size is not None:
+        sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+        exploded = exploded.join(sizes, ["band", "bucket"])
+        if max_bucket_size is not None:
+            exploded = exploded.filter(F.col("_bsz") <= max_bucket_size)
+
+    if block_size is None:
+        pairs = (
+            exploded.alias("a")
+            .join(
+                exploded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    else:
+        nb = F.greatest(F.lit(1), F.ceil(F.col("_bsz") / block_size)).cast("int")
+        member = exploded.withColumn("_nb", nb).withColumn(
+            "_blk", F.pmod(md5_long(F.col("doc").cast("string")), F.col("_nb")).cast("int")
+        )
+        # each member probes every partner block; the partner side is
+        # keyed by its own block, so per-key build size ≈ block_size
+        probe = member.withColumn("_pblk", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)))
+        partner = member.select(
+            F.col("doc").alias("doc_b"), "band", "bucket", F.col("_blk").alias("_pblk")
+        )
+        pairs = (
+            probe.join(partner, ["band", "bucket", "_pblk"])
+            .filter(F.col("doc") < F.col("doc_b"))
+            .select(F.col("doc").alias("doc_a"), "doc_b")
+        )
+    return pairs.distinct()
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -171,8 +216,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     Bit j of the signature is the sign of Σ_tokens (±1) where the sign
     is bit j of the token's 60-bit md5 hash. Realized as an explode on
-    bit position + two keyed aggregations — linear in tokens, no wide
-    rows, shuffles only on (id, bit)."""
+    bit position + two keyed aggregations; because rows are already
+    hash-partitioned on doc, the (doc, bit) aggregate map-side combines
+    to ≤60 rows per doc before any shuffle. (A 60-conditional-sum
+    single aggregate was measured 2× slower — the wide buffer defeats
+    codegen — so the narrow-row form stays.)"""
     toks = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -195,15 +243,52 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Pairs with Hamming distance ≤ max_hamming, via chunk blocking.
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chunks: int = 6,
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ max_hamming, via chunk-PAIR
+    blocking (second-level pigeonhole).
 
-    Exact for max_hamming < HAMMING_CHUNKS: a pair within distance d
-    must agree on ≥1 of the 4 15-bit chunks (pigeonhole), so an
-    equi-join on (chunk_idx, chunk_value) finds every qualifying pair.
+    d differing bits touch ≤ d of the n_chunks signature chunks, so a
+    qualifying pair agrees on ≥ n_chunks - d chunks. Partition the
+    chunks into g groups: if d ≤ n_chunks - g - 1, some group has ≥ 2
+    equal chunks (distributing d "hits" over the groups can spoil at
+    most g·(size-1) = n_chunks - g chunks-worth of pairs), so the pair
+    agrees on a chunk-PAIR drawn WITHIN one group. The join key is
+    (pair_id, value_i, value_j) — 2× the chunk bits — so bucket
+    frequency (and the freq² candidate volume that kills the
+    single-chunk scheme at 10⁹ docs) collapses: a 15-bit chunk bucket
+    of m docs becomes ~m/2^10 per 20-bit key. With the largest exact
+    g, the explode is Σ_groups C(size,2) rows per doc — for the
+    default (d=3, 6 chunks, g=2 groups of 3) that is 6 rows, barely
+    more than the 4 of the old single-chunk scheme.
+    Exact — no candidate missed — for max_hamming ≤ n_chunks - 2.
     """
+    if max_hamming > n_chunks - 2:
+        raise ValueError(
+            f"chunk-pair blocking is exact only for max_hamming <= n_chunks - 2 "
+            f"(got max_hamming={max_hamming}, n_chunks={n_chunks})"
+        )
     sigs = simhash(df, text_col, id_col)
-    chunk_bits = SIMHASH_BITS // HAMMING_CHUNKS
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    def chunk(c: int):
+        return F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
+
+    # largest group count that stays exact; groups need ≥2 chunks
+    g = max(1, min(n_chunks // 2, n_chunks - max_hamming - 1))
+    bounds = [round(i * n_chunks / g) for i in range(g + 1)]
+    combos = [
+        (i, j)
+        for lo, hi in zip(bounds, bounds[1:])
+        for i in range(lo, hi)
+        for j in range(i + 1, hi)
+    ]
     chunks = sigs.select(
         "doc",
         "simhash",
@@ -211,21 +296,25 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text", i
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("c"),
-                        F.shiftright(F.col("simhash"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("v"),
+                        F.lit(i * n_chunks + j).alias("cp"),
+                        chunk(i).alias("vi"),
+                        chunk(j).alias("vj"),
                     )
-                    for c in range(HAMMING_CHUNKS)
+                    for i, j in combos
                 ]
             )
         ).alias("ch"),
-    ).select("doc", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    ).select(
+        "doc", "simhash", F.col("ch.cp").alias("cp"), F.col("ch.vi").alias("vi"), F.col("ch.vj").alias("vj")
+    )
     cand = (
         chunks.alias("a")
         .join(
             chunks.alias("b"),
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.cp") == F.col("b.cp"))
+            & (F.col("a.vi") == F.col("b.vi"))
+            & (F.col("a.vj") == F.col("b.vj"))
+            & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
             F.col("a.doc").alias("doc_a"),

@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 from stream_spark.operators.similarity import (
     cosine,
     cosine_pairs,
+    cosine_pairs_lsh,
     hyperplane_weights,
+    lsh_bucket,
     topk_bruteforce,
     topk_lsh,
 )
@@ -56,6 +58,30 @@ def test_topk_lsh_returns_bucket_neighbors(spark):
     assert len(rows) <= 15
     for r in rows:
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_cosine_pairs_lsh_is_brute_restricted_to_buckets(spark):
+    """The LSH pairs operator must equal the brute operator filtered to
+    same-bucket pairs (its exact contract), and be a subset of brute."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    thr = 0.0
+    lsh = {(r["id_a"], r["id_b"]) for r in cosine_pairs_lsh(df, threshold=thr).collect()}
+    brute = cosine_pairs(df, threshold=thr)
+    buckets = {
+        r["vec_id"]: r["bk"]
+        for r in df.select("vec_id", lsh_bucket(F.col("embedding")).alias("bk")).collect()
+    }
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in brute.collect()
+        if buckets[r["id_a"]] == buckets[r["id_b"]]
+    }
+    assert lsh == expected
+    assert lsh <= {(r["id_a"], r["id_b"]) for r in brute.collect()}
 
 
 def test_topk_pandas_matches_exact_neighbor_sets(spark):

@@ -42,6 +42,69 @@ def test_minhash_candidates_superset_of_high_jaccard(docs):
 
 
 def test_simhash_near_dups_close(docs):
-    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=10).collect()}
+    # max_hamming=10 needs n_chunks >= 12 for the chunk-pair pigeonhole
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=10, n_chunks=12).collect()
+    }
     assert pairs.get((1, 2)) == 0  # same token set → same signature
     assert (1, 3) in pairs  # one-word swap stays within 10 bits
+
+
+def test_simhash_chunk_pair_blocking_is_exact(spark):
+    """Operator output == brute-force hamming over the collected
+    signatures (the chunk-pair equi-join may not miss any pair)."""
+    from stream_spark.operators.dedup import simhash
+
+    rows = [
+        (i, f"shared base words alpha beta gamma delta epsilon zeta {suffix}")
+        for i, suffix in enumerate(
+            ["", "", "eta", "eta theta", "iota kappa", "completely different everything"]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc"]: r["simhash"] for r in simhash(df).collect()}
+    for mh in (0, 3, 4):
+        brute = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= mh
+        }
+        got = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(df, max_hamming=mh).collect()}
+        assert got == brute, f"max_hamming={mh}"
+
+
+def test_simhash_rejects_unsafe_chunking(docs):
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=5, n_chunks=6)
+
+
+@pytest.fixture()
+def hot_bucket_docs(spark):
+    """Adversarial corpus: 30 identical docs → one 30-member bucket in
+    EVERY minhash band, plus a few singletons."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [(i, base) for i in range(30)] + [
+        (100 + i, f"entirely unrelated document number {i} holding words like token{i} mark{i * 7} value{i + 13}")
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_blocked_pairs_identical_to_plain(hot_bucket_docs):
+    plain = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(hot_bucket_docs).collect()}
+    blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(hot_bucket_docs, block_size=4).collect()
+    }
+    assert blocked == plain
+    assert len(plain) >= 30 * 29 // 2  # the hot bucket's full pair set
+
+
+def test_minhash_bucket_cap_drops_hot_bucket(hot_bucket_docs):
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(hot_bucket_docs, max_bucket_size=10).collect()
+    }
+    assert not any(a < 100 and b < 100 for a, b in capped)

@@ -21,6 +21,7 @@ from stream_spark.sources import load_table
 from stream_spark.streaming import (
     file_replay_stream,
     run_stream_to_memory,
+    streaming_sliding_count,
     streaming_tumbling_count,
     streaming_tumbling_time_window,
 )
@@ -75,4 +76,33 @@ def streaming_count_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # decimal-exactness: the pandas fold sums float64; re-quantize to
     # the oracle's DECIMAL(18,4) grid (values are 2-dp, so exact)
+    return out.select("event_type", "window_id", F.col("result").cast("decimal(18,4)").cast("double").alias("result"))
+
+
+@register(
+    "streaming_sliding_count_sum",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events),
+    fanout AS (
+        SELECT event_type, value, unnest(generate_series(
+            GREATEST(0, CAST(ceil((rn - 30) / 10.0) AS BIGINT)),
+            CAST(floor((rn - 1) / 10.0) AS BIGINT))) AS window_id
+        FROM o)
+    SELECT event_type, window_id, {_DSUM} AS result
+    FROM fanout GROUP BY event_type, window_id HAVING COUNT(*) = 30
+    """,
+)
+def streaming_sliding_count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference SlidingWindow (windows.go:226) as a stateful streaming
+    operator: ring of the last 30 samples per key, emit every 10."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/sliding_count"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=1, max_files_per_trigger=None)
+    out = run_stream_to_memory(
+        streaming_sliding_count(stream, "event_type", "value", "sum", 30, 10), output_mode="append"
+    )
     return out.select("event_type", "window_id", F.col("result").cast("decimal(18,4)").cast("double").alias("result"))

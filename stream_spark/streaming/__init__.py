@@ -1,5 +1,6 @@
 from stream_spark.streaming.jobs import (
     run_stream_to_memory,
+    streaming_sliding_count,
     streaming_sliding_time_window,
     streaming_tumbling_count,
     streaming_tumbling_time_window,
@@ -14,5 +15,6 @@ __all__ = [
     "streaming_tumbling_time_window",
     "streaming_sliding_time_window",
     "streaming_tumbling_count",
+    "streaming_sliding_count",
     "TelemetryListener",
 ]

@@ -113,6 +113,72 @@ def streaming_tumbling_count(
     )
 
 
+def streaming_sliding_count(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    function: str,
+    size: int,
+    resolution: int,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key sliding count window over a stream.
+
+    Mirrors windows.go SlidingWindow:226/260 — a ring of the last
+    ``size`` samples; once ``size`` samples have been seen, emit every
+    ``resolution`` samples, aggregating the ring. Emit k covers arrival
+    positions [k*r+1, k*r+size] — identical numbering to the batch
+    ``sliding_count_window`` operator, so batch and streaming results
+    are row-for-row comparable.
+
+    State = (ring values, total samples seen); the ring is bounded at
+    ``size`` floats per key, so state size is O(keys * size) no matter
+    the stream length. The ring aggregate is recomputed per emit
+    (O(size), bounded); values are re-quantized downstream for oracle
+    exactness just like the tumbling-count path.
+    """
+    if function not in ("sum", "avg", "min", "max"):
+        raise ValueError(f"unsupported streaming sliding-window function: {function}")
+    if size <= 0 or resolution <= 0:
+        raise ValueError("size and resolution must be positive")
+
+    def emit_value(vals: list[float]) -> float:
+        if function == "sum":
+            return sum(vals)
+        if function == "avg":
+            return sum(vals) / len(vals)
+        if function == "min":
+            return min(vals)
+        return max(vals)
+
+    def process(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, n_total = state.get
+            vals = list(vals)
+        else:
+            vals, n_total = [], 0
+        out_rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(list(order_cols), kind="mergesort")
+        for v in batch[value_col]:
+            vals.append(float(v))
+            if len(vals) > size:
+                vals.pop(0)
+            n_total += 1
+            if n_total >= size and (n_total - size) % resolution == 0:
+                window_id = (n_total - size) // resolution
+                out_rows.append((key[0], window_id, float(emit_value(vals))))
+        state.update((vals, n_total))
+        yield pd.DataFrame(out_rows, columns=[key_col, "window_id", "result"])
+
+    out_schema = f"{key_col} string, window_id long, result double"
+    return stream.groupBy(key_col).applyInPandasWithState(
+        process, out_schema, "vals array<double>, n_total long", "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(result: DataFrame, output_mode: str = "complete", timeout_s: int = 120) -> DataFrame:
     """Run a streaming plan to completion (availableNow) into a memory
     sink and return the final table as a batch DataFrame."""

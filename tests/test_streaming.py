@@ -54,6 +54,43 @@ def test_streaming_count_window_matches_batch(spark, events):
     assert g == e
 
 
+def test_streaming_sliding_count_matches_batch(spark, events):
+    from stream_spark.operators.windows import sliding_count_window
+    from stream_spark.streaming import streaming_sliding_count
+
+    stage = f"{SCRATCH}/replay_sliding"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, events, stage, n_slices=1, max_files_per_trigger=None)
+    got = run_stream_to_memory(
+        streaming_sliding_count(stream, "event_type", "value", "sum", 30, 10), output_mode="append"
+    )
+    expected = sliding_count_window(events, "value", "sum", 30, 10, group_by=["event_type"])
+    g = {(r["event_type"], r["window_id"], round(r["result"], 4)) for r in got.collect()}
+    e = {(r["event_type"], r["window_id"], round(r["result"], 4)) for r in expected.collect()}
+    assert g == e
+
+
+def test_streaming_sliding_count_state_across_batches(spark, events):
+    """Ring state must carry across micro-batches: window ids continue
+    and every post-warmup resolution boundary emits exactly once."""
+    from stream_spark.streaming import streaming_sliding_count
+
+    stage = f"{SCRATCH}/replay_sliding_multi"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, events, stage, n_slices=4)
+    got = run_stream_to_memory(
+        streaming_sliding_count(stream, "event_type", "value", "max", 30, 10), output_mode="append"
+    )
+    totals = {r["event_type"]: r["n"] for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    per_type = {r["event_type"]: r["n"] for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for etype, n in totals.items():
+        expected_emits = max(0, (n - 30) // 10 + 1)
+        assert per_type.get(etype, 0) == expected_emits
+    ids = got.groupBy("event_type").agg(F.max("window_id").alias("mx"), F.count("*").alias("n")).collect()
+    for r in ids:  # ids are 0..n-1 with no gaps or duplicates
+        assert r["mx"] == r["n"] - 1
+
+
 def test_streaming_count_window_state_across_batches(spark, events):
     stage = f"{SCRATCH}/replay_count_multi"
     shutil.rmtree(stage, ignore_errors=True)

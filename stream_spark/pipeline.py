@@ -23,6 +23,14 @@ Stage types:
   streams from multiple event sources")
 - ``join``      — keyed join with another pipeline, optional time
   bound (stream-stream join)
+- ``log``       — the reference's #log activity (passthrough; its
+  input mapping is still applied)
+
+Stages also accept the reference's ``ref`` key (``"#aggregate"``) and
+per-stage ``input`` / ``output`` mapping dicts with flogo mapping
+expressions (``=$.attr``) — see `compile_mapping_expr` — and
+`Pipeline.from_flogo_resource` lifts a stream resource out of a full
+flogo app JSON (examples/agg-flogo.json shape) unchanged.
 
 Example::
 
@@ -41,6 +49,7 @@ Example::
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -57,9 +66,43 @@ from stream_spark.operators.windows import (
 from stream_spark.sources import load_table
 
 
+# --------------------------------------------------------------------------
+# flogo mapping expressions (pipeline/stage.go inputMapper/outputMapper)
+#
+# A stage config may carry `input` / `output` dicts whose values are
+# flogo mapping expressions: `=$.attr` resolves an attribute of the
+# current pipeline scope, `=<expr>` is an expression over scope
+# attributes, and a bare value is a literal. Relationally the scope IS
+# the DataFrame, so `$.attr` compiles to a column reference and the
+# whole mapping becomes withColumns — Catalyst expressions, evaluated
+# before (input) / after (output) the stage body, exactly where the
+# reference's mappers run.
+
+_SCOPE_REF = re.compile(r"\$\.([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def compile_mapping_expr(value: Any):
+    """One flogo mapping value → a Spark Column."""
+    if not isinstance(value, str):
+        return F.lit(value)
+    if value.startswith("="):
+        return F.expr(_SCOPE_REF.sub(r"\1", value[1:].strip()))
+    return F.lit(value)
+
+
+def _apply_mapping(df: DataFrame, mapping: dict[str, Any] | None) -> DataFrame:
+    if not mapping:
+        return df
+    for name, value in mapping.items():
+        df = df.withColumn(name, compile_mapping_expr(value))
+    return df
+
+
 def _stage_filter(df: DataFrame, s: dict, ctx: "Pipeline", spark, sf_dir) -> DataFrame:
-    kwargs = {k: v for k, v in s.items() if k not in ("type", "column")}
-    return apply_filter(df, s["type"], s["column"], **kwargs)
+    kwargs = {k: v for k, v in s.items() if k not in ("type", "column", "proceedOnlyOnEmit")}
+    # ref-style stages name no column: the input mapping bound the
+    # activity's `value` attribute (descriptor.json input metadata)
+    return apply_filter(df, s["type"], s.get("column", "value"), **kwargs)
 
 
 def _stage_aggregate(df: DataFrame, s: dict, ctx: "Pipeline", spark, sf_dir) -> DataFrame:
@@ -97,6 +140,13 @@ def _stage_select(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     return df.select(*s["columns"])
 
 
+def _stage_log(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
+    # The reference's #log activity only records its input-mapped
+    # `message`; relationally it is a passthrough (the mapping itself
+    # was applied by the input mapper).
+    return df
+
+
 def _stage_union(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     other = Pipeline.from_dict(s["pipeline"]).run(spark, sf_dir)
     return df.unionByName(other)
@@ -122,30 +172,92 @@ STAGE_TYPES: dict[str, Callable] = {
     "select": _stage_select,
     "union": _stage_union,
     "join": _stage_join,
+    "log": _stage_log,
 }
+
+
+def _normalize_stage(st: dict[str, Any]) -> dict[str, Any]:
+    """Accept both our `type` key and the reference's `ref` key
+    (`"#aggregate"` alias form, stage.go NewStage:70)."""
+    if "type" not in st and "ref" in st:
+        st = {**st, "type": st["ref"].lstrip("#")}
+    if st.get("type") not in STAGE_TYPES:
+        raise ValueError(f"unsupported stage type: {st.get('type')!r}")
+    return st
 
 
 class Pipeline:
     """A compiled stage chain; ``run`` materializes the DataFrame plan."""
 
-    def __init__(self, name: str, source: dict[str, Any], stages: list[dict[str, Any]]):
+    def __init__(
+        self,
+        name: str,
+        source: dict[str, Any],
+        stages: list[dict[str, Any]],
+        output: list[str] | None = None,
+    ):
         self.name = name
         self.source = source
-        self.stages = stages
-        for st in stages:
-            if st["type"] not in STAGE_TYPES:
-                raise ValueError(f"unsupported stage type: {st['type']!r}")
+        self.stages = [_normalize_stage(st) for st in stages]
+        self.output = output  # declared metadata.output attrs (final projection)
 
     @classmethod
     def from_dict(cls, config: dict[str, Any]) -> "Pipeline":
-        return cls(config.get("name", "pipeline"), config["source"], config.get("stages", []))
+        return cls(
+            config.get("name", "pipeline"),
+            config["source"],
+            config.get("stages", []),
+            output=config.get("output"),
+        )
 
     @classmethod
     def from_json(cls, text: str) -> "Pipeline":
         return cls.from_dict(json.loads(text))
 
+    @classmethod
+    def from_flogo_resource(
+        cls,
+        app: dict[str, Any] | str,
+        source: dict[str, Any],
+        input_map: dict[str, Any] | None = None,
+        resource_id: str | None = None,
+    ) -> "Pipeline":
+        """Lift a stream resource out of a full flogo app JSON
+        (examples/agg-flogo.json shape): ``resources[].data.stages``
+        with per-stage ``ref`` / ``settings`` / ``input`` / ``output``.
+
+        ``source`` replaces the app's trigger (we read a table, not an
+        HTTP endpoint) and ``input_map`` plays the trigger handler's
+        action-input binding — mapping the pipeline's declared input
+        attrs from source columns (flogo: ``"input": "=$.pathParams.val"``).
+        ``metadata.output`` becomes the final projection, which is what
+        the flogo action returns per emit.
+        """
+        if isinstance(app, str):
+            app = json.loads(app)
+        resources = app.get("resources", [])
+        if not resources:
+            raise ValueError("no resources in flogo app config")
+        res = None
+        for r in resources:
+            if resource_id is None or r.get("id") == resource_id:
+                res = r
+                break
+        if res is None:
+            raise ValueError(f"resource {resource_id!r} not found")
+        data = res["data"]
+        stages: list[dict[str, Any]] = list(data["stages"])
+        if input_map:
+            stages.insert(0, {"type": "map", "settings": {"exprs": {}}, "output": input_map})
+        meta_out = [a["name"] for a in data.get("metadata", {}).get("output", [])]
+        return cls(res.get("id", "flogo"), source, stages, output=meta_out or None)
+
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, self.source["table"], fmt=self.source.get("format", "parquet"))
         for st in self.stages:
+            df = _apply_mapping(df, st.get("input"))
             df = STAGE_TYPES[st["type"]](df, st.get("settings", {}), self, spark, sf_dir)
+            df = _apply_mapping(df, st.get("output"))
+        if self.output:
+            df = df.select(*self.output)
         return df

@@ -170,3 +170,55 @@ def stream_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("l.ts").cast("timestamp")).alias("purchase_ts_ms"),
         F.unix_millis(F.col("r.ts").cast("timestamp")).alias("click_ts_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# A7+: a flogo app resource run as-is — the stream resource below is
+# examples/agg-flogo.json's `stream:simple_agg` with only the window
+# size changed (5000 ms → 1 h, so sf0.001's sparse events still form
+# multi-row windows); stage refs, settings (string-typed windowSize,
+# as flogo writes it), input/output mappings, and metadata are
+# unchanged. The trigger's action-input binding (`=$.pathParams.val`)
+# becomes the input_map below, reading the events table.
+
+_FLOGO_SIMPLE_AGG = {
+    "id": "stream:simple_agg",
+    "data": {
+        "metadata": {
+            "input": [{"name": "input", "type": "int"}],
+            "output": [{"name": "result", "type": "int"}],
+        },
+        "stages": [
+            {
+                "ref": "#aggregate",
+                "settings": {
+                    "function": "sum",
+                    "windowType": "timeTumbling",
+                    "windowSize": str(_HOUR),
+                },
+                "input": {"value": "=$.input"},
+            },
+            {"ref": "#log", "input": {"message": "=$.result"}},
+        ],
+    },
+}
+
+
+@register(
+    "pipeline_flogo_resource",
+    oracle=f"""
+    SELECT {_DSUM} AS result
+    FROM events GROUP BY epoch_ms(ts) // {_HOUR}
+    """,
+)
+def pipeline_flogo_resource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the reference's example app resource through the DSL:
+    per-stage input/output mappers (pipeline/stage.go:124-146) compile
+    to Catalyst exprs; metadata.output is the final projection."""
+    pipe = Pipeline.from_flogo_resource(
+        {"resources": [_FLOGO_SIMPLE_AGG]},
+        source={"table": "events"},
+        input_map={"input": "=$.value"},
+        resource_id="stream:simple_agg",
+    )
+    return pipe.run(spark, sf_dir)

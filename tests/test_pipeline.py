@@ -73,3 +73,57 @@ def test_reference_settings_schema(spark, sf_dir):
     out = pipe.run(spark, sf_dir)
     assert set(out.columns) == {"event_type", "window_id", "result"}
     assert out.count() > 0
+
+
+def test_mapping_expressions(spark, sf_dir):
+    """flogo `=$.attr` input/output mappings compile to Catalyst
+    exprs and run before/after the stage body."""
+    pipe = Pipeline.from_dict(
+        {
+            "name": "mapped",
+            "source": {"table": "events"},
+            "stages": [
+                {
+                    "ref": "#aggregate",
+                    "settings": {"function": "sum", "windowType": "timeTumbling", "windowSize": "86400000"},
+                    "input": {"value": "=$.value * 2"},
+                    "output": {"doubled": "=$.result", "tag": "daily"},
+                },
+            ],
+        }
+    )
+    out = pipe.run(spark, sf_dir)
+    assert {"window_start", "result", "doubled", "tag"} <= set(out.columns)
+    row = out.limit(1).collect()[0]
+    assert row["doubled"] == row["result"]
+    assert row["tag"] == "daily"
+
+
+def test_from_flogo_resource(spark, sf_dir):
+    """The examples/agg-flogo.json resource shape runs end to end:
+    ref-style stages, string windowSize, mappings, metadata.output."""
+    app = {
+        "resources": [
+            {
+                "id": "stream:simple_agg",
+                "data": {
+                    "metadata": {
+                        "input": [{"name": "input", "type": "int"}],
+                        "output": [{"name": "result", "type": "int"}],
+                    },
+                    "stages": [
+                        {
+                            "ref": "#aggregate",
+                            "settings": {"function": "sum", "windowType": "timeTumbling", "windowSize": "86400000"},
+                            "input": {"value": "=$.input"},
+                        },
+                        {"ref": "#log", "input": {"message": "=$.result"}},
+                    ],
+                },
+            }
+        ]
+    }
+    pipe = Pipeline.from_flogo_resource(app, source={"table": "events"}, input_map={"input": "=$.value"})
+    out = pipe.run(spark, sf_dir)
+    assert out.columns == ["result"]  # metadata.output projection
+    assert out.count() > 0

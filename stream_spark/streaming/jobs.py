@@ -195,6 +195,42 @@ def run_stream_to_memory(result: DataFrame, output_mode: str = "complete", timeo
     return spark.table(name)
 
 
+def run_paced_stream_to_memory(
+    result: DataFrame,
+    total_rows: int,
+    emit_delay_ms: int = 100,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run a paced streaming plan (see ``paced_replay_stream``) with a
+    processingTime trigger — one staged tick file per interval, the
+    Spark realization of emitter.go's EmitDelay loop — until
+    ``total_rows`` input rows have been consumed, then stop and return
+    the memory-sink table."""
+    import time as _time
+
+    name = f"paced_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime=f"{emit_delay_ms} milliseconds")
+        .start()
+    )
+    deadline = _time.time() + timeout_s
+    try:
+        while _time.time() < deadline:
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            if seen >= total_rows:
+                break
+            _time.sleep(emit_delay_ms / 1000.0)
+        else:
+            raise TimeoutError(f"paced stream consumed <{total_rows} rows in {timeout_s}s")
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
+
+
 def streaming_stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -7,12 +7,16 @@ Spark equivalents:
 - ``file_replay_stream``: stage a batch table as parquet and readStream
   it — with ``maxFilesPerTrigger`` each micro-batch consumes one file
   slice, which is the batch-replay semantics.
+- ``paced_replay_stream``: stage one file per emit tick in a pinned
+  order; paired with a ``processingTime`` trigger this is emitter.go's
+  paced Run loop (one data point per EmitDelay tick).
 - ``rate_stream``: the built-in rate source joined to an indexed batch
   table — paced emission (rows_per_second), the emitter.go analog.
 """
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +37,44 @@ def file_replay_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(stage_dir)
+
+
+def paced_replay_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    stage_dir: str,
+    order_cols: list[str],
+    rows_per_tick: int = 1,
+) -> DataFrame:
+    """Paced replay with a pinned emission order, mirroring
+    trigger/streamtester/emitter.go: the emitter releases one data
+    point per EmitDelay tick, in dataset order. Here each tick is one
+    staged parquet file of ``rows_per_tick`` rows; ``maxFilesPerTrigger
+    = 1`` plus a ``processingTime`` trigger on the write side gives one
+    file per interval. File mtimes are set strictly increasing so the
+    file-stream source replays them in dataset order.
+
+    Like the reference's DataSet (dataset.go loads the whole test file
+    into memory), the dataset is collected to the driver for staging —
+    this is a TEST-harness source for cadence-sensitive replay, not a
+    production-scale reader (use ``file_replay_stream`` for that).
+    """
+    import pyarrow.parquet as pq
+
+    tbl = df.orderBy(*order_cols).toArrow()
+    os.makedirs(stage_dir, exist_ok=True)
+    n_files = max(1, math.ceil(tbl.num_rows / rows_per_tick))
+    base = 1_000_000_000  # epoch seconds; any fixed past instant works
+    for i in range(n_files):
+        path = f"{stage_dir}/tick-{i:06d}.parquet"
+        pq.write_table(tbl.slice(i * rows_per_tick, rows_per_tick), path)
+        os.utime(path, (base + i, base + i))
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage_dir)
+    )
 
 
 def rate_stream(spark: SparkSession, df: DataFrame, order_cols: list[str], rows_per_second: int = 100) -> DataFrame:

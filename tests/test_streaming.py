@@ -223,3 +223,24 @@ def test_checkpoint_restart_resumes_state(spark, events):
     # continue from carried state (each (type, window_id) emitted once)
     assert emitted.count() == expected_windows
     assert emitted.select("event_type", "window_id").distinct().count() == expected_windows
+
+
+def test_paced_replay_matches_batch(spark, tiny_events):
+    """emitter.go parity: one row per processingTime tick through the
+    stateful sliding window — warmup and emit cadence spread across
+    many single-row micro-batches must reproduce the batch result."""
+    from stream_spark.operators.windows import sliding_count_window
+    from stream_spark.streaming import paced_replay_stream, run_paced_stream_to_memory, streaming_sliding_count
+
+    stage = f"{SCRATCH}/paced_replay"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = paced_replay_stream(spark, tiny_events, stage, ["ts", "event_id"], rows_per_tick=1)
+    got = run_paced_stream_to_memory(
+        streaming_sliding_count(stream, "event_type", "value", "sum", 4, 2),
+        total_rows=tiny_events.count(),
+        emit_delay_ms=50,
+    )
+    expected = sliding_count_window(tiny_events, "value", "sum", 4, 2, group_by=["event_type"])
+    g = {(r["event_type"], r["window_id"], round(r["result"], 6)) for r in got.collect()}
+    e = {(r["event_type"], r["window_id"], round(r["result"], 6)) for r in expected.collect()}
+    assert g == e

@@ -54,15 +54,47 @@ def _read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet") -> DataFrame:
+#: Timestamp format used for text formats: Spark's CSV/JSON default
+#: keeps only milliseconds; the µs pattern round-trips parquet-derived
+#: timestamps exactly (testdata is ns, truncated to µs on load).
+TEXT_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Format-agnostic table loader. For text formats pass ``schema``
+    for deterministic types (inference is sampling-based and can drift
+    between runs/scales)."""
     path = os.path.join(sf_dir, f"{name}.{ 'parquet' if fmt == 'parquet' else fmt}")
     if fmt == "parquet":
         return _read_parquet_ns_safe(spark, path)
     if fmt == "csv":
-        return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+        r = spark.read.option("header", "true").option("timestampFormat", TEXT_TS_FMT)
+        r = r.schema(schema) if schema is not None else r.option("inferSchema", "true")
+        return r.csv(path)
     if fmt == "json":
-        return spark.read.json(path)
+        r = spark.read.option("timestampFormat", TEXT_TS_FMT)
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(path)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def stage_table_as(spark: SparkSession, sf_dir: str, name: str, fmt: str, stage_root: str) -> DataFrame:
+    """Rewrite a parquet table as CSV/JSON under ``stage_root`` and
+    load it back through ``load_table(fmt=...)`` with the original
+    schema — the text-format ingestion path, fed from the same rows so
+    oracle queries can check it against the parquet views."""
+    src = load_table(spark, sf_dir, name)
+    os.makedirs(stage_root, exist_ok=True)
+    path = os.path.join(stage_root, f"{name}.{fmt}")
+    writer = src.write.mode("overwrite").option("timestampFormat", TEXT_TS_FMT)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported staging format: {fmt}")
+    return load_table(spark, stage_root, name, fmt=fmt, schema=src.schema)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

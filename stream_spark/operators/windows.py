@@ -12,16 +12,23 @@ Semantics parity:
 - tumbling (count, size N): emit one aggregate per N consecutive rows
   in arrival order; incomplete tail windows do not emit
   (windows.go:97 emits only when numSamples == Size).
-- sliding (count, size N, resolution r): first emit once N samples
-  seen, then every r samples; each emit aggregates the last N rows
-  (windows.go:260).
+- sliding (count, size N, resolution r): first emit at sample
+  max(N, r) (ring full AND r samples since the last reset,
+  windows.go:252-270), then every r samples; each emit aggregates the
+  last N rows. For r > N this leaves gap rows covered by no emit,
+  exactly like the reference's ring overwrite.
 - timeTumbling (size ms): epoch-aligned buckets; every non-empty
   bucket emits (windows.go:184 nextBlock).
 - timeSliding (size ms, resolution r ms): hopping windows with start
   at multiples of r covering [start, start+size) (windows.go:364).
 - grouped variants (additionalSettings nameKey/valueKey →
-  windows.go:429 MapData): per-key windows; the reference emits a
-  map{key→agg}, which relationally is one (key, agg) row per key.
+  windows.go:429 MapData): the reference keeps ONE global sample
+  counter and emits the whole key map every Size samples across ALL
+  keys — that is `grouped_global_tumbling_count` (one (key, agg) row
+  per key per global window). The ``group_by`` parameter on the other
+  operators is a deliberate EXTENSION (per-key counters, each key's
+  window closes after Size samples of that key) — more useful on a
+  keyed distributed shuffle, but not reference emit cadence.
 
 The count-window total order is ``order_cols`` (e.g. ts, event_id) —
 the batch realization of arrival order.
@@ -82,6 +89,41 @@ def tumbling_count_window(
     return out
 
 
+def grouped_global_tumbling_count(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    function: str,
+    size: int,
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Reference grouped tumbling semantics (windows.go:77-84 +
+    MapData): ONE global sample counter across all keys; every ``size``
+    samples the whole key map is emitted — each key aggregated over its
+    samples inside that global window, then reset. Relationally: bucket
+    on the GLOBAL row number, aggregate per (window, key), and emit
+    only windows that closed (global sample count == size).
+
+    The window-completeness check is an analytic partitioned by
+    window_id (keyed, never a global frame), so the plan stays
+    shuffle-bounded at scale.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    d = with_global_row_number(df, list(order_cols), out="rn")
+    d = d.withColumn("window_id", ((F.col("rn") - 1) / F.lit(size)).cast("long"))
+    per_key = d.groupBy("window_id", key_col).agg(
+        agg_expr(function, F.col(value_col), F.col("rn"), alias="result", exact_decimal=_fractional(df, value_col)),
+        F.count("*").alias("n_samples"),
+    )
+    total = F.sum("n_samples").over(Window.partitionBy("window_id"))
+    return (
+        per_key.withColumn("window_total", total)
+        .filter(F.col("window_total") == size)
+        .drop("n_samples", "window_total")
+    )
+
+
 def sliding_count_window(
     df: DataFrame,
     value_col: str,
@@ -101,9 +143,16 @@ def sliding_count_window(
     if size <= 0 or resolution <= 0:
         raise ValueError("size and resolution must be positive")
     d = _ordered(df, order_cols, group_by)
-    k_min = F.greatest(F.lit(0).cast("long"), F.ceil((F.col("rn") - size) / F.lit(resolution)).cast("long"))
-    k_max = F.floor((F.col("rn") - 1) / F.lit(resolution)).cast("long")
-    d = d.withColumn("window_id", F.explode(F.sequence(k_min, k_max)))
+    # emit k happens at row offset + k*r and covers the last `size`
+    # rows; offset = max(size, r) reproduces the reference's first-emit
+    # position (ring full AND r samples since last reset)
+    offset = max(size, resolution)
+    k_min = F.greatest(
+        F.lit(0).cast("long"), F.ceil((F.col("rn") - offset) / F.lit(resolution)).cast("long")
+    )
+    k_max = F.floor((F.col("rn") + size - 1 - offset) / F.lit(resolution)).cast("long")
+    ks = F.when(k_max >= k_min, F.sequence(k_min, k_max)).otherwise(F.array().cast("array<long>"))
+    d = d.withColumn("window_id", F.explode(ks))
     keys = ([*group_by] if group_by else []) + ["window_id"]
     return (
         d.groupBy(*keys)
@@ -112,7 +161,7 @@ def sliding_count_window(
             F.count("*").alias("n_samples"),
         )
         .filter(F.col("n_samples") == size)
-        .withColumn("emit_rn", (F.col("window_id") * resolution + size).cast("long"))
+        .withColumn("emit_rn", (F.col("window_id") * resolution + offset).cast("long"))
         .drop("n_samples")
     )
 

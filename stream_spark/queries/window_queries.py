@@ -205,8 +205,32 @@ register("agg_time_sliding_sum", oracle=_sliding_time_oracle(_DSUM))(_sliding_ti
     """,
 )
 def agg_grouped_tumbling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key counter grouped windows (deliberate extension — see
+    operators/windows.py docstring; reference cadence is the
+    global-counter variant below)."""
     ev = load_table(spark, sf_dir, "events")
     return tumbling_count_window(ev, "value", "sum", 50, group_by=["event_type"])
+
+
+@register(
+    "agg_grouped_global_tumbling_sum",
+    oracle=f"""
+    WITH o AS ({_ORDERED}),
+    w AS (
+        SELECT event_type, value, CAST(floor((rn - 1) / 100) AS BIGINT) AS window_id,
+               COUNT(*) OVER (PARTITION BY floor((rn - 1) / 100)) AS cnt
+        FROM o)
+    SELECT window_id, event_type, {_DSUM} AS result
+    FROM w WHERE cnt = 100 GROUP BY window_id, event_type
+    """,
+)
+def agg_grouped_global_tumbling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference grouped-tumbling emit cadence (windows.go:77-84): one
+    GLOBAL sample counter; the whole key map emits every 100 samples."""
+    from stream_spark.operators.windows import grouped_global_tumbling_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_global_tumbling_count(ev, "event_type", "value", "sum", 100)
 
 
 register(

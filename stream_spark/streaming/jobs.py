@@ -125,9 +125,10 @@ def streaming_sliding_count(
     """Per-key sliding count window over a stream.
 
     Mirrors windows.go SlidingWindow:226/260 — a ring of the last
-    ``size`` samples; once ``size`` samples have been seen, emit every
-    ``resolution`` samples, aggregating the ring. Emit k covers arrival
-    positions [k*r+1, k*r+size] — identical numbering to the batch
+    ``size`` samples; first emit at sample max(size, r) (ring full AND
+    r samples since the last reset), then every ``resolution`` samples,
+    aggregating the ring. Emit k happens at arrival position
+    max(size, r) + k*r — identical numbering to the batch
     ``sliding_count_window`` operator, so batch and streaming results
     are row-for-row comparable.
 
@@ -162,13 +163,14 @@ def streaming_sliding_count(
         out_rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(list(order_cols), kind="mergesort")
+        offset = max(size, resolution)
         for v in batch[value_col]:
             vals.append(float(v))
             if len(vals) > size:
                 vals.pop(0)
             n_total += 1
-            if n_total >= size and (n_total - size) % resolution == 0:
-                window_id = (n_total - size) // resolution
+            if n_total >= offset and (n_total - offset) % resolution == 0:
+                window_id = (n_total - offset) // resolution
                 out_rows.append((key[0], window_id, float(emit_value(vals))))
         state.update((vals, n_total))
         yield pd.DataFrame(out_rows, columns=[key_col, "window_id", "result"])

@@ -79,3 +79,30 @@ def test_grouped_tumbling_count(tiny_events):
     assert got[(100, 0)] == 9.0 and got[(100, 1)] == 27.0
     # user 101: values 2,4,6,8,10,12 → 12, 30
     assert got[(101, 0)] == 12.0 and got[(101, 1)] == 30.0
+
+
+def test_sliding_count_resolution_gt_size(tiny_events):
+    """windows.go ring semantics for r > N: first emit at max(N, r),
+    then every r — gap rows are covered by no emit."""
+    from stream_spark.operators.windows import sliding_count_window
+
+    out = sliding_count_window(tiny_events, "value", "sum", 3, 5)
+    got = {r["emit_rn"]: r["result"] for r in out.collect()}
+    # emits at rows 5 and 10, each over the last 3 values
+    assert got == {5: 3.0 + 4.0 + 5.0, 10: 8.0 + 9.0 + 10.0}
+
+
+def test_grouped_global_tumbling_count(tiny_events):
+    """Reference grouped cadence: one global counter, whole key map
+    emitted every `size` samples."""
+    from stream_spark.operators.windows import grouped_global_tumbling_count
+
+    out = grouped_global_tumbling_count(tiny_events, "user_id", "value", "sum", 4)
+    got = {(r["window_id"], r["user_id"]): r["result"] for r in out.collect()}
+    # global windows of 4 rows: [1,2,3,4], [5,6,7,8], [9,10,11,12]
+    # user 100 holds odd values, 101 even
+    assert got == {
+        (0, 100): 1.0 + 3.0, (0, 101): 2.0 + 4.0,
+        (1, 100): 5.0 + 7.0, (1, 101): 6.0 + 8.0,
+        (2, 100): 9.0 + 11.0, (2, 101): 10.0 + 12.0,
+    }

@@ -173,6 +173,80 @@ def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
     return bucket
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the corpus is partitioned into
+    ``n_cells`` inverted lists around seed centroids; each query probes
+    its ``n_probe`` nearest cells and ranks exactly within them.
+
+    Centroids are the embeddings of the ``n_cells`` smallest corpus ids
+    — a deterministic seeding (no iterative k-means), which keeps the
+    operator SQL-oracle-expressible; at scale you'd refine centroids
+    offline (k-means||) and feed them in via the same literal path.
+
+    Scale shape: assignment is a per-row argmax against the broadcast
+    centroid list — one corpus scan, NO shuffle; the probe join is an
+    equi-join on cell id (corpus shuffled once on its cell, ~1/n_cells
+    of the corpus per probe); the exact-decimal cosine keeps results
+    bit-identical across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_cells)
+        .collect()  # bounded metadata collect: n_cells rows by contract
+    )
+    cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
+
+    def cell_scores(vec: Column) -> Column:
+        """array<struct<c:cosine, nj:-cell>> — struct max = best cell."""
+        entries = []
+        for j, cw in enumerate(cent_vecs):
+            lit = F.array(*[F.lit(w) for w in cw])
+            entries.append(F.struct(cosine(vec, lit).alias("c"), F.lit(-j).alias("nj")))
+        return F.array(*entries)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        (-F.array_max(cell_scores(F.col(vec_col))).getField("nj")).alias("cell"),
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.slice(F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe).alias("top_cells"),
+        )
+        .select("query_id", "qv", F.explode("top_cells").alias("tc"))
+        .select("query_id", "qv", (-F.col("tc.nj")).alias("cell"))
+    )
+    scored = (
+        # broadcast-ok: probes is the contract-bounded query set × n_probe
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

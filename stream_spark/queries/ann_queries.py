@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_spark.operators.multimodal import extract_binary_features, to_media_table
-from stream_spark.operators.similarity import N_PLANES, topk_bruteforce, topk_lsh
+from stream_spark.operators.similarity import N_CELLS, N_PLANES, N_PROBE, topk_bruteforce, topk_ivf, topk_lsh
 from stream_spark.queries.registry import register
 from stream_spark.sources import load_table
 
@@ -97,6 +97,62 @@ _HP = """
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = topk_lsh(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    cents AS (
+        SELECT vec_id AS cent_vid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT {N_CELLS})
+    ),
+    ccos AS (
+        SELECT v.vec_id, ct.cell,
+               CAST(SUM(CAST(v.x * ce.x AS DECIMAL(28,12))) AS DOUBLE) / (nv.nrm * nc.nrm) AS cos
+        FROM e v
+        JOIN cents ct ON TRUE
+        JOIN e ce ON ce.vec_id = ct.cent_vid AND ce.i = v.i
+        JOIN norms nv ON nv.vec_id = v.vec_id
+        JOIN norms nc ON nc.vec_id = ct.cent_vid
+        GROUP BY v.vec_id, ct.cell, nv.nrm, nc.nrm
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ccos WHERE vec_id >= 10
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ccos WHERE vec_id < 10
+        ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e c ON c.vec_id = a.vec_id AND c.i = q.i
+        JOIN norms nq ON nq.vec_id = p.query_id
+        JOIN norms nc ON nc.vec_id = a.vec_id
+        GROUP BY p.query_id, neighbor_id, nq.nrm, nc.nrm
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat scale path (C6/C7 family): deterministic seed
+    centroids keep it oracle-expressible; probes an equi-joined subset
+    of the corpus instead of scanning it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_ivf(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

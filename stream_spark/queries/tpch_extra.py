@@ -281,3 +281,208 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: national market share inside a region, by year
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, {DISC_PRICE} AS vol, n2.n_name AS nation
+        FROM lineitem JOIN part     ON p_partkey = l_partkey
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN orders   ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                      JOIN region   ON n1.n_regionkey = r_regionkey
+                      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    ) GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation"))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # broadcast-ok: part/supplier/customer are bounded dimensions here
+        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        # broadcast-ok: nation/region are tiny at every SF
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("rk1") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.expr(DISC_PRICE).alias("vol"),
+            "nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+            " / CAST(SUM(vol) AS DOUBLE) AS mkt_share"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: profit by supplier nation and year (adapted: the test
+# schema has no partsupp/ps_supplycost, so profit = discounted price)
+
+
+@register(
+    "tpch_q9_nation_profit",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, {DISC_PRICE} AS amount
+        FROM lineitem JOIN part     ON p_partkey = l_partkey
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN orders   ON l_orderkey = o_orderkey
+                      JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # broadcast-ok: part/supplier/nation are bounded dimensions
+        .join(F.broadcast(part.filter(F.col("p_name").like("%red%"))), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.expr(DISC_PRICE).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.expr("CAST(SUM(amount) AS DOUBLE) AS sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: shipping-delay buckets vs order priority (adapted: no
+# l_shipmode/commit/receipt dates in the test schema — the delay
+# between order and ship date plays the mode role)
+
+
+@register(
+    "tpch_q12_ship_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY ship_bucket
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "ship_bucket",
+            F.when(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "SLOW").otherwise("FAST"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (left join + two-level agg)
+
+
+@register(
+    "tpch_q13_cust_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "5-LOW"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: top supplier by revenue in a window (scalar-max subquery)
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS total_revenue"))
+    )
+    # bounded metadata collect (1 scalar), same pattern as q22's avg
+    max_rev = revenue.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    return (
+        # broadcast-ok: supplier is a bounded dimension
+        revenue.filter(F.col("total_revenue") == max_rev)
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

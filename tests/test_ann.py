@@ -100,3 +100,22 @@ def test_topk_pandas_matches_exact_neighbor_sets(spark):
     es = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     fs = {(r["query_id"], r["neighbor_id"]) for r in fast.collect()}
     assert es == fs
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF with n_probe=4/16 cells must find most true neighbors, and
+    every reported neighbor's cosine must agree with the exact one."""
+    from stream_spark.operators.similarity import topk_ivf
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in topk_bruteforce(q, c, 5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in topk_ivf(q, c, 5).collect()}
+    # every returned pair that is also in the exact top-5 has the same score
+    for pair, cos in approx.items():
+        if pair in exact:
+            assert abs(cos - exact[pair]) < 1e-9
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.3  # 4/16 cells probed; deterministic seeding

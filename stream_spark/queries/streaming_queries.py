@@ -106,3 +106,53 @@ def streaming_sliding_count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_sliding_count(stream, "event_type", "value", "sum", 30, 10), output_mode="append"
     )
     return out.select("event_type", "window_id", F.col("result").cast("decimal(18,4)").cast("double").alias("result"))
+
+
+_GAP_MS = 1_800_000
+
+
+@register(
+    "streaming_session_window_sum",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= {_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM marked
+    )
+    SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+           COUNT(*) AS n_events, {_DSUM} AS result
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def streaming_session_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows on a live stream (F.session_window +
+    complete mode): sessions opened in one micro-batch are merged with
+    later arrivals by Spark's session state store — the streaming
+    counterpart of events_session_window_native, replayed over 4
+    slices so cross-batch session merging is actually exercised."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/session_window"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    res = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("dsum"),
+        )
+    )
+    out = run_stream_to_memory(res, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("w.start").cast("timestamp")).alias("session_start_ms"),
+        "n_events",
+        F.col("dsum").cast("double").alias("result"),
+    )

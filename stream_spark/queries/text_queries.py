@@ -16,6 +16,8 @@ from stream_spark.operators.text import (
     fingerprint,
     langid,
     quality_features,
+    repetition_features,
+    decontaminate,
     bpe_ish_token_count,
     token_count,
 )
@@ -137,3 +139,48 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fingerprint(docs).select("doc_id", "fp_md5", "fp_min_shingle")
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+          FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS dup_ngram_frac,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_ngram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-bigram and
+    top-bigram fractions) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs, n=2)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+          FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 4-gram
+    with the 'benchmark suite' (every 50th doc stands in for an eval
+    set); returns doc_id + distinct shared-gram count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, n=4)

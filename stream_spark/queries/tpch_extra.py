@@ -320,12 +320,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         # broadcast-ok: part/supplier/customer are bounded dimensions here
         .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)  # broadcast-ok: supplier is a bounded dimension
         .join(cust, orders.o_custkey == cust.c_custkey)
         # broadcast-ok: nation/region are tiny at every SF
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
-        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("rk1") == F.col("r_regionkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("rk1") == F.col("r_regionkey"))  # broadcast-ok: region is a fixed 5-row dimension
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))  # broadcast-ok: nation is a fixed 25-row dimension
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             F.expr(DISC_PRICE).alias("vol"),
@@ -369,8 +369,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         # broadcast-ok: part/supplier/nation are bounded dimensions
         .join(F.broadcast(part.filter(F.col("p_name").like("%red%"))), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)  # broadcast-ok: supplier is a bounded dimension
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))  # broadcast-ok: nation is a fixed 25-row dimension
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -483,6 +483,252 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # broadcast-ok: supplier is a bounded dimension
         revenue.filter(F.col("total_revenue") == max_rev)
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))  # broadcast-ok: supplier is a bounded dimension
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: min-cost supplier per part (correlated MIN subquery). No
+# partsupp table in the test schema — lineitem stands in as the
+# part×supplier price relation (cost = min l_extendedprice offered).
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, s_name, n_name, s_acctbal, c.min_price
+    FROM part JOIN cost c ON p_partkey = c.l_partkey
+              JOIN supplier ON c.l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size = 15 AND p_type = 'SMALL'
+      AND c.min_price = (SELECT MIN(c2.min_price) FROM cost c2
+                         WHERE c2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    # broadcast-ok: nation/region are fixed 25/5-row dimensions
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)  # broadcast-ok: nation is a fixed 25-row dimension
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),  # broadcast-ok: region is a fixed 5-row dimension
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # per (part, supplier) min offered price among EU suppliers; the
+    # correlated subquery becomes a second keyed agg joined back on
+    # equality — both shuffles on l_partkey, no window, no collect
+    cost = (
+        li.join(eu_supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("min_price").alias("best_price"))
+    return (
+        cost.join(best, "l_partkey")
+        .filter(F.col("min_price") == F.col("best_price"))
+        .join(part.filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        # broadcast-ok: supplier dim (bounded per SF contract, like q15)
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal", "min_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: important inventory value per part within one nation,
+# HAVING value above a fraction of the grand total (scalar subquery).
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey AS ps_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   CAST(l_quantity AS DECIMAL(12,2))) AS value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+    )
+    SELECT ps_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM val
+    WHERE value * 1000 > (SELECT SUM(value) FROM val)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # broadcast-ok: nation is a fixed 25-row dimension
+    nat_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),  # broadcast-ok: nation is a fixed 25-row dimension
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    val = (
+        li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_quantity").cast("decimal(12,2)")
+            ).alias("value")
+        )
+    )
+    # bounded metadata collect (1 scalar) = the scalar subquery; the
+    # *1000 keeps the comparison in exact decimals on both engines
+    total = val.agg(F.sum("value").alias("t")).collect()[0]["t"]
+    return (
+        val.filter(F.col("value") * 1000 > F.lit(total))
+        .select("ps_partkey", F.col("value").cast("double").alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: distinct-supplier counts per (brand, type, size) with a
+# NOT IN exclusion subquery (negative-balance suppliers stand in for
+# the reference's complaint filter).
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35)
+    )
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(pf, li.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: suppliers of one nation who shipped a large quantity of a
+# part type (nested IN with per-(supplier,part) HAVING).
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'ECONOMY'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    heavy = (
+        li.filter(F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .join(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp
+        # broadcast-ok: nation is a fixed 25-row dimension
+        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+              supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: suppliers who alone returned goods on multi-supplier
+# finished orders (EXISTS + NOT EXISTS). No receipt/commit dates in
+# the test schema — l_returnflag = 'R' stands in for "late". The Spark
+# plan uses the standard aggregate rewrite (per-order supplier counts)
+# instead of the double self-join: one shuffle on l_orderkey replaces
+# two lineitem×lineitem joins, which is the scale-correct plan shape.
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_1'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # per-order supplier stats: EXISTS(other supplier) == n_supp > 1,
+    # NOT EXISTS(other supplier with R) == n_supp_r = 1 (l1 is R itself)
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(stats.filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)), "l_orderkey")
+        .join(orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        # broadcast-ok: supplier dim (bounded per SF contract) + 25-row nation
+        .join(F.broadcast(
+            supp.join(F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),  # broadcast-ok: nation is a fixed 25-row dimension
+                      supp.s_nationkey == nation.n_nationkey)
+            .select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stream_spark.operators.clustering import kmeans_assign
 from stream_spark.operators.multimodal import extract_binary_features, to_media_table
 from stream_spark.operators.similarity import N_CELLS, N_PLANES, N_PROBE, topk_bruteforce, topk_ivf, topk_lsh
 from stream_spark.queries.registry import register
@@ -171,3 +172,56 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow round-trip is byte-exact."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_binary_features(to_media_table(docs))
+
+
+_KM_K = 8
+
+
+@register(
+    "embeddings_kmeans",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    seed AS (
+        SELECT vec_id AS seed_vid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    c0 AS (SELECT s.cell, e.i, e.x FROM seed s JOIN e ON e.vec_id = s.seed_vid),
+    c0n AS (SELECT cell, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+            FROM c0 GROUP BY cell),
+    cos1 AS (
+        SELECT v.vec_id, c.cell,
+               CAST(SUM(CAST(v.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (n.nrm * cn.nrm) AS cos
+        FROM e v JOIN c0 c ON c.i = v.i
+        JOIN norms n ON n.vec_id = v.vec_id JOIN c0n cn ON cn.cell = c.cell
+        GROUP BY v.vec_id, c.cell, n.nrm, cn.nrm
+    ),
+    a1 AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM cos1) WHERE rn = 1),
+    c1 AS (
+        SELECT a.cell, e.i,
+               CAST(SUM(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS x
+        FROM a1 a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell, e.i
+    ),
+    c1n AS (SELECT cell, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+            FROM c1 GROUP BY cell),
+    cos2 AS (
+        SELECT v.vec_id, c.cell,
+               CAST(SUM(CAST(v.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (n.nrm * cn.nrm) AS cos
+        FROM e v JOIN c1 c ON c.i = v.i
+        JOIN norms n ON n.vec_id = v.vec_id JOIN c1n cn ON cn.cell = c.cell
+        GROUP BY v.vec_id, c.cell, n.nrm, cn.nrm
+    )
+    SELECT vec_id, cell AS cluster, cos FROM (
+        SELECT vec_id, cell, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM cos2) WHERE rn = 1
+    """,
+)
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm under the exact oracle gate: 2 Lloyd
+    rounds of cosine k-means (deterministic lowest-id seeds,
+    decimal-exact arithmetic) — the oracle replays both rounds in SQL
+    and the assignments + cosines must match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_KM_K, iters=2)

@@ -22,6 +22,7 @@ from stream_spark.streaming import (
     file_replay_stream,
     run_stream_to_memory,
     streaming_sliding_count,
+    streaming_sliding_time_window,
     streaming_tumbling_count,
     streaming_tumbling_time_window,
 )
@@ -155,4 +156,37 @@ def streaming_session_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("w.start").cast("timestamp")).alias("session_start_ms"),
         "n_events",
         F.col("dsum").cast("double").alias("result"),
+    )
+
+
+_HOP = 900_000
+
+
+@register(
+    "streaming_time_sliding_sum",
+    oracle=f"""
+    WITH fanout AS (
+        SELECT value, unnest(generate_series(
+            CAST(floor((epoch_ms(ts) - {_HOUR}) / {_HOP}.0) AS BIGINT) + 1,
+            CAST(floor(epoch_ms(ts) / {_HOP}.0) AS BIGINT))) AS k
+        FROM events
+    )
+    SELECT CAST(k * {_HOP} AS BIGINT) AS window_start_ms, {_DSUM} AS result
+    FROM fanout GROUP BY k
+    """,
+)
+def streaming_time_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (1h/15min) time windows on a live stream — the
+    streaming counterpart of agg_time_sliding_sum, replayed over 4
+    micro-batches so window state spans batch boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/time_sliding"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    out = run_stream_to_memory(
+        streaming_sliding_time_window(stream, "ts", "value", "sum", _HOUR, _HOP),
+        output_mode="complete",
+    )
+    return out.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"), "result"
     )

@@ -119,3 +119,26 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
             assert abs(cos - exact[pair]) < 1e-9
     recall = len(set(approx) & set(exact)) / len(exact)
     assert recall >= 0.3  # 4/16 cells probed; deterministic seeding
+
+
+def test_kmeans_deterministic_and_converging(spark, sf_dir):
+    """Same input → identical assignments across runs; every vector
+    lands in exactly one of k clusters; a second round never lowers a
+    vector's cosine to its assigned centroid on average."""
+    from stream_spark.operators.clustering import kmeans_assign
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assign(emb, k=4, iters=2)
+    b = kmeans_assign(emb, k=4, iters=2)
+    ra = {r["vec_id"]: (r["cluster"], r["cos"]) for r in a.collect()}
+    rb = {r["vec_id"]: (r["cluster"], r["cos"]) for r in b.collect()}
+    assert ra == rb
+    assert ra, "no assignments"
+    assert set(c for c, _ in ra.values()) <= set(range(4))
+    assert emb.count() == len(ra)
+
+    one = {r["vec_id"]: r["cos"] for r in kmeans_assign(emb, k=4, iters=1).collect()}
+    two = {k_: c for k_, (_cl, c) in ra.items()}
+    import statistics
+    assert statistics.mean(two.values()) >= statistics.mean(one.values()) - 1e-12

@@ -6,10 +6,12 @@ Min-label propagation: every node starts labeled with itself; each
 round nodes adopt the minimum label among themselves and their
 neighbors; converged when no label changes. Iterations are bounded by
 component diameter — near-dup clusters are shallow, so a handful of
-rounds suffice; the loop checks convergence with a cheap count. (At
-graph scale the O(log n) alternating large-star/small-star scheme is
-the upgrade path; the shuffle structure — join on node, groupBy min —
-is identical.)
+rounds suffice; the loop checks convergence with a cheap count.
+
+``connected_components_star`` is the O(log n) alternating
+large-star/small-star scheme (same (node, component=min) contract) —
+the registered dedup_clusters path and the 100 TB-safe default; label
+propagation remains for shallow graphs where its fewer shuffles win.
 """
 
 from __future__ import annotations
@@ -55,3 +57,79 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round scheme that replaces diameter-bounded label
+    propagation at graph scale: a path of length 2^k collapses in ~k
+    alternations instead of 2^k propagation rounds.
+
+    Each round is two keyed shuffles (groupBy node → neighborhood min,
+    join back); state is only the shrinking edge list, checkpointed
+    per round to truncate lineage. Returns (node, component) with
+    component = min reachable node id, same contract as
+    ``connected_components``.
+    """
+    spark = edges.sparkSession
+
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _min_nbr(d: DataFrame) -> DataFrame:
+        # m(u) = min over neighborhood of u including u itself
+        return (
+            d.select("u", "v")
+            .union(d.select(F.col("u"), F.col("u")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+
+    for _ in range(max_iter):
+        # large-star: for every directed edge (u,v) with v > u … here e
+        # keeps u > v, so the "larger" endpoints hang off u's min
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = _min_nbr(sym)
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: smaller-or-equal endpoints hang off the min
+        mins2 = _min_nbr(large.union(large.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+        sym2 = large.select("u", "v").union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        rows = sym2.join(mins2, "u").filter(F.col("v") <= F.col("u"))
+        # canonical small-star: attach u AND every smaller neighbor v
+        # to the neighborhood min (dropping the v→m edges severs
+        # smaller leaves whose hub has an even smaller neighbor)
+        small = (
+            rows.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(rows.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the edge list is already a star into minima:
+        # every edge in `small` equals an edge in `e` (and counts match)
+        if small.count() == e.count() and small.exceptAll(e).count() == 0:
+            e = small
+            break
+        e = small
+
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node")).distinct().withColumn("component", F.col("node"))
+    )
+    return labels.union(roots).groupBy("node").agg(F.min("component").alias("component"))

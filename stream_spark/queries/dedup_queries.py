@@ -253,14 +253,15 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → connected components → one keeper per cluster
-    (stream_spark.operators.components label propagation; oracle uses a
-    recursive-CTE transitive closure)."""
-    from stream_spark.operators.components import connected_components
+    """Near-dup pairs → connected components → one keeper per cluster.
+    Registered path is the O(log n) large-star/small-star scheme (the
+    100 TB-safe choice; label propagation remains for shallow graphs);
+    oracle uses a recursive-CTE transitive closure."""
+    from stream_spark.operators.components import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
-    comp = connected_components(edges)
+    comp = connected_components_star(edges)
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size")).select(
         F.col("component").alias("keeper_doc_id"), "cluster_size"
     )

@@ -73,3 +73,31 @@ def test_stratified_sample_rates(spark):
     out = stratified_sample(df, "id", "s", {"a": 1.0, "b": 0.0})
     got = {r["s"] for r in out.collect()}
     assert got == {"a"} and out.count() == 1000
+
+
+def test_star_cc_matches_propagation(spark):
+    """large-star/small-star and label propagation agree on a mixed
+    graph: two clusters, a hub whose min is not its only link, and
+    isolated pairs."""
+    from stream_spark.operators.components import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 5), (4, 5), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    prop = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    star = {(r["node"], r["component"]) for r in connected_components_star(edges).collect()}
+    assert star == prop
+    # the (1,5),(4,5) hub case: 4 must stay in component 1
+    assert (4, 1) in star
+
+
+def test_star_cc_long_chain(spark):
+    """A 64-node path has diameter 63: label propagation's default
+    iteration budget can't close it, the O(log n) star scheme must."""
+    from stream_spark.operators.components import connected_components_star
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)], ["doc_a", "doc_b"])
+    star = {r["node"]: r["component"] for r in connected_components_star(chain).collect()}
+    assert len(star) == 64
+    assert set(star.values()) == {0}

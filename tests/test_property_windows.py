@@ -1,0 +1,59 @@
+"""Property-based window semantics: for arbitrary (integer-valued)
+streams and window geometries, the Spark count-window operators must
+match a direct Python model of the reference semantics (windows.go):
+tumbling = chunk-by-N drop-partial-tail, sliding = last-N at every
+R-th sample after warmup. Integer values keep float sums exact, so
+results compare with ==.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from stream_spark.operators.windows import sliding_count_window, tumbling_count_window
+
+VALS = st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=48)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame(
+        [(i, i, float(v)) for i, v in enumerate(vals)], ["ts", "event_id", "value"]
+    )
+
+
+def _agg(fn, window):
+    if fn == "sum":
+        return float(sum(window))
+    if fn == "min":
+        return float(min(window))
+    if fn == "max":
+        return float(max(window))
+    if fn == "avg":
+        return sum(window) / len(window)
+    raise AssertionError(fn)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=VALS, size=st.integers(1, 7), fn=st.sampled_from(["sum", "min", "max", "avg"]))
+def test_tumbling_count_matches_model(spark, vals, size, fn):
+    out = tumbling_count_window(_df(spark, vals), "value", fn, size, order_cols=("ts", "event_id"))
+    got = {r["window_id"]: r["result"] for r in out.collect()}
+    want = {
+        w: _agg(fn, vals[w * size : (w + 1) * size]) for w in range(len(vals) // size)
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=VALS, size=st.integers(1, 7), res=st.integers(1, 4), fn=st.sampled_from(["sum", "max"]))
+def test_sliding_count_matches_model(spark, vals, size, res, fn):
+    out = sliding_count_window(_df(spark, vals), "value", fn, size, res, order_cols=("ts", "event_id"))
+    got = {r["emit_rn"]: r["result"] for r in out.collect()}
+    # reference cadence: first emit once the ring is full AND res
+    # samples have arrived (offset = max(size, res)), then every res
+    offset = max(size, res)
+    want = {
+        rn: _agg(fn, vals[rn - size : rn]) for rn in range(offset, len(vals) + 1, res)
+    }
+    assert got == want

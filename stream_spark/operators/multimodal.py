@@ -87,3 +87,42 @@ def decode_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
 
 def resample_audio(media: DataFrame, rate: int = 16000) -> DataFrame:
     raise NotImplementedError("audio codecs unavailable in this environment")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256, stride: int = 4) -> DataFrame:
+    """Video-style frame sampling plumbing: each payload is framed
+    into ``frame_size``-byte chunks and every ``stride``-th frame is
+    emitted — ONE input row fans out to many output rows inside the
+    Arrow batch, the exact shape a real decoder (pyav/ffmpeg) slots
+    into. Frames are deterministic byte slices here (codecs are not in
+    this container), so md5/length are verifiable end-to-end.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    fr = b[fi * frame_size : (fi + 1) * frame_size]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(fi)
+                    out["frame_len"].append(len(fr))
+                    out["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int64", "frame_len": "int64"}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_spark.operators.clustering import kmeans_assign
-from stream_spark.operators.multimodal import extract_binary_features, to_media_table
+from stream_spark.operators.multimodal import extract_binary_features, sample_frames, to_media_table
 from stream_spark.operators.similarity import N_CELLS, N_PLANES, N_PROBE, topk_bruteforce, topk_ivf, topk_lsh
 from stream_spark.queries.registry import register
 from stream_spark.sources import load_table
@@ -225,3 +225,23 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the assignments + cosines must match bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=_KM_K, iters=2)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST((i - 1) * 4 AS BIGINT) AS frame_idx,
+           CAST(strlen(substr(text, (i - 1) * 4 * 256 + 1, 256)) AS BIGINT) AS frame_len,
+           md5(substr(text, (i - 1) * 4 * 256 + 1, 256)) AS frame_md5
+    FROM documents,
+         unnest(generate_series(1, CAST(ceil(strlen(text) / 256.0 / 4) AS BIGINT))) t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads: one-to-many
+    mapInPandas fan-out, every 4th 256-byte frame; the oracle slices
+    the same frames in SQL (ASCII corpus ⇒ byte == char offsets) and
+    md5s must match frame-for-frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(to_media_table(docs), frame_size=256, stride=4)

@@ -185,15 +185,20 @@ def topk_ivf(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the corpus is partitioned into
     ``n_cells`` inverted lists around seed centroids; each query probes
     its ``n_probe`` nearest cells and ranks exactly within them.
 
-    Centroids are the embeddings of the ``n_cells`` smallest corpus ids
-    — a deterministic seeding (no iterative k-means), which keeps the
-    operator SQL-oracle-expressible; at scale you'd refine centroids
-    offline (k-means||) and feed them in via the same literal path.
+    Centroids seed from the embeddings of the ``n_cells`` smallest
+    corpus ids — deterministic, which keeps the operator
+    SQL-oracle-expressible — and ``refine_iters`` Lloyd rounds
+    (decimal-exact means, still oracle-expressible; a cell that loses
+    all members keeps its seed) tighten the partition before
+    assignment. Each round costs one map-only corpus scan + one
+    (cell, dim) keyed agg; centroids stay driver-side bounded
+    metadata, exactly the k-means loop in ``operators.clustering``.
 
     Scale shape: assignment is a per-row argmax against the broadcast
     centroid list — one corpus scan, NO shuffle; the probe join is an
@@ -218,6 +223,25 @@ def topk_ivf(
             lit = F.array(*[F.lit(w) for w in cw])
             entries.append(F.struct(cosine(vec, lit).alias("c"), F.lit(-j).alias("nj")))
         return F.array(*entries)
+
+    for _ in range(refine_iters):
+        assigned_r = corpus.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            (-F.array_max(cell_scores(F.col(vec_col))).getField("nj")).alias("cell"),
+        )
+        rows = (
+            assigned_r.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+            .collect()  # bounded metadata: n_cells × dim rows
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault(int(r["cell"]), {})[int(r["i"])] = float(r["m"])
+        cent_vecs = [
+            [upd[j][i] for i in sorted(upd[j])] if j in upd else cent_vecs[j]
+            for j in range(len(cent_vecs))
+        ]
 
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -245,3 +245,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5s must match frame-for-frame."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(to_media_table(docs), frame_size=256, stride=4)
+
+
+@register(
+    "ann_topk_ivf_refined",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    cents AS (
+        SELECT vec_id AS cent_vid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT {N_CELLS})
+    ),
+    c0 AS (SELECT ct.cell, e.i, e.x FROM cents ct JOIN e ON e.vec_id = ct.cent_vid),
+    c0n AS (SELECT cell, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+            FROM c0 GROUP BY cell),
+    rcos0 AS (
+        SELECT v.vec_id, c.cell,
+               CAST(SUM(CAST(v.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (n.nrm * cn.nrm) AS cos
+        FROM e v JOIN c0 c ON c.i = v.i
+        JOIN norms n ON n.vec_id = v.vec_id JOIN c0n cn ON cn.cell = c.cell
+        WHERE v.vec_id >= 10
+        GROUP BY v.vec_id, c.cell, n.nrm, cn.nrm
+    ),
+    a0 AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM rcos0) WHERE rn = 1),
+    c1m AS (
+        SELECT a.cell, e.i, CAST(SUM(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS x
+        FROM a0 a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell, e.i
+    ),
+    cr AS (SELECT c0.cell, c0.i, COALESCE(c1m.x, c0.x) AS x
+           FROM c0 LEFT JOIN c1m ON c1m.cell = c0.cell AND c1m.i = c0.i),
+    crn AS (SELECT cell, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+            FROM cr GROUP BY cell),
+    rcos AS (
+        SELECT v.vec_id, c.cell,
+               CAST(SUM(CAST(v.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (n.nrm * cn.nrm) AS cos
+        FROM e v JOIN cr c ON c.i = v.i
+        JOIN norms n ON n.vec_id = v.vec_id JOIN crn cn ON cn.cell = c.cell
+        GROUP BY v.vec_id, c.cell, n.nrm, cn.nrm
+    ),
+    assign AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM rcos WHERE vec_id >= 10) WHERE rn = 1),
+    probe AS (SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM rcos WHERE vec_id < 10) WHERE rn <= {N_PROBE}),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e c ON c.vec_id = a.vec_id AND c.i = q.i
+        JOIN norms nq ON nq.vec_id = p.query_id
+        JOIN norms nc ON nc.vec_id = a.vec_id
+        GROUP BY p.query_id, neighbor_id, nq.nrm, nc.nrm
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with one Lloyd refinement round on the centroids before
+    assignment — the oracle replays seeding, the k-means round
+    (seed-fallback for emptied cells), re-assignment, probing, and
+    exact in-cell ranking, all decimal-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_ivf(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K, refine_iters=1
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

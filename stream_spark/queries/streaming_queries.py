@@ -190,3 +190,31 @@ def streaming_time_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"), "result"
     )
+
+
+@register(
+    "streaming_grouped_time_tumbling_sum",
+    oracle=f"""
+    SELECT event_type,
+           CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           {_DSUM} AS result
+    FROM events GROUP BY event_type, window_start_ms
+    """,
+)
+def streaming_grouped_time_tumbling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key (reference nameKey) tumbling time windows on a live
+    stream — grouped state partitions by (key, window) so hot keys
+    spread across the cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/grouped_time_tumbling"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    out = run_stream_to_memory(
+        streaming_tumbling_time_window(stream, "ts", "value", "sum", _HOUR, group_by=["event_type"]),
+        output_mode="complete",
+    )
+    return out.select(
+        "event_type",
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
+        "result",
+    )

@@ -142,3 +142,20 @@ def test_kmeans_deterministic_and_converging(spark, sf_dir):
     two = {k_: c for k_, (_cl, c) in ra.items()}
     import statistics
     assert statistics.mean(two.values()) >= statistics.mean(one.values()) - 1e-12
+
+
+def test_ivf_refined_recall_and_exact_scores(spark, sf_dir):
+    """One Lloyd refinement round: scores still exact, recall at least
+    as usable as the seeded variant's floor."""
+    from stream_spark.operators.similarity import topk_ivf
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in topk_bruteforce(q, c, 5).collect()}
+    ref = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in topk_ivf(q, c, 5, refine_iters=1).collect()}
+    for pair, cos in ref.items():
+        if pair in exact:
+            assert abs(cos - exact[pair]) < 1e-9
+    assert len(set(ref) & set(exact)) / len(exact) >= 0.3

@@ -53,3 +53,51 @@ def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn"
         .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out: str = "cumsum",
+    value_cast: str = "long",
+) -> DataFrame:
+    """Global prefix sum over a total order — same two-pass
+    partition-offset design as ``with_global_row_number`` (per-range
+    partial sums → driver-side cumulative offsets → local window sum +
+    broadcast offset), so no single-partition stage at any scale.
+
+    ``value_cast`` must make addition exact (integral ``long`` or a
+    DECIMAL type); Python accumulates the per-partition partials in
+    int/Decimal, which is exact either way. ``out`` is the INCLUSIVE
+    prefix sum; subtract the row's value for the exclusive form.
+    """
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_v", F.col(value_col).cast(value_cast)
+    ).persist()
+
+    partials = ranged.groupBy("_pid").agg(F.sum("_v").alias("s")).collect()
+    cum = 0
+    offsets = []
+    for row in sorted(partials, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], cum))
+        cum += row["s"] or 0
+    off_df = spark.createDataFrame(
+        [(int(p), o) for p, o in offsets] or [(0, 0)], f"_pid int, _off {value_cast}"
+    )
+
+    local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("_lcs", F.sum("_v").over(local))
+        # broadcast-ok: off_df is one row per partition (bounded metadata)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out, (F.col("_lcs") + F.col("_off")).cast(value_cast))
+        .drop("_pid", "_lrn", "_lcs", "_off", "_v")
+    )

@@ -21,6 +21,7 @@ from stream_spark.operators.text import (
     bpe_ish_token_count,
     token_count,
 )
+from stream_spark.operators.packing import pack_sequences
 from stream_spark.queries.registry import register
 from stream_spark.sources import load_table
 
@@ -184,3 +185,30 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return decontaminate(corpus, bench, n=4)
+
+
+@register(
+    "training_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS s,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(s AS BIGINT) AS start_offset,
+           CAST(s // 2048 AS BIGINT) AS pack_id,
+           CAST((cum - 1) // 2048 - s // 2048 + 1 AS BIGINT) AS n_packs_spanned
+    FROM c
+    """,
+)
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: whitespace token counts,
+    docs concatenated in doc_id order, chunked into 2048-token
+    contexts. The global prefix sum is the two-pass partition-offset
+    primitive — no single-partition window at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return pack_sequences(with_tokens, budget=2048)

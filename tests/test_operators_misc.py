@@ -101,3 +101,34 @@ def test_star_cc_long_chain(spark):
     star = {r["node"]: r["component"] for r in connected_components_star(chain).collect()}
     assert len(star) == 64
     assert set(star.values()) == {0}
+
+
+def test_global_cumsum_matches_serial(spark):
+    from stream_spark.operators.rownum import with_global_cumsum
+
+    vals = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(vals, ["id", "v"]).repartition(8)
+    got = {r["id"]: r["cs"] for r in with_global_cumsum(df, "v", ["id"], out="cs").collect()}
+    acc, want = 0, {}
+    for i, v in vals:
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+def test_pack_sequences_boundaries(spark):
+    """Docs straddling pack boundaries span the right number of
+    packs; offsets are the exact global concat positions."""
+    from stream_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 1500), (3, 48), (4, 5000)], ["doc_id", "n_tokens"]
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, budget=2048).collect()}
+    assert rows[1]["start_offset"] == 0 and rows[1]["pack_id"] == 0 and rows[1]["n_packs_spanned"] == 1
+    # doc 2: [1000, 2500) crosses the 2048 boundary → spans 2 packs
+    assert rows[2]["pack_id"] == 0 and rows[2]["n_packs_spanned"] == 2
+    # doc 3: [2500, 2548) inside pack 1
+    assert rows[3]["pack_id"] == 1 and rows[3]["n_packs_spanned"] == 1
+    # doc 4: [2548, 7548) → packs 1..3
+    assert rows[4]["pack_id"] == 1 and rows[4]["n_packs_spanned"] == 3

@@ -33,3 +33,32 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str, rates: dict[
     for stratum, rate in rates.items():
         keep = keep | ((F.col(stratum_col) == stratum) & (bucket < int(rate * BUCKETS)))
     return df.filter(keep)
+
+
+def mix_corpus(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_shares: dict[str, float],
+    n_target: int,
+) -> DataFrame:
+    """Deterministic corpus mixing: resample sources toward target
+    proportions. For each listed source, rate = min(1, n_target *
+    share / count); rows are kept by the stable id hash, so the mix is
+    reproducible under any partitioning. Unlisted sources are dropped.
+
+    The per-source counts are one keyed agg collected to the driver —
+    bounded metadata (#sources, dimension-sized by contract). Sources
+    too small to meet their share are capped at rate 1 (can't mint
+    rows); detect shortfalls by comparing output counts to targets.
+    """
+    counts = {
+        r[source_col]: r["c"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("c")).collect()
+    }
+    rates = {
+        s: min(1.0, n_target * share / counts[s])
+        for s, share in target_shares.items()
+        if s in counts and counts[s] > 0
+    }
+    return stratified_sample(df, id_col, source_col, rates)

@@ -212,3 +212,34 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_tokens = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
     return pack_sequences(with_tokens, budget=2048)
+
+
+_MIX = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_N = 60
+_MIX_VALUES = ", ".join(f"('{s}', CAST({sh} AS DOUBLE))" for s, sh in _MIX.items())
+
+
+@register(
+    "corpus_mix_sources",
+    oracle=f"""
+    WITH tgt(source, share) AS (VALUES {_MIX_VALUES}),
+    cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    rates AS (
+        SELECT t.source,
+               CAST(floor(10000 * LEAST(CAST(1.0 AS DOUBLE), {_MIX_N} * t.share / c.c)) AS BIGINT) AS thr
+        FROM tgt t JOIN cnt c ON c.source = t.source
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < r.thr
+    """,
+)
+def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing toward target source proportions
+    (40/30/20/10 over four sources, 60-doc budget) — the decision is a
+    pure function of doc_id, so the mix is identical on any cluster
+    layout."""
+    from stream_spark.operators.sampling import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_corpus(docs, "doc_id", "source", _MIX, _MIX_N).select("doc_id", "source")

@@ -218,3 +218,28 @@ def streaming_grouped_time_tumbling_sum(spark: SparkSession, sf_dir: str) -> Dat
         F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
         "result",
     )
+
+
+@register(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_key
+    FROM documents
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a live stream (dropDuplicates on the 16-byte
+    content key, state = one entry per distinct doc): which duplicate
+    survives is arrival-dependent, but the SET of surviving content
+    keys is not — that set is what the oracle checks. The
+    watermark-bounded state variant is pytest-covered
+    (tests/test_streaming.py)."""
+    from stream_spark.streaming.dedup import streaming_exact_dedup
+    from stream_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = f"{_SCRATCH}/dedup_exact"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, docs, stage, n_slices=4)
+    out = run_stream_to_memory(streaming_exact_dedup(stream), output_mode="append")
+    return out.select(F.md5(normalize_text(F.col("text"))).alias("content_key"))

@@ -78,15 +78,23 @@ from stream_spark.sources import load_table
 # before (input) / after (output) the stage body, exactly where the
 # reference's mappers run.
 
-_SCOPE_REF = re.compile(r"\$\.([A-Za-z_][A-Za-z0-9_]*)")
+_SCOPE_REF = re.compile(r"\$(?:pipeline)?\.([A-Za-z_][A-Za-z0-9_]*)")
+
+#: flogo expression-language functions → Spark SQL equivalents
+_FLOGO_FNS = {"string.concat": "concat", "string.length": "length"}
 
 
 def compile_mapping_expr(value: Any):
-    """One flogo mapping value → a Spark Column."""
+    """One flogo mapping value → a Spark Column. ``$.attr`` and
+    ``$pipeline.attr`` both resolve to scope (column) references —
+    relationally the pipeline scope IS the row."""
     if not isinstance(value, str):
         return F.lit(value)
     if value.startswith("="):
-        return F.expr(_SCOPE_REF.sub(r"\1", value[1:].strip()))
+        expr = _SCOPE_REF.sub(r"\1", value[1:].strip())
+        for flogo_fn, spark_fn in _FLOGO_FNS.items():
+            expr = expr.replace(flogo_fn + "(", spark_fn + "(")
+        return F.expr(expr)
     return F.lit(value)
 
 
@@ -94,7 +102,8 @@ def _apply_mapping(df: DataFrame, mapping: dict[str, Any] | None) -> DataFrame:
     if not mapping:
         return df
     for name, value in mapping.items():
-        df = df.withColumn(name, compile_mapping_expr(value))
+        # "pipeline.out" assigns scope attr `out` (stage.go outputMapper)
+        df = df.withColumn(name.removeprefix("pipeline."), compile_mapping_expr(value))
     return df
 
 
@@ -251,6 +260,84 @@ class Pipeline:
             stages.insert(0, {"type": "map", "settings": {"exprs": {}}, "output": input_map})
         meta_out = [a["name"] for a in data.get("metadata", {}).get("output", [])]
         return cls(res.get("id", "flogo"), source, stages, output=meta_out or None)
+
+    @classmethod
+    def from_flogo_app(
+        cls,
+        app: dict[str, Any] | str,
+        source: dict[str, Any],
+        input_map: dict[str, Any] | None = None,
+    ) -> "Pipeline":
+        """Compose a FULL flogo app (examples/channel-flogo.json
+        shape): start at the action bound to the external (non-channel)
+        trigger, follow its ``settings.outputChannel`` to the channel
+        trigger consuming that channel, and concatenate each stream
+        resource's stages into one plan.
+
+        A flogo channel is an intra-app handoff buffer (``"test:5"`` =
+        name:size); relationally the handoff is plan composition — the
+        downstream stages consume the upstream's output DataFrame, with
+        the channel handler's input mapping (``$.data.attr`` → upstream
+        output column) applied between them. Buffer size is a runtime
+        backpressure knob with no declarative meaning and is ignored.
+        Transport-specific entry bindings (``$.pathParams.*``) can't
+        come from a table — bind entry inputs via ``input_map``.
+        """
+        if isinstance(app, str):
+            app = json.loads(app)
+        actions = {a["id"]: a for a in app.get("actions", [])}
+        resources = {r["id"]: r for r in app.get("resources", [])}
+        consumers: dict[str, tuple[str, dict[str, Any] | None]] = {}
+        entry = None
+        for trig in app.get("triggers", []):
+            is_channel = str(trig.get("ref", "")).endswith("channel")
+            for h in trig.get("handlers", []):
+                aid = h.get("action", {}).get("id")
+                if aid is None:
+                    continue
+                if is_channel:
+                    consumers[h.get("settings", {}).get("channel")] = (
+                        aid,
+                        h.get("action", {}).get("input"),
+                    )
+                elif entry is None:
+                    entry = aid
+        if entry is None:
+            raise ValueError("no externally-triggered action in flogo app")
+
+        stages: list[dict[str, Any]] = []
+        if input_map:
+            stages.append({"type": "map", "settings": {"exprs": {}}, "output": input_map})
+        out_meta: list[str] | None = None
+        aid, seen = entry, set()
+        while aid is not None and aid not in seen:
+            seen.add(aid)
+            action = actions[aid]
+            rid = action.get("settings", {}).get("streamURI", "").removeprefix("res://")
+            if rid not in resources:
+                raise ValueError(f"streamURI resource {rid!r} not found")
+            data = resources[rid]["data"]
+            stages.extend(data["stages"])
+            # the LAST resource in the chain decides the projection;
+            # one that declares no output keeps the full scope
+            out_meta = [a["name"] for a in data.get("metadata", {}).get("output", [])] or None
+            nxt = consumers.get(action.get("settings", {}).get("outputChannel"))
+            if nxt is None:
+                break
+            naid, nmap = nxt
+            if nmap:
+                stages.append(
+                    {
+                        "type": "map",
+                        "settings": {"exprs": {}},
+                        "output": {
+                            k: (v.replace("$.data.", "$.") if isinstance(v, str) else v)
+                            for k, v in nmap.items()
+                        },
+                    }
+                )
+            aid = naid
+        return cls(app.get("name", "flogo-app"), source, stages, output=out_meta or None)
 
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, self.source["table"], fmt=self.source.get("format", "parquet"))

@@ -222,3 +222,58 @@ def pipeline_flogo_resource(spark: SparkSession, sf_dir: str) -> DataFrame:
         resource_id="stream:simple_agg",
     )
     return pipe.run(spark, sf_dir)
+
+
+_FLOGO_CHANNEL_APP = {
+    "name": "stream",
+    "channels": ["test:5"],
+    "triggers": [
+        {"id": "rest", "ref": "#rest", "handlers": [
+            {"settings": {}, "action": {"id": "a_filter", "input": {"input": "=$.pathParams.val"}}}]},
+        {"id": "chan", "ref": "#channel", "handlers": [
+            {"settings": {"channel": "test"}, "action": {"id": "a_report", "input": {"rinput": "=$.data.out"}}}]},
+    ],
+    "actions": [
+        {"id": "a_filter", "ref": "#stream",
+         "settings": {"streamURI": "res://stream:f", "outputChannel": "test"}},
+        {"id": "a_report", "ref": "#stream", "settings": {"streamURI": "res://stream:r"}},
+    ],
+    "resources": [
+        {"id": "stream:f", "data": {
+            "metadata": {"output": [{"name": "event_id", "type": "long"},
+                                    {"name": "out", "type": "double"}]},
+            "stages": [
+                {"ref": "#filter", "settings": {"type": "non-zero"},
+                 "input": {"value": "=$pipeline.input"},
+                 "output": {"pipeline.out": "=$.value"}},
+            ]}},
+        {"id": "stream:r", "data": {
+            "metadata": {"output": [{"name": "event_id", "type": "long"},
+                                    {"name": "out", "type": "double"},
+                                    {"name": "message", "type": "string"}]},
+            "stages": [
+                {"ref": "#log",
+                 "input": {"message": "=string.concat('fromChannel: ', $pipeline.event_id)"}},
+            ]}},
+    ],
+}
+
+
+@register(
+    "pipeline_flogo_channel_app",
+    oracle="""
+    SELECT event_id, value AS out,
+           'fromChannel: ' || CAST(event_id AS VARCHAR) AS message
+    FROM events WHERE value <> 0
+    """,
+)
+def pipeline_flogo_channel_app(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full flogo app with an intra-app channel handoff
+    (examples/channel-flogo.json shape) composed into one plan:
+    external trigger → filter resource → channel mapping → report
+    resource, with real flogo scope syntax ($pipeline.attr,
+    pipeline.out, string.concat)."""
+    pipe = Pipeline.from_flogo_app(
+        _FLOGO_CHANNEL_APP, source={"table": "events"}, input_map={"input": "=$.value"}
+    )
+    return pipe.run(spark, sf_dir)

@@ -127,3 +127,71 @@ def test_from_flogo_resource(spark, sf_dir):
     out = pipe.run(spark, sf_dir)
     assert out.columns == ["result"]  # metadata.output projection
     assert out.count() > 0
+
+
+def test_from_flogo_app_channel_chain(spark, sf_dir):
+    """examples/channel-flogo.json shape: an externally-triggered
+    filter action hands off to a second action over an app channel;
+    the composed plan runs both resources' stages with the channel
+    handler's $.data.* input mapping between them, and real flogo
+    scope syntax ($pipeline.attr, pipeline.out, string.concat)."""
+    app = {
+        "name": "stream",
+        "channels": ["test:5"],
+        "triggers": [
+            {
+                "id": "receive_http_message",
+                "ref": "#rest",
+                "handlers": [
+                    {"settings": {"method": "GET"}, "action": {"id": "simple_filter", "input": {"input": "=$.pathParams.val"}}}
+                ],
+            },
+            {
+                "id": "internal_channel",
+                "ref": "#channel",
+                "handlers": [
+                    {"settings": {"channel": "test"}, "action": {"id": "simple_report", "input": {"rinput": "=$.data.out"}}}
+                ],
+            },
+        ],
+        "actions": [
+            {"id": "simple_filter", "ref": "#stream",
+             "settings": {"streamURI": "res://stream:simple_filter", "outputChannel": "test"}},
+            {"id": "simple_report", "ref": "#stream",
+             "settings": {"streamURI": "res://stream:simple_report"}},
+        ],
+        "resources": [
+            {
+                "id": "stream:simple_filter",
+                "data": {
+                    "metadata": {"input": [{"name": "input", "type": "int"}],
+                                 "output": [{"name": "out", "type": "int"}]},
+                    "stages": [
+                        {"ref": "#filter", "settings": {"type": "non-zero"},
+                         "input": {"value": "=$pipeline.input"},
+                         "output": {"pipeline.out": "=$.value"}},
+                        {"ref": "#log", "input": {"message": "=$.value"}},
+                    ],
+                },
+            },
+            {
+                "id": "stream:simple_report",
+                "data": {
+                    "metadata": {"input": [{"name": "rinput", "type": "int"}]},
+                    "stages": [
+                        {"ref": "#log",
+                         "input": {"message": "=string.concat('fromChannel: ', $pipeline.rinput)"}}
+                    ],
+                },
+            },
+        ],
+    }
+    pipe = Pipeline.from_flogo_app(app, source={"table": "events"}, input_map={"input": "=$.value"})
+    out = pipe.run(spark, sf_dir)
+    rows = out.limit(5).collect()
+    assert rows
+    # the filter resource declares out; the report stage's log message
+    # carries the channel payload through string.concat
+    assert "out" in out.columns and "message" in out.columns
+    assert all(r["message"].startswith("fromChannel: ") for r in rows)
+    assert all(r["out"] != 0 for r in rows)

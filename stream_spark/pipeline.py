@@ -48,6 +48,7 @@ Example::
 
 from __future__ import annotations
 
+import itertools
 import json
 import re
 from collections.abc import Callable
@@ -77,6 +78,44 @@ from stream_spark.sources import load_table
 # whole mapping becomes withColumns — Catalyst expressions, evaluated
 # before (input) / after (output) the stage body, exactly where the
 # reference's mappers run.
+
+# --------------------------------------------------------------------------
+# pipeline telemetry (pipeline/support/telemetry.go TelemetryService:
+# PipelineStarted / StageStarted / StageFinished / PipelineFinished).
+# For a declarative engine the faithful stage events are plan-
+# composition events (stages compose lazily; execution is one Spark
+# job, whose runtime metrics come from the streaming TelemetryListener
+# / Spark UI) — so emitting them here is zero-cost and side-effect
+# free: no forced actions in the hot path.
+
+_INSTANCE_SEQ = itertools.count()
+
+
+class TelemetryService:
+    """Same four-hook interface as the reference; subclass and
+    register. Hooks receive (pipeline_id, instance_id[, stage_id],
+    data)."""
+
+    def pipeline_started(self, pipeline_id: str, instance_id: str, data: dict) -> None: ...
+
+    def stage_started(self, pipeline_id: str, instance_id: str, stage_id: str, data: dict) -> None: ...
+
+    def stage_finished(self, pipeline_id: str, instance_id: str, stage_id: str, data: dict) -> None: ...
+
+    def pipeline_finished(self, pipeline_id: str, instance_id: str, data: dict) -> None: ...
+
+
+_telemetry_service: TelemetryService | None = None
+
+
+def register_telemetry_service(service: TelemetryService | None) -> None:
+    global _telemetry_service
+    _telemetry_service = service
+
+
+def get_telemetry_service() -> TelemetryService | None:
+    return _telemetry_service
+
 
 _SCOPE_REF = re.compile(r"\$(?:pipeline)?\.([A-Za-z_][A-Za-z0-9_]*)")
 
@@ -340,11 +379,22 @@ class Pipeline:
         return cls(app.get("name", "flogo-app"), source, stages, output=out_meta or None)
 
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        tel = get_telemetry_service()
+        iid = f"{self.name}#{next(_INSTANCE_SEQ)}"
+        if tel:
+            tel.pipeline_started(self.name, iid, {"source": dict(self.source)})
         df = load_table(spark, sf_dir, self.source["table"], fmt=self.source.get("format", "parquet"))
-        for st in self.stages:
+        for i, st in enumerate(self.stages):
+            sid = f"{i}:{st['type']}"
+            if tel:
+                tel.stage_started(self.name, iid, sid, {"settings": st.get("settings", {})})
             df = _apply_mapping(df, st.get("input"))
             df = STAGE_TYPES[st["type"]](df, st.get("settings", {}), self, spark, sf_dir)
             df = _apply_mapping(df, st.get("output"))
+            if tel:
+                tel.stage_finished(self.name, iid, sid, {"schema": df.schema.simpleString()})
         if self.output:
             df = df.select(*self.output)
+        if tel:
+            tel.pipeline_finished(self.name, iid, {"n_stages": len(self.stages)})
         return df

@@ -195,3 +195,38 @@ def test_from_flogo_app_channel_chain(spark, sf_dir):
     assert "out" in out.columns and "message" in out.columns
     assert all(r["message"].startswith("fromChannel: ") for r in rows)
     assert all(r["out"] != 0 for r in rows)
+
+
+def test_pipeline_telemetry_events(spark, sf_dir):
+    """The four-hook TelemetryService (reference
+    pipeline/support/telemetry.go) fires in order around stages."""
+    from stream_spark.pipeline import TelemetryService, register_telemetry_service
+
+    events = []
+
+    class Recorder(TelemetryService):
+        def pipeline_started(self, pid, iid, data):
+            events.append(("pipeline-started", pid, None))
+
+        def stage_started(self, pid, iid, sid, data):
+            events.append(("stage-started", pid, sid))
+
+        def stage_finished(self, pid, iid, sid, data):
+            events.append(("stage-finished", pid, sid))
+            assert "schema" in data
+
+        def pipeline_finished(self, pid, iid, data):
+            events.append(("pipeline-finished", pid, None))
+
+    register_telemetry_service(Recorder())
+    try:
+        pipe = Pipeline.from_dict(
+            {"name": "tele", "source": {"table": "events"},
+             "stages": [{"type": "filter", "settings": {"type": "non-zero", "column": "value"}}]}
+        )
+        pipe.run(spark, sf_dir)
+    finally:
+        register_telemetry_service(None)
+    kinds = [e[0] for e in events]
+    assert kinds == ["pipeline-started", "stage-started", "stage-finished", "pipeline-finished"]
+    assert events[1][2] == "0:filter"

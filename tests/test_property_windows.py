@@ -57,3 +57,56 @@ def test_sliding_count_matches_model(spark, vals, size, res, fn):
         rn: _agg(fn, vals[rn - size : rn]) for rn in range(offset, len(vals) + 1, res)
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-20, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    size=st.integers(1, 5),
+)
+def test_grouped_per_key_tumbling_matches_model(spark, vals, size):
+    """Per-key windows: each key's stream chunks independently."""
+    df = spark.createDataFrame(
+        [(i, i, k, float(v)) for i, (k, v) in enumerate(vals)],
+        ["ts", "event_id", "k", "value"],
+    )
+    out = tumbling_count_window(df, "value", "sum", size, group_by=["k"])
+    got = {(r["k"], r["window_id"]): r["result"] for r in out.collect()}
+    want = {}
+    for key in "abc":
+        stream = [v for k, v in vals if k == key]
+        for w in range(len(stream) // size):
+            want[(key, w)] = float(sum(stream[w * size : (w + 1) * size]))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-20, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    size=st.integers(1, 5),
+)
+def test_grouped_global_tumbling_matches_model(spark, vals, size):
+    """Reference grouped semantics: ONE global counter; every `size`
+    samples the whole key map is emitted (windows.go:77-84)."""
+    from stream_spark.operators.windows import grouped_global_tumbling_count
+
+    df = spark.createDataFrame(
+        [(i, i, k, float(v)) for i, (k, v) in enumerate(vals)],
+        ["ts", "event_id", "k", "value"],
+    )
+    out = grouped_global_tumbling_count(df, "k", "value", "sum", size)
+    got = {(r["window_id"], r["k"]): r["result"] for r in out.collect()}
+    want = {}
+    for w in range(len(vals) // size):
+        chunk = vals[w * size : (w + 1) * size]
+        for key in set(k for k, _ in chunk):
+            want[(w, key)] = float(sum(v for k, v in chunk if k == key))
+    assert got == want

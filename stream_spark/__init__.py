@@ -12,7 +12,76 @@ work is JVM-side `pyspark.sql.functions` unless a Pandas UDF is
 genuinely required (multimodal decode stubs).
 """
 
+from stream_spark.operators.clustering import kmeans_assign
+from stream_spark.operators.components import connected_components, connected_components_star
+from stream_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from stream_spark.operators.packing import pack_sequences
+from stream_spark.operators.sampling import (
+    deterministic_sample,
+    mix_corpus,
+    stratified_sample,
+)
+from stream_spark.operators.similarity import (
+    cosine_pairs_lsh,
+    topk_bruteforce,
+    topk_ivf,
+    topk_lsh,
+)
+from stream_spark.operators.sketches import approx_distinct, approx_quantiles, freq_items
+from stream_spark.operators.text import (
+    decontaminate,
+    fingerprint,
+    langid,
+    quality_features,
+    repetition_features,
+)
+from stream_spark.operators.windows import (
+    sliding_count_window,
+    sliding_time_window,
+    tumbling_count_window,
+    tumbling_time_window,
+)
+from stream_spark.pipeline import Pipeline, TelemetryService, register_telemetry_service
 from stream_spark.session import get_spark
+from stream_spark.sources import load_table
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = [
+    "Pipeline",
+    "TelemetryService",
+    "approx_distinct",
+    "approx_quantiles",
+    "connected_components",
+    "connected_components_star",
+    "cosine_pairs_lsh",
+    "decontaminate",
+    "deterministic_sample",
+    "exact_dedup",
+    "fingerprint",
+    "freq_items",
+    "get_spark",
+    "kmeans_assign",
+    "langid",
+    "load_table",
+    "minhash_lsh_candidates",
+    "mix_corpus",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "quality_features",
+    "register_telemetry_service",
+    "repetition_features",
+    "simhash_pairs",
+    "sliding_count_window",
+    "sliding_time_window",
+    "stratified_sample",
+    "topk_bruteforce",
+    "topk_ivf",
+    "topk_lsh",
+    "tumbling_count_window",
+    "tumbling_time_window",
+]
+__version__ = "0.2.0"

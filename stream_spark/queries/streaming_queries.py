@@ -243,3 +243,29 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_replay_stream(spark, docs, stage, n_slices=4)
     out = run_stream_to_memory(streaming_exact_dedup(stream), output_mode="append")
     return out.select(F.md5(normalize_text(F.col("text"))).alias("content_key"))
+
+
+@register(
+    "streaming_count_window_max",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_type, CAST(floor((rn - 1) / 50) AS BIGINT) AS window_id,
+           MAX(value) AS result
+    FROM o GROUP BY event_type, window_id HAVING COUNT(*) = 50
+    """,
+)
+def streaming_count_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-tumbling max over the stateful fold — same operator as
+    the sum variant, exercising the non-additive accumulator path
+    (order-insensitive, so no decimal re-quantization needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/count_window_max"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=1, max_files_per_trigger=None)
+    out = run_stream_to_memory(
+        streaming_tumbling_count(stream, "event_type", "value", "max", 50), output_mode="append"
+    )
+    return out.select("event_type", "window_id", "result")

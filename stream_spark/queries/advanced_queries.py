@@ -175,3 +175,91 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "doc_id", "lang", {"en": 0.5, "de": 0.9, "zh": 0.9}).select(
         "doc_id", "lang"
     )
+
+
+_DAY = 86_400_000
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, event_type, value,
+               CAST((epoch_ms(ts) // {_DAY}) * {_DAY} AS BIGINT) AS window_start_ms
+        FROM events
+    ), stats AS (
+        SELECT event_type, window_start_ms,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sq
+        FROM w GROUP BY event_type, window_start_ms
+    )
+    SELECT w.event_id, w.event_type, w.window_start_ms, w.value,
+           (w.value - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS z
+    FROM w JOIN stats USING (event_type, window_start_ms)
+    WHERE n >= 20 AND sq / n - (s / n) * (s / n) > 0
+      AND abs((w.value - s / n) / sqrt(sq / n - (s / n) * (s / n))) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed z-score anomaly detection: per (event_type, day)
+    moments from exact decimal sums (order-free), anomaly = |z| > 2.5.
+    The stats join shuffles both sides on the same (key, window) —
+    co-partitioned, no broadcast of anything row-scaled."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.unix_millis(F.col("ts").cast("timestamp")) / _DAY).cast("long") * _DAY).alias(
+            "window_start_ms"
+        ),
+    )
+    stats = w.groupBy("event_type", "window_start_ms").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)")).cast("double").alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        w.join(stats, ["event_type", "window_start_ms"])
+        .filter((F.col("n") >= 20) & (var > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "event_type", "window_start_ms", "value", z.alias("z"))
+    )
+
+
+@register(
+    "orders_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(epoch_ms(f.cohort) AS BIGINT) AS cohort_month_ms,
+           CAST(datediff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS months_since,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY cohort_month_ms, months_since
+    """,
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order month,
+    counted per months-since-cohort. Two keyed shuffles on o_custkey
+    (first-order agg + join back) — the join is co-partitioned, the
+    final agg is on the small (cohort, month) grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+    firsts = orders.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    return (
+        orders.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            F.unix_millis(F.col("cohort")).alias("cohort_month_ms"),
+            F.months_between(month, F.col("cohort")).cast("long").alias("months_since"),
+        )
+        .groupBy("cohort_month_ms", "months_since")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )

@@ -263,3 +263,45 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_month_ms", "months_since")
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, value,
+               CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS window_start_ms,
+               row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 3600000
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 3600000
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, window_start_ms,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM o GROUP BY event_type, window_start_ms
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling per (event_type, hour): open/close via
+    min_by/max_by on the (ts, event_id) arrival order — one keyed agg,
+    no window function, no second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    order = F.struct(F.unix_millis(F.col("ts").cast("timestamp")), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            ((F.unix_millis(F.col("ts").cast("timestamp")) / 3600000).cast("long") * 3600000).alias(
+                "window_start_ms"
+            ),
+        )
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+        )
+    )

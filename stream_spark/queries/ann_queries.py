@@ -317,3 +317,32 @@ def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K, refine_iters=1
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "source_binary_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def source_binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal I/O round trip: payloads exported one-file-per-
+    row from the executors (mapInPandas sink), re-ingested through
+    Spark's binaryFile source, feature-extracted — md5 proves the
+    bytes survived both hops."""
+    import shutil
+
+    from stream_spark.sources import read_binary_files, write_binary_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = "/root/repo/.scratch/binary_docs"
+    shutil.rmtree(stage, ignore_errors=True)
+    media = to_media_table(docs)
+    write_binary_files(media, stage)
+    back = read_binary_files(spark, stage)
+    return extract_binary_features(
+        back.withColumn("meta", F.struct(F.lit("application/octet-stream").alias("media_type")))
+    ).select("doc_id", "byte_len", "payload_md5")

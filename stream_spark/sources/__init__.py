@@ -1,3 +1,4 @@
+from stream_spark.sources.binary import read_binary_files, write_binary_files
 from stream_spark.sources.tables import (
     TABLES,
     TEXT_TS_FMT,
@@ -7,4 +8,4 @@ from stream_spark.sources.tables import (
     stage_table_as,
 )
 
-__all__ = ["TABLES", "TEXT_TS_FMT", "load_table", "load_tables", "register_views", "stage_table_as"]
+__all__ = ["TABLES", "read_binary_files", "write_binary_files", "TEXT_TS_FMT", "load_table", "load_tables", "register_views", "stage_table_as"]

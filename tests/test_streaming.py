@@ -244,3 +244,57 @@ def test_paced_replay_matches_batch(spark, tiny_events):
     g = {(r["event_type"], r["window_id"], round(r["result"], 6)) for r in got.collect()}
     e = {(r["event_type"], r["window_id"], round(r["result"], 6)) for r in expected.collect()}
     assert g == e
+
+
+def test_watermark_drops_late_data(spark):
+    """Append-mode time windows finalize once the watermark passes
+    their end; a row arriving AFTER the window's state was evicted
+    must not reopen it. (Spark's drop guarantee starts at eviction:
+    a late row landing in the same batch that closes the window is
+    still merged — the watermark bounds state, it is not a strict
+    input filter — so the late slice here arrives one batch later.)"""
+    import datetime as dt
+    import glob as globmod
+    import os
+    import time as timemod
+
+    from stream_spark.streaming import streaming_tumbling_time_window
+
+    stage = f"{SCRATCH}/late_data"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+
+    def slice_df(rows):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s), float(v)) for s, v in rows],
+            "ts timestamp, value double",
+        )
+
+    def stage_slice(df, name):
+        tmp = f"{stage}_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = globmod.glob(f"{tmp}/part-*.parquet")[0]
+        os.replace(part, f"{stage}/{name}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # batch 1: one row in window [00:00, 01:00), one at 01:30 that
+    # advances the watermark to 01:20 > window end
+    stage_slice(slice_df([(5, 1.0), (90, 2.0)]), "a")
+    timemod.sleep(1.1)  # file mtime order = replay order
+    # batch 2 runs with wm 01:20: window 0 is emitted and evicted here
+    stage_slice(slice_df([(120, 3.0)]), "b")
+    timemod.sleep(1.1)
+    # batch 3: event-time 00:00:07 targets the evicted window → dropped
+    stage_slice(slice_df([(7, 100.0)]), "c")
+
+    schema = slice_df([(0, 0.0)]).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    out = run_stream_to_memory(
+        streaming_tumbling_time_window(stream, "ts", "value", "sum", 60_000, watermark="10 seconds"),
+        output_mode="append",
+    )
+    rows = {r["window_start"]: r["result"] for r in out.collect()}
+    # only the finalized first window appears, WITHOUT the late row
+    assert list(rows.values()) == [1.0]

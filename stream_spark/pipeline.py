@@ -213,6 +213,27 @@ def _stage_join(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     return df.alias("l").join(other.alias("r"), cond, how)
 
 
+def _stage_dedup(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
+    """Exact dedup as a pipeline stage: keep the min-``id`` row per
+    normalized content key — deterministic under any partitioning
+    (dropDuplicates keeps an arbitrary row; min-id join does not)."""
+    from stream_spark.operators.text import md5_long, normalize_text
+
+    text_col = s.get("column", "text")
+    id_col = s.get("id", "doc_id")
+    keyed = df.withColumn("_ck", md5_long(normalize_text(F.col(text_col))))
+    keepers = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keepers, ["_ck", id_col], "left_semi").drop("_ck")
+
+
+def _stage_sample(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
+    """Deterministic hash-of-id sampling (operators.sampling) — the
+    reproducible-dataset primitive, never ``df.sample``."""
+    from stream_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(df, s.get("id", "doc_id"), float(s["rate"]))
+
+
 STAGE_TYPES: dict[str, Callable] = {
     "filter": _stage_filter,
     "aggregate": _stage_aggregate,
@@ -221,6 +242,8 @@ STAGE_TYPES: dict[str, Callable] = {
     "union": _stage_union,
     "join": _stage_join,
     "log": _stage_log,
+    "dedup": _stage_dedup,
+    "sample": _stage_sample,
 }
 
 

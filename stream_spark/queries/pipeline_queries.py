@@ -277,3 +277,35 @@ def pipeline_flogo_channel_app(spark: SparkSession, sf_dir: str) -> DataFrame:
         _FLOGO_CHANNEL_APP, source={"table": "events"}, input_map={"input": "=$.value"}
     )
     return pipe.run(spark, sf_dir)
+
+
+@register(
+    "pipeline_dedup_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS ck
+        FROM documents
+    ),
+    keep AS (SELECT ck, MIN(doc_id) AS doc_id FROM keyed GROUP BY ck)
+    SELECT k.doc_id, k.lang
+    FROM keyed k JOIN keep USING (ck, doc_id)
+    WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 5000
+    """,
+)
+def pipeline_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data pipeline in JSON: exact dedup (deterministic
+    min-id keeper) → reproducible 50% sample → projection, all
+    declared as DSL stages."""
+    pipe = Pipeline.from_dict(
+        {
+            "name": "prep",
+            "source": {"table": "documents"},
+            "stages": [
+                {"type": "dedup", "settings": {"column": "text", "id": "doc_id"}},
+                {"type": "sample", "settings": {"rate": 0.5, "id": "doc_id"}},
+                {"type": "select", "settings": {"columns": ["doc_id", "lang"]}},
+            ],
+        }
+    )
+    return pipe.run(spark, sf_dir)

@@ -34,6 +34,10 @@ SMOKE = [
     "text_quality_score",
     "ann_topk_bruteforce",
     "training_data_prep",
+    "embeddings_kmeans",
+    "training_pack_sequences",
+    "dedup_clusters",
+    "pipeline_dedup_sample",
 ]
 
 _full = os.environ.get("SPARK_GRAFT_ORACLE_FULL", "1") != "0"

@@ -6,6 +6,7 @@ from stream_spark.sources.tables import (
     load_tables,
     register_views,
     stage_table_as,
+    write_bucketed,
 )
 
-__all__ = ["TABLES", "read_binary_files", "write_binary_files", "TEXT_TS_FMT", "load_table", "load_tables", "register_views", "stage_table_as"]
+__all__ = ["TABLES", "read_binary_files", "write_binary_files", "TEXT_TS_FMT", "load_table", "load_tables", "register_views", "stage_table_as", "write_bucketed"]

@@ -105,3 +105,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql use."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_bucketed(
+    df, table_name: str, bucket_col: str, n_buckets: int = 16, sort_col: str | None = None
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on a join key.
+
+    Bucketing is the 100 TB fact-fact join strategy: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange — each task reads matching bucket files from both sides.
+    At cluster scale the write targets the metastore; locally it lands
+    in ``spark.sql.warehouse.dir``.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)

@@ -305,3 +305,33 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", order).alias("close"),
         )
     )
+
+
+@register(
+    "events_range_join_click_purchase",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS delta_ms
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 300000
+    """,
+)
+def events_range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (|Δt| ≤ 5 min, same user) as a bucketized equi-join
+    — one shuffle on (user, time-bucket), no BroadcastNestedLoopJoin,
+    ≤3× candidate fan-out (operators/rangejoin.py)."""
+    from stream_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), ms.alias("c_ms")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), ms.alias("p_ms")
+    )
+    out = range_join(clicks, purchases, ["user_id"], "c_ms", "p_ms", 300_000)
+    return out.select(
+        "user_id", "click_id", "purchase_id", (F.col("p_ms") - F.col("c_ms")).alias("delta_ms")
+    )

@@ -132,3 +132,18 @@ def test_pack_sequences_boundaries(spark):
     assert rows[3]["pack_id"] == 1 and rows[3]["n_packs_spanned"] == 1
     # doc 4: [2548, 7548) → packs 1..3
     assert rows[4]["pack_id"] == 1 and rows[4]["n_packs_spanned"] == 3
+
+
+def test_range_join_tolerance_boundaries(spark):
+    from stream_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([(1, 10, 1000), (1, 11, 5000)], ["k", "lid", "lts"])
+    right = spark.createDataFrame(
+        [(1, 20, 1000), (1, 21, 1300), (1, 22, 1301), (2, 23, 1000)], ["k", "rid", "rts"]
+    )
+    out = range_join(left, right, ["k"], "lts", "rts", 300)
+    pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+    # lid 10 @1000: rid 20 (Δ0), 21 (Δ300 inclusive), NOT 22 (Δ301), NOT 23 (other key)
+    assert pairs == {(10, 20), (10, 21)}
+    # each qualifying pair appears exactly once despite the 3-bucket fan-out
+    assert out.count() == 2

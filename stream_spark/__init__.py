@@ -20,7 +20,9 @@ from stream_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from stream_spark.operators.asof import asof_join
 from stream_spark.operators.packing import pack_sequences
+from stream_spark.operators.rangejoin import range_join
 from stream_spark.operators.sampling import (
     deterministic_sample,
     mix_corpus,
@@ -54,6 +56,7 @@ __all__ = [
     "Pipeline",
     "TelemetryService",
     "approx_distinct",
+    "asof_join",
     "approx_quantiles",
     "connected_components",
     "connected_components_star",
@@ -72,6 +75,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pack_sequences",
     "quality_features",
+    "range_join",
     "register_telemetry_service",
     "repetition_features",
     "simhash_pairs",

@@ -1,0 +1,61 @@
+"""Empty-input robustness: every operator family must return an empty
+(correctly-schemed) result on empty input, not crash — at 100 TB a
+filter can legitimately empty a partition-pruned branch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame([], "ts timestamp, event_id long, event_type string, value double")
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_windows_on_empty(empty_events):
+    from stream_spark.operators.windows import (
+        sliding_count_window,
+        sliding_time_window,
+        tumbling_count_window,
+        tumbling_time_window,
+    )
+
+    assert tumbling_count_window(empty_events, "value", "sum", 5).count() == 0
+    assert sliding_count_window(empty_events, "value", "avg", 4, 2).count() == 0
+    assert tumbling_time_window(empty_events, "ts", "value", "min", 1000).count() == 0
+    assert sliding_time_window(empty_events, "ts", "value", "max", 1000, 500).count() == 0
+
+
+def test_dedup_on_empty(empty_docs):
+    from stream_spark.operators.dedup import exact_dedup, minhash_lsh_candidates, ngram_jaccard_pairs
+
+    assert exact_dedup(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs, threshold=0.5).count() == 0
+    assert minhash_lsh_candidates(empty_docs).count() == 0
+
+
+def test_text_and_packing_on_empty(empty_docs):
+    from stream_spark.operators.packing import pack_sequences
+    from stream_spark.operators.text import quality_features, repetition_features
+
+    assert quality_features(empty_docs).count() == 0
+    assert repetition_features(empty_docs).count() == 0
+    toks = empty_docs.select("doc_id", F.lit(1).alias("n_tokens"))
+    assert pack_sequences(toks).count() == 0
+
+
+def test_components_and_rangejoin_on_empty(spark):
+    from stream_spark.operators.components import connected_components_star
+    from stream_spark.operators.rangejoin import range_join
+
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_star(edges).count() == 0
+    l = spark.createDataFrame([], "k long, lts long")
+    r = spark.createDataFrame([], "k long, rts long")
+    assert range_join(l, r, ["k"], "lts", "rts", 100).count() == 0

@@ -265,3 +265,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size")).select(
         F.col("component").alias("keeper_doc_id"), "cluster_size"
     )
+
+
+@register(
+    "training_data_prep_packed",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS ck
+        FROM documents
+    ),
+    keep AS (SELECT ck, MIN(doc_id) AS doc_id FROM keyed GROUP BY ck),
+    kept AS (SELECT k.doc_id, k.text FROM keyed k JOIN keep USING (ck, doc_id)),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+          FROM t, unnest(generate_series(1, len(toks) - 3)) u(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.doc_id % 50 <> 0
+    ),
+    clean AS (
+        SELECT k.doc_id,
+               CAST(len(string_split_regex(trim(k.text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM kept k
+        WHERE k.doc_id % 50 <> 0
+          AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    gated AS (
+        SELECT * FROM clean
+        WHERE n_tokens BETWEEN 20 AND 1000
+          AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000
+    ),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM gated)
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def training_data_prep_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE Catalyst plan: exact
+    dedup (min-id keeper) → benchmark decontamination (4-gram overlap
+    with the eval stand-in, bench docs dropped) → token-count quality
+    gate → deterministic 80% sample → 2048-token sequence packing.
+    Every stage is the scale-safe operator form: keyed shuffles and
+    one bounded-broadcast gram join; the only global coordination is
+    packing's two-pass prefix sum."""
+    from stream_spark.operators.packing import pack_sequences
+    from stream_spark.operators.sampling import deterministic_sample
+    from stream_spark.operators.text import (
+        decontaminate,
+        md5_long,
+        normalize_text,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.withColumn("_ck", md5_long(normalize_text(F.col("text"))))
+    keepers = keyed.groupBy("_ck").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keepers, ["_ck", "doc_id"], "left_semi").drop("_ck")
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = kept.filter(F.col("doc_id") % 50 != 0)
+    hits = decontaminate(corpus, bench, n=4).select("doc_id")
+    clean = corpus.join(hits, "doc_id", "left_anti").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+
+    gated = deterministic_sample(
+        clean.filter(F.col("n_tokens").between(20, 1000)), "doc_id", 0.8
+    )
+    return pack_sequences(gated.select("doc_id", "n_tokens"), budget=2048).select(
+        "doc_id", "n_tokens", "start_offset", "pack_id"
+    )

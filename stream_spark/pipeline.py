@@ -402,11 +402,23 @@ class Pipeline:
         return cls(app.get("name", "flogo-app"), source, stages, output=out_meta or None)
 
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, self.source["table"], fmt=self.source.get("format", "parquet"))
+        return self.run_on(df, spark, sf_dir)
+
+    def run_on(self, df: DataFrame, spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+        """Apply the stage chain to a given DataFrame — batch OR a
+        Structured Streaming frame (the reference executes the same
+        pipeline definition per live event; here the same declarative
+        chain compiles onto either engine mode). Streaming callers:
+        count windows (tumbling/sliding) need arrival-order row
+        numbers and live in ``streaming.jobs``; time windows, filters,
+        and mappings compose directly. ``union``/``join`` stages load
+        their other side via ``sf_dir`` (batch only).
+        """
         tel = get_telemetry_service()
         iid = f"{self.name}#{next(_INSTANCE_SEQ)}"
         if tel:
             tel.pipeline_started(self.name, iid, {"source": dict(self.source)})
-        df = load_table(spark, sf_dir, self.source["table"], fmt=self.source.get("format", "parquet"))
         for i, st in enumerate(self.stages):
             sid = f"{i}:{st['type']}"
             if tel:

@@ -269,3 +269,40 @@ def streaming_count_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_tumbling_count(stream, "event_type", "value", "max", 50), output_mode="append"
     )
     return out.select("event_type", "window_id", "result")
+
+
+@register(
+    "streaming_pipeline_flogo",
+    oracle=f"""
+    SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           {_DSUM} AS result
+    FROM events WHERE value <> 0 GROUP BY window_start_ms
+    """,
+)
+def streaming_pipeline_flogo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flogo pipeline DSL executed on a LIVE stream: the same
+    declarative stage chain (non-zero filter → hourly tumbling sum)
+    compiled once and run via Pipeline.run_on over a 4-slice replay —
+    the reference's per-event pipeline interpreter becomes one
+    streaming plan."""
+    from stream_spark.pipeline import Pipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/pipeline_stream"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    pipe = Pipeline.from_dict(
+        {
+            "name": "stream_agg",
+            "source": {"table": "events"},
+            "stages": [
+                {"type": "filter", "settings": {"type": "non-zero", "column": "value"}},
+                {"type": "aggregate", "settings": {
+                    "function": "sum", "windowType": "timeTumbling", "windowSize": _HOUR}},
+            ],
+        }
+    )
+    out = run_stream_to_memory(pipe.run_on(stream, spark), output_mode="complete")
+    return out.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"), "result"
+    )

@@ -306,3 +306,42 @@ def streaming_pipeline_flogo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"), "result"
     )
+
+
+@register(
+    "streaming_merge_sources",
+    oracle=f"""
+    WITH merged AS (
+        SELECT ts, value FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           {_DSUM} AS result
+    FROM merged GROUP BY window_start_ms
+    """,
+)
+def streaming_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source merge on LIVE streams (reference README: "join
+    streams from multiple event sources"): two independent replay
+    streams unioned into one windowed aggregation — Spark unions
+    streaming frames like batch ones, state merges arrivals from
+    either source."""
+    ev = load_table(spark, sf_dir, "events")
+    stage_a = f"{_SCRATCH}/merge_clicks"
+    stage_b = f"{_SCRATCH}/merge_views"
+    shutil.rmtree(stage_a, ignore_errors=True)
+    shutil.rmtree(stage_b, ignore_errors=True)
+    clicks = file_replay_stream(
+        spark, ev.filter(F.col("event_type") == "click").select("ts", "value"), stage_a, n_slices=2
+    )
+    views = file_replay_stream(
+        spark, ev.filter(F.col("event_type") == "view").select("ts", "value"), stage_b, n_slices=2
+    )
+    merged = clicks.unionByName(views)
+    out = run_stream_to_memory(
+        streaming_tumbling_time_window(merged, "ts", "value", "sum", _HOUR), output_mode="complete"
+    )
+    return out.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"), "result"
+    )

@@ -345,3 +345,43 @@ def streaming_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"), "result"
     )
+
+
+@register(
+    "streaming_asof_purchase_click",
+    oracle="""
+    SELECT p.user_id, p.event_id AS left_id,
+           epoch_ms(p.ts) AS left_ts, p.value AS left_value,
+           c.event_id AS right_id, epoch_ms(c.ts) AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def streaming_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment on a LIVE stream: clicks update per-user state,
+    purchases emit joined to the latest preceding click — the
+    streaming counterpart of events_asof_join_purchase_click, checked
+    against DuckDB's native ASOF JOIN. Single-slice replay so arrival
+    order is the (ts, event_id) total order the batch oracle assumes."""
+    from stream_spark.streaming import streaming_asof_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "click", "R").otherwise("L").alias("side"),
+        )
+    )
+    stage = f"{_SCRATCH}/asof_stream"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, tagged, stage, n_slices=1, max_files_per_trigger=None)
+    out = run_stream_to_memory(
+        streaming_asof_enrich(stream, "user_id", "ts", "side", "value", "event_id"),
+        output_mode="append",
+    )
+    return out.select("user_id", "left_id", "left_ts", "left_value", "right_id", "right_ts")

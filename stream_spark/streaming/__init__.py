@@ -1,5 +1,6 @@
 from stream_spark.streaming.jobs import (
     run_paced_stream_to_memory,
+    streaming_asof_enrich,
     run_stream_to_memory,
     streaming_sliding_count,
     streaming_sliding_time_window,
@@ -19,5 +20,6 @@ __all__ = [
     "streaming_sliding_time_window",
     "streaming_tumbling_count",
     "streaming_sliding_count",
+    "streaming_asof_enrich",
     "TelemetryListener",
 ]

@@ -264,3 +264,64 @@ def run_stream_foreach_batch_parquet(result: DataFrame, out_dir: str, timeout_s:
 
     q = result.writeStream.foreachBatch(sink).outputMode("append").trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
+
+
+def streaming_asof_enrich(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    side_col: str,
+    value_col: str,
+    id_col: str,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Streaming as-of enrichment: rows tagged ``side_col`` == 'R' set
+    per-key state (latest right id/ts); rows tagged 'L' emit joined to
+    the most recent 'R' at-or-before them. The streaming counterpart
+    of ``operators.asof.asof_join`` — same union-and-carry idea, with
+    the carry held in per-key state across micro-batches instead of a
+    window function.
+
+    State per key = one (ts, id) pair — bounded regardless of stream
+    length. Rows are folded in ``order_cols`` order within each
+    micro-batch, with 'R' rows before 'L' rows at equal order keys so
+    an exactly-simultaneous right row is visible to the left row —
+    the inclusive (c.ts <= p.ts) as-of convention; cross-batch order
+    is arrival order, as with the count windows.
+    """
+
+    def process(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, last_id, has_right = state.get if state.exists else (0, 0, False)
+        out = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.assign(_sr=(batch[side_col] != "R").astype(int))
+        batch = batch.sort_values([order_cols[0], "_sr", *order_cols[1:]], kind="mergesort")
+        for _, row in batch.iterrows():
+            if row[side_col] == "R":
+                last_ts, last_id, has_right = int(row[ts_col]), int(row[id_col]), True
+            else:
+                out.append(
+                    (
+                        key[0],
+                        int(row[id_col]),
+                        int(row[ts_col]),
+                        float(row[value_col]),
+                        int(last_id) if has_right else None,
+                        int(last_ts) if has_right else None,
+                    )
+                )
+        state.update((int(last_ts), int(last_id), bool(has_right)))
+        yield pd.DataFrame(
+            out,
+            columns=[key_col, "left_id", "left_ts", "left_value", "right_id", "right_ts"],
+        )
+
+    out_schema = (
+        f"{key_col} long, left_id long, left_ts long, left_value double, "
+        "right_id long, right_ts long"
+    )
+    return stream.groupBy(key_col).applyInPandasWithState(
+        process, out_schema, "ts long, rid long, has boolean", "append", GroupStateTimeout.NoTimeout
+    )

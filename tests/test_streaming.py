@@ -298,3 +298,30 @@ def test_watermark_drops_late_data(spark):
     rows = {r["window_start"]: r["result"] for r in out.collect()}
     # only the finalized first window appears, WITHOUT the late row
     assert list(rows.values()) == [1.0]
+
+
+def test_streaming_asof_simultaneous_right_visible(spark):
+    """A right-side row with exactly the left row's timestamp must be
+    matched (inclusive as-of), regardless of event_id order."""
+    from stream_spark.streaming import streaming_asof_enrich
+
+    rows = [
+        (1, 1000, 5, 1.0, "R"),   # click @1000
+        (1, 2000, 9, 2.0, "L"),   # purchase @2000 → matches id 5
+        (1, 3000, 2, 3.0, "L"),   # purchase @3000, SAME ts as the next click
+        (1, 3000, 7, 4.0, "R"),   # click @3000 (higher event_id than the purchase)
+        (1, 4000, 8, 5.0, "L"),   # purchase @4000 → matches id 7
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double, side string")
+    stage = f"{SCRATCH}/asof_tie"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, df, stage, n_slices=1, max_files_per_trigger=None)
+    from stream_spark.streaming import run_stream_to_memory
+
+    out = run_stream_to_memory(
+        streaming_asof_enrich(stream, "user_id", "ts", "side", "value", "event_id"),
+        output_mode="append",
+    )
+    got = {r["left_id"]: r["right_id"] for r in out.collect()}
+    # the @3000 purchase sees the @3000 click (R sorts before L at equal ts)
+    assert got == {9: 5, 2: 7, 8: 7}

@@ -110,3 +110,36 @@ def test_grouped_global_tumbling_matches_model(spark, vals, size):
         for key in set(k for k, _ in chunk):
             want[(w, key)] = float(sum(v for k, v in chunk if k == key))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-20, 20)), min_size=1, max_size=40
+    ),
+    size_ms=st.sampled_from([100, 250, 1000, 3600]),
+)
+def test_tumbling_time_matches_model(spark, rows, size_ms):
+    """Epoch bucketing: every event lands in exactly floor(ms/size)."""
+    import datetime as dt
+
+    from stream_spark.operators.windows import tumbling_time_window
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(milliseconds=ms), i, float(v))
+            for i, (ms, v) in enumerate(rows)
+        ],
+        "ts timestamp, event_id long, value double",
+    )
+    out = tumbling_time_window(df, "ts", "value", "sum", size_ms)
+    base = dt.datetime(2024, 1, 1)
+    got = {
+        int((r["window_start"] - base).total_seconds() * 1000): r["result"]
+        for r in out.collect()
+    }
+    want: dict[int, float] = {}
+    for ms, v in rows:
+        w = (ms // size_ms) * size_ms
+        want[w] = want.get(w, 0.0) + float(v)
+    assert got == want

@@ -325,3 +325,45 @@ def test_streaming_asof_simultaneous_right_visible(spark):
     got = {r["left_id"]: r["right_id"] for r in out.collect()}
     # the @3000 purchase sees the @3000 click (R sorts before L at equal ts)
     assert got == {9: 5, 2: 7, 8: 7}
+
+
+def test_streaming_asof_state_survives_restart(spark):
+    """The as-of carry state (latest right per key) persists through a
+    checkpointed restart: a purchase arriving after the restart still
+    matches a click seen before it."""
+    from stream_spark.streaming import streaming_asof_enrich
+
+    stage = f"{SCRATCH}/asof_ckpt_src"
+    ckpt = f"{SCRATCH}/asof_ckpt_state"
+    out_dir = f"{SCRATCH}/asof_ckpt_out"
+    for d in (stage, ckpt, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    schema = "user_id long, ts long, event_id long, value double, side string"
+    batch1 = spark.createDataFrame([(1, 1000, 5, 1.0, "R"), (1, 2000, 6, 2.0, "L")], schema)
+    batch2 = spark.createDataFrame([(1, 5000, 7, 3.0, "L")], schema)
+    batch1.repartition(1).write.mode("overwrite").parquet(stage)
+
+    def run_once():
+        stream = spark.readStream.schema(batch1.schema).parquet(stage)
+        out = streaming_asof_enrich(stream, "user_id", "ts", "side", "value", "event_id")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    batch2.repartition(1).write.mode("append").parquet(stage)
+    run_once()
+
+    got = {r["left_id"]: r["right_id"] for r in spark.read.parquet(out_dir).collect()}
+    # the post-restart purchase (id 7) still sees the pre-restart click (id 5)
+    assert got == {6: 5, 7: 5}

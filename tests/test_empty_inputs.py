@@ -59,3 +59,17 @@ def test_components_and_rangejoin_on_empty(spark):
     l = spark.createDataFrame([], "k long, lts long")
     r = spark.createDataFrame([], "k long, rts long")
     assert range_join(l, r, ["k"], "lts", "rts", 100).count() == 0
+
+
+def test_null_values_in_windows(spark):
+    """Null measurements: SUM/AVG skip nulls (SQL semantics) but the
+    row still occupies its count-window slot — a sample arrived, its
+    measurement was missing."""
+    from stream_spark.operators.windows import tumbling_count_window
+
+    rows = [(i, i, None if i % 3 == 0 else float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "ts long, event_id long, value double")
+    out = {r["window_id"]: r["result"] for r in
+           tumbling_count_window(df, "value", "sum", 4, order_cols=("ts", "event_id")).collect()}
+    # windows of 4 rows each; nulls (0,3,6,9) excluded from sums
+    assert out == {0: 1.0 + 2.0, 1: 4.0 + 5.0 + 7.0, 2: 8.0 + 10.0 + 11.0}

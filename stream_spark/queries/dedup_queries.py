@@ -340,3 +340,49 @@ def training_data_prep_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(gated.select("doc_id", "n_tokens"), budget=2048).select(
         "doc_id", "n_tokens", "start_offset", "pack_id"
     )
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_UNNEST_E},
+    {_HP.format(np=N_PLANES - 1)},
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        JOIN buckets ba ON a.vec_id = ba.vec_id
+        JOIN buckets bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
+        GROUP BY id_a, id_b
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM dots
+        JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+        WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    ),
+    und AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach(node, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT component AS keeper_vec_id, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding dedup pipeline end to end: LSH-bucketed cosine
+    pairs (≥0.4) → large-star/small-star components → one keeper per
+    cluster. Both stages are the scale paths (equi-join buckets, O(log
+    n) rounds); the oracle replays them with a recursive-CTE closure."""
+    from stream_spark.operators.components import connected_components_star
+    from stream_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh(emb, threshold=0.4).select("id_a", "id_b")
+    comp = connected_components_star(pairs, a_col="id_a", b_col="id_b")
+    return comp.groupBy("component").agg(F.count("*").alias("cluster_size")).select(
+        F.col("component").alias("keeper_vec_id"), "cluster_size"
+    )

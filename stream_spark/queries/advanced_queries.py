@@ -335,3 +335,41 @@ def events_range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select(
         "user_id", "click_id", "purchase_id", (F.col("p_ms") - F.col("c_ms")).alias("delta_ms")
     )
+
+
+@register(
+    "orders_daily_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) AS day_ms,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders GROUP BY day_ms
+    )
+    SELECT day_ms,
+           CAST(total AS DOUBLE) AS day_total,
+           CAST(CAST(SUM(total) OVER w AS DOUBLE) / COUNT(*) OVER w AS DOUBLE) AS trailing_avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue average. The row-scale work is ONE keyed
+    daily aggregation; the ordered window then runs over the bounded
+    daily grid (#days rows — metadata scale), which is the sanctioned
+    use of a global frame (audit allows ≤1 single-partition exchange).
+    The trailing sum accumulates in DECIMAL so frame-evaluation order
+    can't perturb the double result."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.unix_millis(F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))).alias("day_ms")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+    w = Window.orderBy("day_ms").rowsBetween(-6, 0)
+    return daily.select(
+        "day_ms",
+        F.col("total").cast("double").alias("day_total"),
+        (F.sum("total").over(w).cast("double") / F.count("*").over(w)).cast("double").alias(
+            "trailing_avg_7d"
+        ),
+    )

@@ -346,3 +346,34 @@ def source_binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(
         back.withColumn("meta", F.struct(F.lit("application/octet-stream").alias("media_type")))
     ).select("doc_id", "byte_len", "payload_md5")
+
+
+@register(
+    "source_partitioned_parquet_pruned",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+    """,
+)
+def source_partitioned_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet round trip with partition PRUNING:
+    documents re-written partitioned by lang, re-read with a lang
+    filter — the plan's PartitionFilters prune non-matching
+    directories before any IO (asserted here, not just hoped)."""
+    import shutil
+
+    from stream_spark.sources.sinks import write_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = "/root/repo/.scratch/part_docs"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_table(docs, stage, partition_by=["lang"])
+    back = spark.read.parquet(stage).filter(F.col("lang").isin("en", "de"))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "lang" not in plan.split("PartitionFilters:")[1][:120]:
+        raise AssertionError("partition pruning did not reach the scan:\n" + plan)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )

@@ -373,3 +373,32 @@ def orders_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_avg_7d"
         ),
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n
+        FROM events GROUP BY bin
+    )
+    SELECT bin, bin * 25.0 AS bin_lo, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / (SELECT SUM(n) FROM b) AS frac
+    FROM b
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: one keyed agg on the bin id; the grand
+    total for the fraction is a bounded-metadata collect (one scalar),
+    not a second pass over the rows."""
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(F.floor(F.col("value") / 25.0).cast("long").alias("bin")).agg(
+        F.count("*").alias("n")
+    )
+    total = bins.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    return bins.select(
+        "bin",
+        (F.col("bin") * 25.0).alias("bin_lo"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.lit(float(total))).alias("frac"),
+    )

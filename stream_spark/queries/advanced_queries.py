@@ -402,3 +402,70 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.lit(float(total))).alias("frac"),
     )
+
+
+@register(
+    "lineitem_part_copurchase",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 3
+    """,
+)
+def lineitem_part_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: parts bought together ≥3 times.
+    The self-join is an EQUI-join on l_orderkey — pair volume is
+    Σ C(order_size, 2), bounded by the per-order line cap (7 in
+    TPC-H), never corpus²."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+               CAST(epoch_ms(date_trunc('month', ts)) AS BIGINT) AS month_ms,
+               user_id
+        FROM events
+    ),
+    dau AS (SELECT month_ms, day_ms, COUNT(DISTINCT user_id) AS dau
+            FROM d GROUP BY month_ms, day_ms),
+    mau AS (SELECT month_ms, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY month_ms)
+    SELECT dau.month_ms, dau.day_ms, dau.dau, mau.mau,
+           CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+    FROM dau JOIN mau USING (month_ms)
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU engagement: two exact-distinct aggs on (month, day) and
+    (month) keys joined on the bounded month grid — the per-month side
+    is metadata-sized, so the join never shuffles the event rows
+    twice."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    d = ev.select(
+        F.unix_millis(F.date_trunc("day", ts)).alias("day_ms"),
+        F.unix_millis(F.date_trunc("month", ts)).alias("month_ms"),
+        "user_id",
+    )
+    dau = d.groupBy("month_ms", "day_ms").agg(F.countDistinct("user_id").alias("dau"))
+    mau = d.groupBy("month_ms").agg(F.countDistinct("user_id").alias("mau"))
+    # broadcast-ok: one row per month (bounded calendar grid)
+    return dau.join(F.broadcast(mau), "month_ms").select(
+        "month_ms", "day_ms", "dau", "mau",
+        (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    )

@@ -1,0 +1,20 @@
+"""Registry invariants the rest of the harness relies on."""
+
+from __future__ import annotations
+
+import re
+
+from stream_spark.queries import ORACLES, QUERIES
+
+
+def test_every_query_has_an_oracle():
+    """The all-oracled property: no rows-only fallbacks. A new query
+    without a DuckDB oracle fails here before it weakens the gate."""
+    assert set(ORACLES) == set(QUERIES)
+    assert len(QUERIES) >= 121
+
+
+def test_names_and_oracles_wellformed():
+    for name, sql in ORACLES.items():
+        assert re.fullmatch(r"[a-z0-9_]+", name), name
+        assert sql.strip().upper().startswith(("SELECT", "WITH")), name

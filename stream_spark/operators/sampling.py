@@ -62,3 +62,21 @@ def mix_corpus(
         if s in counts and counts[s] > 0
     }
     return stratified_sample(df, id_col, source_col, rates)
+
+
+def split_corpus(df: DataFrame, id_col: str, weights: dict[str, float]) -> DataFrame:
+    """Reproducible train/val/test splitting: contiguous hash-bucket
+    ranges per split, so membership is a pure function of the row id
+    (re-runs, re-partitions, and incremental additions never move a
+    row between splits). Weights must sum to ≤ 1; remainder is
+    dropped."""
+    if sum(weights.values()) > 1.0 + 1e-9:
+        raise ValueError("split weights sum to more than 1")
+    bucket = hash_bucket(F.col(id_col))
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for name, w in weights.items():  # insertion order = stable ranges
+        hi = lo + int(w * BUCKETS)
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+        lo = hi
+    return df.withColumn("split", expr).filter(F.col("split").isNotNull())

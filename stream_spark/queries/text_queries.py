@@ -243,3 +243,29 @@ def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mix_corpus(docs, "doc_id", "source", _MIX, _MIX_N).select("doc_id", "source")
+
+
+@register(
+    "documents_train_val_test",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 split: contiguous hash-bucket ranges —
+    membership depends only on doc_id, never on layout or history."""
+    from stream_spark.operators.sampling import split_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_corpus(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )

@@ -20,6 +20,7 @@ from stream_spark.operators.text import (
     decontaminate,
     bpe_ish_token_count,
     token_count,
+    tokens,
 )
 from stream_spark.operators.packing import pack_sequences
 from stream_spark.queries.registry import register
@@ -268,4 +269,49 @@ def documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return split_corpus(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
         "doc_id", "split"
+    )
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH doc_words AS (
+        SELECT doc_id, unnest({TOKS}) AS t FROM documents
+    ),
+    freq AS (SELECT t AS w, COUNT(*) AS c FROM doc_words GROUP BY t),
+    vocab AS (SELECT w FROM freq ORDER BY c DESC, w LIMIT 50),
+    oov AS (
+        SELECT dw.doc_id, COUNT(*) AS n_oov
+        FROM doc_words dw LEFT JOIN vocab v ON dw.t = v.w
+        WHERE v.w IS NULL GROUP BY dw.doc_id
+    ),
+    per_doc AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents)
+    SELECT p.doc_id, p.n_tokens,
+           CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / p.n_tokens AS oov_rate
+    FROM per_doc p LEFT JOIN oov o ON p.doc_id = o.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus top-50 vocabulary
+    (ties broken by count DESC, word ASC — deterministic). The vocab
+    is a bounded-metadata collect (K rows) compiled into the scoring
+    expression — per-doc scoring is a map-only pass, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    words = docs.select(F.explode(toks).alias("w"))
+    top = (
+        words.groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(50)
+        .collect()  # bounded metadata: K vocabulary rows
+    )
+    vocab = [r["w"] for r in top]
+    n_tok = F.size(toks)
+    n_oov = F.size(F.filter(toks, lambda t: ~t.isin(*vocab)))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        (n_oov.cast("double") / n_tok).alias("oov_rate"),
     )

@@ -11,7 +11,7 @@ def test_every_query_has_an_oracle():
     """The all-oracled property: no rows-only fallbacks. A new query
     without a DuckDB oracle fails here before it weakens the gate."""
     assert set(ORACLES) == set(QUERIES)
-    assert len(QUERIES) >= 122
+    assert len(QUERIES) >= 123
 
 
 def test_names_and_oracles_wellformed():

@@ -38,3 +38,35 @@ def test_salted_join_matches_plain(spark, skewed):
     plain = skewed.join(dim, skewed["k"] == dim["dk"]).count()
     salted = salted_join(skewed, dim, "k", "dk", n_salts=8, big_salt_on="rid").count()
     assert salted == plain == 902  # 900 hot + k1 + k2
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join is the first line of defense before manual
+    salting: a 2000:1 hot key must be split at runtime (skew=true in
+    the adaptive final plan) with results unchanged."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(F.lit(0).alias("k"), F.col("id").alias("v")).union(
+            spark.range(100).select((F.col("id") % 10 + 1).cast("long").alias("k"), F.col("id").alias("v"))
+        )
+        right = spark.range(11).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(rows) == 200_100
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

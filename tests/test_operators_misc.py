@@ -147,3 +147,27 @@ def test_range_join_tolerance_boundaries(spark):
     assert pairs == {(10, 20), (10, 21)}
     # each qualifying pair appears exactly once despite the 3-bucket fan-out
     assert out.count() == 2
+
+
+def test_mix_corpus_and_split_edges(spark):
+    """Mixing: unlisted sources drop, oversubscribed sources cap at
+    rate 1. Splitting: partitions are disjoint and exhaustive over the
+    declared weights; membership survives re-partitioning."""
+    from stream_spark.operators.sampling import mix_corpus, split_corpus
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # ask for more 'b' docs than exist → rate caps at 1 (all 10 kept)
+    out = mix_corpus(df, "doc_id", "source", {"b": 1.0}, n_target=100)
+    assert {r["source"] for r in out.collect()} == {"b"}
+    assert out.count() == 10
+
+    sp = split_corpus(df, "doc_id", {"train": 0.5, "val": 0.5})
+    got = {r["doc_id"]: r["split"] for r in sp.collect()}
+    assert len(got) == 50  # weights sum to 1 → exhaustive
+    sp2 = {r["doc_id"]: r["split"] for r in split_corpus(df.repartition(7), "doc_id", {"train": 0.5, "val": 0.5}).collect()}
+    assert got == sp2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_corpus(df, "doc_id", {"a": 0.9, "b": 0.2})

@@ -149,6 +149,35 @@ def topk_bruteforce(
     )
 
 
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, neighbor) pairs with cosine ≥ ``threshold`` —
+    radius search, the thresholded sibling of ``topk_bruteforce``.
+
+    Broadcast query set over ONE corpus scan: map-only, zero shuffles —
+    each partition filters locally and only matches survive, so the
+    output is bounded by the hit count, not the corpus. Same two-phase
+    arithmetic as ``cosine_pairs``: float prefilter with 1e-6 margin,
+    exact decimal rescore decides.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    return (
+        # broadcast-ok: q is the contract-bounded query set, not the corpus
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(_float_cosine(F.col("qv"), F.col("cv")) >= threshold - 1e-6)
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .filter(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def hyperplane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     """Deterministic md5-derived hyperplanes (same formula as the SQL
     oracle: ((md5_60bit(j:i) % 2001) - 1000) / 1000.0)."""

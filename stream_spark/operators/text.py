@@ -193,3 +193,65 @@ def decontaminate(
     # broadcast-ok: benchmark suite n-gram set, bounded by contract
     hits = grams(df).join(F.broadcast(bench), "gram")
     return hits.groupBy(id_col).agg(F.count("*").cast("long").alias("n_hits"))
+
+
+def char_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_entropy: bool = False,
+) -> DataFrame:
+    """Per-document character-distribution diversity.
+
+    Gibberish / boilerplate detection signal: a natural-language doc
+    spreads mass over ~30+ characters, while key-mashing or repeated
+    filler concentrates it. Emits exact rational metrics (Simpson
+    concentration Σp² and inverse-Simpson effective alphabet n²/Σc²)
+    so results are engine-reproducible — no transcendental functions
+    in the oracle-checked path. ``with_entropy`` adds Shannon entropy
+    in bits (JVM log2 — deterministic within Spark but not
+    bit-portable across engines, so kept out of gated results).
+
+    Scale: one explode linear in corpus characters, two keyed
+    aggregations on (doc, char) then (doc) — no joins, no driver state.
+    """
+    counts = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        # Java regex split(limit=-1) can keep a trailing zero-width
+        # match as ''; DuckDB's string_split never does — drop it
+        .filter(F.col("ch") != "")
+        .groupBy(id_col, "ch")
+        .agg(F.count("*").alias("_c"))
+    )
+    aggs = [
+        F.sum("_c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sum_c2"),
+    ]
+    if with_entropy:
+        aggs.append(
+            F.sum(
+                (F.col("_c").cast("double") * F.log2(F.col("_c").cast("double"))).cast(
+                    "decimal(28,10)"
+                )
+            ).alias("_clog2")
+        )
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+    out = per_doc.withColumn(
+        "simpson",
+        F.col("_sum_c2").cast("double")
+        / (F.col("n_chars") * F.col("n_chars")).cast("double"),
+    ).withColumn(
+        "effective_alphabet",
+        (F.col("n_chars") * F.col("n_chars")).cast("double")
+        / F.col("_sum_c2").cast("double"),
+    )
+    cols = [id_col, "n_chars", "distinct_chars", "simpson", "effective_alphabet"]
+    if with_entropy:
+        out = out.withColumn(
+            "entropy_bits",
+            F.log2(F.col("n_chars").cast("double"))
+            - F.col("_clog2").cast("double") / F.col("n_chars").cast("double"),
+        )
+        cols.append("entropy_bits")
+    return out.select(*cols)

@@ -24,5 +24,6 @@ from stream_spark.queries import tpch_extra as _tpch_extra  # noqa: E402,F401
 from stream_spark.queries import corpus_queries as _corpus_queries  # noqa: E402,F401
 from stream_spark.queries import streaming_queries as _streaming_queries  # noqa: E402,F401
 from stream_spark.queries import source_queries as _source_queries  # noqa: E402,F401
+from stream_spark.queries import chunk_queries as _chunk_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -57,3 +57,28 @@ def source_json_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
         F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias("max_date_ms"),
     )
+
+
+@register(
+    "source_orc_lineitem_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {_DSUM.format(col='l_quantity')} AS sum_qty,
+           {_DSUM.format(col='l_extendedprice')} AS sum_price,
+           MAX(epoch_ms(l_shipdate)) AS max_ship_ms
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def source_orc_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion parity: lineitem staged to ORC (Spark-native
+    columnar alternative), read back, aggregated — the oracle runs on
+    the parquet views, so green = lossless columnar round trip
+    including µs timestamps."""
+    li = stage_table_as(spark, sf_dir, "lineitem", "orc", f"{_SCRATCH}/orc")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.max(F.unix_millis(F.col("l_shipdate").cast("timestamp"))).alias("max_ship_ms"),
+    )

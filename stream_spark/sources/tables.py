@@ -76,6 +76,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
         if schema is not None:
             r = r.schema(schema)
         return r.json(path)
+    if fmt == "orc":
+        # columnar like parquet: schema travels with the file, and
+        # predicate pushdown / column pruning apply, so no schema arg
+        return spark.read.orc(path)
     raise ValueError(f"unsupported format: {fmt}")
 
 
@@ -92,6 +96,8 @@ def stage_table_as(spark: SparkSession, sf_dir: str, name: str, fmt: str, stage_
         writer.option("header", "true").csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported staging format: {fmt}")
     return load_table(spark, stage_root, name, fmt=fmt, schema=src.schema)

@@ -18,10 +18,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: queries where an all-pairs product is the documented algorithm.
-#: ann_topk_bruteforce is a broadcast of a CONTRACT-BOUNDED query set
-#: over the corpus scan — the product is the spec, not an accident.
+#: ann_topk_bruteforce / ann_range_search are broadcasts of a
+#: CONTRACT-BOUNDED query set over the corpus scan — the product is
+#: the spec, not an accident.
 PAIRWISE_OK = {
     "ann_topk_bruteforce",
+    "ann_range_search",
 }
 
 

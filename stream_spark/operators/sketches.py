@@ -54,3 +54,34 @@ def freq_items(df: DataFrame, cols: Sequence[str], support: float = 0.01) -> Dat
     """Misra-Gries style frequent items per column (single pass,
     bounded state ~1/support per partition, merged)."""
     return df.freqItems(list(cols), support)
+
+
+def windowed_approx_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_ms: int,
+    group_by: Sequence[str] | None = None,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """HLL++ distinct count per tumbling time window (and optional
+    group keys) — the sketch variant of the exact
+    ``agg_time_tumbling_distinct_users``.
+
+    At 100 TB this is THE windowed-distinct shape: the shuffle per
+    (window, group) carries one HLL register set (~KB at rsd=0.02)
+    instead of the full key set an exact count-distinct expands to.
+    Works identically on a watermarked stream (the aggregate is
+    mergeable, so partials combine across micro-batches) — see
+    streaming/jobs.streaming_windowed_approx_distinct.
+    """
+    w = F.window(F.col(ts_col), f"{window_ms} milliseconds")
+    keys = list(group_by or [])
+    out = df.groupBy(w.alias("window"), *keys).agg(
+        F.approx_count_distinct(key_col, rsd).alias("approx_distinct")
+    )
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        *keys,
+        "approx_distinct",
+    )

@@ -56,6 +56,34 @@ def streaming_sliding_time_window(
     )
 
 
+def streaming_windowed_approx_distinct(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_ms: int,
+    watermark: str = "1 hour",
+    group_by=None,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-window HLL++ distinct count on a live stream.
+
+    approx_count_distinct is a mergeable typed-imperative aggregate, so
+    micro-batch partials combine into the windowed state exactly like
+    sum/count — state per (window, group) is one register set, bounded
+    by the watermark horizon.
+    """
+    from stream_spark.operators.sketches import windowed_approx_distinct
+
+    return windowed_approx_distinct(
+        stream.withWatermark(ts_col, watermark),
+        ts_col,
+        key_col,
+        window_ms,
+        group_by=group_by,
+        rsd=rsd,
+    )
+
+
 def streaming_tumbling_count(
     stream: DataFrame,
     key_col: str,

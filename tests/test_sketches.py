@@ -48,3 +48,65 @@ def test_freq_items_finds_hot_value(spark):
     df = spark.createDataFrame(rows, ["k"])
     got = freq_items(df, ["k"], support=0.4).collect()[0]["k_freqItems"]
     assert "hot" in got
+
+
+def test_windowed_approx_distinct_vs_exact(spark, sf_dir):
+    from stream_spark.operators.sketches import windowed_approx_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = 3_600_000
+    exact = {
+        r["w"]: r["d"]
+        for r in ev.groupBy(
+            F.window("ts", f"{hour} milliseconds").alias("win")
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .select(F.unix_millis(F.col("win.start")).alias("w"), "d")
+        .collect()
+    }
+    approx = {
+        r["window_start_ms"]: r["approx_distinct"]
+        for r in windowed_approx_distinct(ev, "ts", "user_id", hour).collect()
+    }
+    assert set(approx) == set(exact)
+    for w, a in approx.items():
+        assert abs(a - exact[w]) <= max(5, 0.1 * exact[w])
+
+
+def test_windowed_approx_distinct_grouped_keys(spark, sf_dir):
+    from stream_spark.operators.sketches import windowed_approx_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    day = 86_400_000
+    out = windowed_approx_distinct(ev, "ts", "user_id", day, group_by=["event_type"]).collect()
+    assert {r["event_type"] for r in out} == {
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    }
+    assert all(r["approx_distinct"] > 0 for r in out)
+
+
+def test_streaming_windowed_approx_distinct_equals_batch(spark, sf_dir, tmp_path):
+    """Same HLL algorithm on stream and batch → identical estimates
+    (mergeable partials across micro-batches commute exactly)."""
+    from stream_spark.operators.sketches import windowed_approx_distinct
+    from stream_spark.streaming import (
+        file_replay_stream,
+        run_stream_to_memory,
+        streaming_windowed_approx_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = 3_600_000
+    batch = {
+        r["window_start_ms"]: r["approx_distinct"]
+        for r in windowed_approx_distinct(ev, "ts", "user_id", hour).collect()
+    }
+    stream = file_replay_stream(spark, ev, str(tmp_path / "wad"), n_slices=4)
+    got = run_stream_to_memory(
+        streaming_windowed_approx_distinct(stream, "ts", "user_id", hour),
+        output_mode="complete",
+    )
+    streamed = {
+        r["window_start_ms"]: r["approx_distinct"] for r in got.collect()
+    }
+    assert streamed == batch

@@ -42,25 +42,126 @@ def _assign(base: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     )
 
 
+def kmeans_parallel_seeds(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    oversample: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """k-means||-style distributed seeding (Bahmani et al. 2012),
+    fully deterministic — the scale path when naive seeding's k×dim
+    driver collect is fine but its seed QUALITY isn't (lowest-id seeds
+    can all land in one dense region and waste Lloyd rounds).
+
+    Per round: ONE map-only corpus scan computes each point's cosine
+    distance d(x) = 1 - max cos(x, seeds) against the current seed
+    literals, one decimal aggregate yields φ = Σ d(x), and points keep
+    themselves with probability min(1, oversample·k·d/φ) decided by a
+    hash of (id, round) — no RNG, so the sample is reproducible and
+    partition-independent. Only the sampled candidates (expected
+    oversample·k per round — bounded metadata) ever reach the driver.
+    A final scan weights each candidate by the number of points
+    closest to it; the driver then greedily reduces the weighted
+    candidate set to k (max weight×distance gain, ties → lowest
+    candidate index) — the standard recluster step, at candidate not
+    corpus size.
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("_id"), vec_d.alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    first = base.orderBy("_id").limit(1).collect()[0]
+    cand: list[tuple[int, list[float]]] = [(0, [float(x) for x in first["v"]])]
+
+    l_factor = oversample * k
+    # hash-of-(id, round) uniform in [0,1): deterministic "coin"
+    def coin(rnd: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("_id"), F.lit(str(rnd)))), 1, 6),
+            16,
+            10,
+        ).cast("double")
+        return h / float(16**6)
+
+    for rnd in range(1, rounds + 1):
+        scored = _assign(base, cand).withColumn(
+            "_d", (F.lit(1.0) - F.col("cos"))
+        )
+        phi = scored.agg(
+            F.sum(F.col("_d").cast("decimal(28,12)")).cast("double").alias("phi")
+        ).collect()[0]["phi"]
+        if not phi or phi <= 0.0:  # degenerate: all points on a seed
+            break
+        picked = (
+            scored.filter(coin(rnd) < (F.lit(l_factor) * F.col("_d") / F.lit(float(phi))))
+            .select("_id", "v")
+            .collect()  # bounded: expected oversample·k rows by construction
+        )
+        known = {tuple(v) for _c, v in cand}
+        for r in sorted(picked, key=lambda r: r["_id"]):
+            v = [float(x) for x in r["v"]]
+            if tuple(v) not in known:
+                known.add(tuple(v))
+                cand.append((len(cand), v))
+
+    if len(cand) <= k:
+        return [v for _c, v in cand]
+
+    # weight candidates by closest-point counts (one scan, k' rows back)
+    wrows = _assign(base, cand).groupBy("cluster").count().collect()
+    weights = {int(r["cluster"]): int(r["count"]) for r in wrows}
+
+    # driver-side deterministic weighted greedy reduction to k
+    def cos_d(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return 1.0 - num / (na * nb) if na > 0 and nb > 0 else 1.0
+
+    order = sorted(cand, key=lambda cv: (-weights.get(cv[0], 0), cv[0]))
+    chosen = [order[0]]
+    rest = order[1:]
+    while len(chosen) < k and rest:
+        best_i, best_gain = 0, -1.0
+        for i, (ci, cv) in enumerate(rest):
+            gain = weights.get(ci, 0) * min(cos_d(cv, sv) for _si, sv in chosen)
+            if gain > best_gain:
+                best_i, best_gain = i, gain
+        chosen.append(rest.pop(best_i))
+    return [v for _c, v in chosen]
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeding: str = "min-id",
 ) -> DataFrame:
     """Cluster embeddings with ``iters`` assignment rounds of Lloyd
-    k-means; returns (id, cluster, cos) after the final round."""
+    k-means; returns (id, cluster, cos) after the final round.
+    ``seeding``: "min-id" (k lowest ids — the oracle-replayable
+    default) or "parallel" (k-means|| — better spread, still
+    deterministic)."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col).alias("_id"), vec_d.alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
 
-    # seeds: k lowest ids — bounded metadata collect (k rows)
-    seed_rows = (
-        emb.select(id_col, vec_d.alias("v")).orderBy(id_col).limit(k).collect()
-    )
-    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    if seeding == "parallel":
+        seed_vecs = kmeans_parallel_seeds(emb, k, id_col=id_col, vec_col=vec_col)
+        cents = [(i, v) for i, v in enumerate(seed_vecs)]
+    elif seeding == "min-id":
+        # seeds: k lowest ids — bounded metadata collect (k rows)
+        seed_rows = (
+            emb.select(id_col, vec_d.alias("v")).orderBy(id_col).limit(k).collect()
+        )
+        cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    else:
+        raise ValueError(f"unsupported seeding: {seeding!r}")
 
     assigned = _assign(base, cents)
     for _ in range(iters - 1):

@@ -159,3 +159,61 @@ def test_ivf_refined_recall_and_exact_scores(spark, sf_dir):
         if pair in exact:
             assert abs(cos - exact[pair]) < 1e-9
     assert len(set(ref) & set(exact)) / len(exact) >= 0.3
+
+
+def test_kmeans_parallel_seeds_deterministic_and_spread(spark, sf_dir):
+    from stream_spark.operators.clustering import kmeans_parallel_seeds
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 6
+    s1 = kmeans_parallel_seeds(emb, k)
+    s2 = kmeans_parallel_seeds(emb, k)
+    assert s1 == s2  # hash-sampled, no RNG
+    assert len(s1) == k
+    assert len({tuple(v) for v in s1}) == k  # distinct seeds
+
+
+def test_kmeans_parallel_seeding_cost_not_worse(spark, sf_dir):
+    """Seeding cost Σ(1 - max cos) with k-means|| seeds should beat (or
+    at worst match) the naive k-lowest-id seeds."""
+    from pyspark.sql import functions as F
+    from stream_spark.operators.clustering import (
+        _assign,
+        kmeans_parallel_seeds,
+    )
+    from stream_spark.operators.similarity import norm
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 6
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("_id"), vec_d.alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+
+    def cost(cents):
+        return _assign(base, cents).agg(
+            F.sum((F.lit(1.0) - F.col("cos")).cast("decimal(28,12)")).cast("double")
+        ).collect()[0][0]
+
+    naive_rows = emb.select("vec_id", vec_d.alias("v")).orderBy("vec_id").limit(k).collect()
+    naive = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(naive_rows)]
+    par = [(i, v) for i, v in enumerate(kmeans_parallel_seeds(emb, k))]
+    assert cost(par) <= cost(naive) * 1.001
+
+
+def test_kmeans_assign_parallel_seeding_runs(spark, sf_dir):
+    from stream_spark.operators.clustering import kmeans_assign
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=4, iters=2, seeding="parallel")
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert 1 < len({r["cluster"] for r in rows}) <= 4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, k=4, seeding="nope")

@@ -68,3 +68,47 @@ def test_rate_stream_paces_rows(spark, events):
         assert spark.table("rate_test").count() == 50  # full dataset replayed
     finally:
         q.stop()
+
+
+def test_kafka_options_and_framing(spark):
+    from pyspark.sql import functions as F
+    from stream_spark.streaming.kafka import (
+        frame_for_kafka,
+        kafka_options,
+        parse_kafka_value,
+    )
+
+    opts = kafka_options("b:9092", subscribe="t1", starting_offsets="latest")
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t1",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_options("b:9092", topic="out")["topic"] == "out"
+
+    df = spark.createDataFrame([(1, "click", 2.5)], "id long, et string, v double")
+    framed = frame_for_kafka(df, "et", ["id", "v"])
+    row = framed.collect()[0]
+    assert row["key"] == "click"
+    assert row["value"] == '{"id":1,"v":2.5}'
+
+    # wire-shape round trip: value JSON → typed columns
+    back = parse_kafka_value(framed, "id long, v double").collect()[0]
+    assert back["id"] == 1 and back["v"] == 2.5 and back["key"] == "click"
+
+
+def test_kafka_source_unavailable_is_clear(spark, tmp_path):
+    import pytest
+    from stream_spark.streaming.kafka import kafka_sink, kafka_source
+
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        kafka_source(spark, "b:9092", "t1")
+
+    df = spark.createDataFrame([(1,)], "id long")
+    # a memory-stream stand-in isn't needed: the writer fails at start()
+    from stream_spark.streaming import file_replay_stream
+
+    stream = file_replay_stream(spark, df, str(tmp_path / "kf"), n_slices=1)
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        kafka_sink(stream, "b:9092", "out", str(tmp_path / "ckpt"))

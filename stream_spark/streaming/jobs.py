@@ -269,11 +269,28 @@ def streaming_stream_stream_join(
     right_ts: str,
     max_lag: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right rows within
+    """Watermarked stream-stream join: right rows within
     [left.ts - max_lag, left.ts]. Both sides carry watermarks so the
     join state is bounded — the Structured Streaming requirement the
-    reference sidesteps by keeping everything in process memory."""
+    reference sidesteps by keeping everything in process memory.
+
+    ``how="left_outer"`` additionally emits a null-padded row for
+    every left event with no in-window partner — but only once the
+    watermark passes the event's join horizon (matches could still
+    arrive before that), so outer results trail the inner ones by the
+    watermark delay. A replayed/finite stream needs one further
+    micro-batch after its last data for the final horizon to flush
+    (tests stage a beyond-horizon sentinel to force it).
+
+    Caveat for callers composing on top: a filter on left-side columns
+    placed AFTER this join is pushed below it by the optimizer — if it
+    would drop rows carrying the side's max event time, it pins that
+    side's watermark (the global watermark is the min across sources)
+    and outer results stop flushing. Filter before the watermark is
+    assigned, or post-process outside the stream.
+    """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -281,7 +298,9 @@ def streaming_stream_stream_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_lag}"))
     )
-    return l.join(r, cond, "inner")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how!r}")
+    return l.join(r, cond, how)
 
 
 def run_stream_foreach_batch_parquet(result: DataFrame, out_dir: str, timeout_s: int = 120) -> None:

@@ -367,3 +367,109 @@ def test_streaming_asof_state_survives_restart(spark):
     got = {r["left_id"]: r["right_id"] for r in spark.read.parquet(out_dir).collect()}
     # the post-restart purchase (id 7) still sees the pre-restart click (id 5)
     assert got == {6: 5, 7: 5}
+
+
+def test_streaming_left_outer_join_emits_nulls(spark, events):
+    """Left-outer stream-stream join: unmatched purchases must surface
+    null-padded once the watermark passes their horizon. Two
+    beyond-horizon sentinel rows staged as later replay files walk the
+    watermark past every real event (advancement only takes effect a
+    batch later, hence two); a processingTime trigger keeps no-data
+    batches coming so the final state flushes on a finite stream."""
+    import datetime as dt
+    import time
+    import uuid
+
+    from stream_spark.streaming.jobs import streaming_stream_stream_join
+
+    stage_l = f"{SCRATCH}/lsj_left"
+    stage_r = f"{SCRATCH}/lsj_right"
+    for d in (stage_l, stage_r):
+        shutil.rmtree(d, ignore_errors=True)
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    horizon = purchases.agg(F.max("ts")).collect()[0][0]
+
+    purchases.repartition(1).write.parquet(stage_l)
+    clicks.repartition(1).write.parquet(stage_r)
+    for days in (30, 60):
+        st = horizon + dt.timedelta(days=days)
+        spark.createDataFrame(
+            [(-1, st, -1)], "user_id long, ts timestamp, event_id long"
+        ).repartition(1).write.mode("append").parquet(stage_l)
+        spark.createDataFrame(
+            [(-1, st, -1)], "user_id long, cts timestamp, click_id long"
+        ).repartition(1).write.mode("append").parquet(stage_r)
+
+    sl = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_l)
+    )
+    sr = (
+        spark.readStream.schema("user_id long, cts timestamp, click_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_r)
+    )
+    joined = streaming_stream_stream_join(
+        sl, sr, "user_id", "ts", "cts", max_lag="1 hour", how="left_outer"
+    )
+    # NOTE: do NOT filter the sentinels inside the streaming plan — a
+    # left-side predicate is pushed below the join to the left source,
+    # which would drop the left sentinel BEFORE its watermark operator
+    # and pin the global (min-of-sources) watermark at the real data's
+    # horizon. Sentinels are dropped driver-side after collection.
+    out = joined.select("l.event_id", "r.click_id", "l.user_id")
+
+    # batch reference: left join under the same time-bound condition
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.cts") <= F.col("l.ts"))
+        & (F.col("r.cts") >= F.col("l.ts") - F.expr("INTERVAL 1 hour"))
+    )
+    expected = {
+        (r["event_id"], r["click_id"])
+        for r in purchases.alias("l")
+        .join(clicks.alias("r"), cond, "left")
+        .select("l.event_id", "r.click_id")
+        .collect()
+    }
+    assert any(c is None for _e, c in expected)  # outer rows exist in the fixture
+
+    name = f"lsj{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = set()
+        while time.time() < deadline:
+            got = {
+                (r["event_id"], r["click_id"])
+                for r in spark.table(name).collect()
+                if r["user_id"] != -1
+            }
+            if got == expected:
+                break
+            time.sleep(1.0)
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_streaming_join_rejects_unknown_type(spark, events):
+    import pytest as _pytest
+
+    from stream_spark.streaming.jobs import streaming_stream_stream_join
+
+    with _pytest.raises(ValueError, match="join type"):
+        streaming_stream_stream_join(events, events, "user_id", "ts", "ts", how="full")

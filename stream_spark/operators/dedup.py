@@ -106,6 +106,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment C(A→B) = |A∩B| / |A| over word n-gram
+    sets — catches quote/snippet inclusion that symmetric Jaccard
+    misses (a 50-gram doc fully quoted inside a 5000-gram doc has
+    Jaccard ≈ 0.01 but containment 1.0). Same inverted-index join and
+    df-cut as ``ngram_jaccard_pairs``; emits both directions' scores
+    for pairs where either direction clears the threshold.
+    """
+    sh = shingle_docs(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        rare = sh.groupBy("g").count().filter(F.col("count") <= max_doc_freq).select("g")
+        sh = sh.join(rare, "g")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    co = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    # sizes is one row per DOCUMENT — O(corpus), never broadcast it
+    return (
+        co.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .withColumn("containment_ab", F.col("common") / F.col("sa.sz"))
+        .withColumn("containment_ba", F.col("common") / F.col("sb.sz"))
+        .filter(
+            (F.col("containment_ab") >= threshold) | (F.col("containment_ba") >= threshold)
+        )
+        .select("doc_a", "doc_b", "containment_ab", "containment_ba")
+    )
+
+
 MERSENNE31 = 2_147_483_647
 
 

@@ -155,3 +155,78 @@ def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_converted"),
     )
+
+
+from stream_spark.operators.dedup import containment_pairs  # noqa: E402
+from stream_spark.operators.text import normalize_text, tokens  # noqa: E402
+from stream_spark.queries.dedup_queries import NORM  # noqa: E402
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    co AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           common / sa.sz AS containment_ab,
+           common / sb.sz AS containment_ba
+    FROM co JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+    WHERE common / sa.sz >= 0.6 OR common / sb.sz >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (|A∩B|/|A| ≥ 0.6 in
+    either direction) — the quote/snippet-inclusion detector that
+    symmetric Jaccard misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.6)
+
+
+@register(
+    "corpus_tfidf_top_terms",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    t AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS term FROM n),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY term),
+    scored AS (
+        SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf/df weighting.
+
+    tf/df ranks identically to tf·idf with a linear inverse-frequency
+    weight; the linear surrogate (no log) keeps the score exact
+    rational arithmetic so the oracle hash-matches (JVM log is not
+    bit-portable across engines — same policy as text_char_diversity).
+    Two keyed aggregations (doc,term) and (term), one shuffle join on
+    the term, per-doc window for top-k — every stage keyed, no global
+    ordering.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = t.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

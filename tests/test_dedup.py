@@ -108,3 +108,33 @@ def test_minhash_bucket_cap_drops_hot_bucket(hot_bucket_docs):
         for r in minhash_lsh_candidates(hot_bucket_docs, max_bucket_size=10).collect()
     }
     assert not any(a < 100 and b < 100 for a, b in capped)
+
+
+def test_containment_catches_snippet_inclusion(spark):
+    from stream_spark.operators.dedup import containment_pairs
+
+    snippet = "alpha beta gamma delta epsilon zeta"
+    big = snippet + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, big), (3, "totally different content here entirely now")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs, 0.9).collect()}
+    assert (1, 2) in out  # snippet fully contained in big
+    r = out[(1, 2)]
+    assert r["containment_ab"] == 1.0  # all of doc1's 3-grams appear in doc2
+    assert r["containment_ba"] < 0.2  # but doc2 is mostly other content
+    assert not any(3 in k for k in out)
+
+
+def test_containment_df_cut_bounds_candidates(spark):
+    from stream_spark.operators.dedup import containment_pairs
+
+    hot = "the common gram here"  # appears everywhere
+    docs = spark.createDataFrame(
+        [(i, hot + f" unique{i} token{i} tail{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    # df-cut removes the universal shingles → no pair survives
+    out = containment_pairs(docs, 0.5, max_doc_freq=3).collect()
+    assert out == []

@@ -80,3 +80,13 @@ def split_corpus(df: DataFrame, id_col: str, weights: dict[str, float]) -> DataF
         expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
         lo = hi
     return df.withColumn("split", expr).filter(F.col("split").isNotNull())
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight: Column) -> DataFrame:
+    """Importance sampling: keep each row with probability
+    ``min(1, weight)``, decided by the stable id hash — reproducible
+    quality-weighted corpus downsampling, map-only and
+    partition-independent like the flat sampler."""
+    prob = F.least(F.lit(1.0), weight)
+    frac = hash_bucket(F.col(id_col)).cast("double") / float(BUCKETS)
+    return df.filter(frac < prob)

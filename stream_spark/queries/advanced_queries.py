@@ -3,7 +3,7 @@ pivot, rollup, and correlation via exact decimal moments."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_spark.queries.registry import register
@@ -468,4 +468,146 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(F.broadcast(mau), "month_ms").select(
         "month_ms", "day_ms", "dau", "mau",
         (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    )
+
+
+_HOUR = 3_600_000
+
+
+@register(
+    "events_scd2_user_state",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+           CAST(epoch_ms(lead(ts) OVER w) AS BIGINT) AS valid_to_ms,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals: each event becomes
+    a validity window [ts, next event ts) per user, with version
+    numbers and a current flag — the temporal-table shape warehouses
+    build from change streams. One keyed window (partition by user,
+    ordered by ts with the event_id tie-break), no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(w).cast("timestamp")).alias("valid_to_ms"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_gapfill_interpolate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        FROM events GROUP BY event_type, h
+    ), bounds AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY event_type
+    ), grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1, {_HOUR})) AS h FROM bounds
+    ), j AS (
+        SELECT g.event_type, g.h, hr.v
+        FROM grid g LEFT JOIN hourly hr ON g.event_type = hr.event_type AND g.h = hr.h
+    ), f AS (
+        SELECT event_type, h, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h AS hour_ms,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+           END AS value_filled,
+           (v IS NULL) AS interpolated
+    FROM f
+    """,
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation: dense hourly
+    grid per event type (bounded by the key's own time range), missing
+    hours get prev + (next-prev)·(elapsed fraction). The row-scale
+    work is one keyed hourly aggregation; the grid join and the two
+    IGNORE-NULLS carry windows run per key over the bounded grid.
+    Exact-decimal hourly sums surface as identical doubles in both
+    engines, and the interpolation is plain IEEE arithmetic on them."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(f"(unix_millis(CAST(ts AS TIMESTAMP)) DIV {_HOUR}) * {_HOUR}").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("h0", "h1", F.lit(_HOUR))).alias("h")
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(known_h, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nh", F.first(known_h, ignorenulls=True).over(wn))
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("h") - F.col("ph")).cast("double") / (F.col("nh") - F.col("ph")).cast("double"))
+    )
+    return f.select(
+        "event_type",
+        F.col("h").alias("hour_ms"),
+        filled.alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+@register(
+    "documents_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           LEAST(1.0, n_chars / 400.0) AS keep_prob
+    FROM documents
+    WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) / 10000.0
+          < LEAST(1.0, n_chars / 400.0)
+    """,
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted reproducible sampling: keep probability scales
+    with document length (min(1, n_chars/400)), decided by the stable
+    doc_id hash — importance sampling that survives any partitioning,
+    map-only."""
+    from stream_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.col("n_chars") / F.lit(400.0)
+    return weighted_sample(docs, "doc_id", weight).select(
+        "doc_id",
+        "n_chars",
+        F.least(F.lit(1.0), weight).alias("keep_prob"),
     )

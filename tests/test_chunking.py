@@ -16,7 +16,7 @@ def _docs(spark, rows):
 def test_chunk_tokens_covers_every_token(spark):
     text = " ".join(f"t{i}" for i in range(10))
     out = chunk_tokens(_docs(spark, [(1, text)]), chunk_size=4, stride=3).collect()
-    # starts 0,3,6,9 → ceil((10-4)/3)+1 = 3 chunks; wait: starts 0,3,6 cover t0..t9
+    # ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6 — together covering t0..t9
     starts = sorted(r["chunk_id"] for r in out)
     assert starts == [0, 1, 2]
     sizes = {r["chunk_id"]: r["chunk_tokens"] for r in out}
@@ -119,3 +119,50 @@ def test_range_search_consistent_with_topk(spark):
     expect = {r["neighbor_id"] for r in tk if r["cosine"] >= tau}
     got = {r["neighbor_id"] for r in range_search(qs, corpus, tau).collect()}
     assert got == expect
+
+
+# ---- property tests: chunk geometry invariants for arbitrary docs ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+GEOM = st.tuples(st.integers(1, 10), st.integers(1, 10)).filter(lambda t: t[1] <= t[0])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n_tokens=st.integers(1, 40), geom=GEOM)
+def test_chunk_geometry_model(spark, n_tokens, geom):
+    """Chunk count, sizes, and coverage must match the direct model:
+    starts at 0, stride, ... ; every token lands in ≥1 chunk; ragged
+    tail kept; no chunk empty."""
+    size, stride = geom
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    rows = chunk_tokens(_docs(spark, [(1, text)]), size, stride).collect()
+
+    if n_tokens <= size:
+        starts = [0]
+    else:
+        import math
+
+        starts = list(range(0, stride * (math.ceil((n_tokens - size) / stride) + 1), stride))
+    assert sorted(r["chunk_id"] for r in rows) == list(range(len(starts)))
+    covered = set()
+    for r in rows:
+        s = starts[r["chunk_id"]]
+        expect_len = min(size, n_tokens - s)
+        assert r["chunk_tokens"] == expect_len > 0
+        covered.update(range(s, s + expect_len))
+    assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n_tokens=st.integers(1, 40), geom=GEOM)
+def test_span_count_model(spark, n_tokens, geom):
+    size, stride = geom
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    rows = repeated_spans(_docs(spark, [(1, text)]), size, stride).collect()
+    if n_tokens < size:
+        assert rows == []
+    else:
+        assert rows[0]["n_spans"] == (n_tokens - size) // stride + 1
+        assert rows[0]["n_dup_spans"] == 0  # single doc → nothing cross-doc

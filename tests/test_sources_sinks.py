@@ -112,3 +112,26 @@ def test_kafka_source_unavailable_is_clear(spark, tmp_path):
     stream = file_replay_stream(spark, df, str(tmp_path / "kf"), n_slices=1)
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         kafka_sink(stream, "b:9092", "out", str(tmp_path / "ckpt"))
+
+
+def test_orc_round_trip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC staging must round-trip values and keep predicate pushdown:
+    a filter on the ORC scan shows up as PushedFilters in the plan."""
+    from pyspark.sql import functions as F
+    from stream_spark.sources import load_table, stage_table_as
+
+    li = load_table(spark, sf_dir, "lineitem")
+    back = stage_table_as(spark, sf_dir, "lineitem", "orc", str(tmp_path / "orc"))
+    assert back.count() == li.count()
+    a = li.agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))).collect()[0][0]
+    b = back.agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))).collect()[0][0]
+    assert a == b
+
+    plan = (
+        back.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "l_returnflag" in plan

@@ -611,3 +611,123 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.least(F.lit(1.0), weight).alias("keep_prob"),
     )
+
+
+_B = "CAST(('0x'||substr(md5(CAST({k} AS VARCHAR)),{off},4)) AS INT)"
+
+
+@register(
+    "orders_bloom_semi_join",
+    oracle=f"""
+    WITH bkeys AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), bits AS (
+        SELECT DISTINCT pos FROM (
+            SELECT unnest([{_B.format(k='c_custkey', off=1)},
+                           {_B.format(k='c_custkey', off=5)},
+                           {_B.format(k='c_custkey', off=9)}]) AS pos
+            FROM bkeys
+        )
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           (o.o_custkey IN (SELECT c_custkey FROM bkeys)) AS true_member
+    FROM orders o
+    WHERE {_B.format(k='o.o_custkey', off=1)} IN (SELECT pos FROM bits)
+      AND {_B.format(k='o.o_custkey', off=5)} IN (SELECT pos FROM bits)
+      AND {_B.format(k='o.o_custkey', off=9)} IN (SELECT pos FROM bits)
+    """,
+)
+def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: BUILDING-segment customer keys fold
+    to a ≤65536-row bit-position set (bounded by the bit-space, not the
+    corpus) that broadcasts and prunes orders map-only — the scale
+    pattern for cutting a fact table before its real join. False
+    positives (true_member = false rows) are part of the contract and
+    the oracle reproduces them bit-for-bit from the same md5 slices."""
+    from stream_spark.operators.bloom import bloom_build, bloom_prune
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bkeys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pruned = bloom_prune(orders, "o_custkey", bloom_build(bkeys, "c_custkey"))
+    return pruned.join(
+        # broadcast-ok: customer is a dimension table
+        F.broadcast(bkeys.withColumnRenamed("c_custkey", "o_custkey").withColumn("_m", F.lit(True))),
+        "o_custkey",
+        "left",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.col("_m"), F.lit(False)).alias("true_member"),
+    )
+
+
+@register(
+    "documents_source_cap",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 50
+    """,
+)
+def documents_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain caps in crawl pipelines): keep at
+    most 50 docs per source, chosen by the stable md5 order so the kept
+    set is reproducible under any partitioning. One keyed window — no
+    global sort; at scale the heavy tail per domain is exactly what the
+    cap removes."""
+    from stream_spark.operators.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "events_value_quantiles",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+    FROM r GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete quantiles (p50/p95/p99 of value per
+    event type) via keyed row_number — rank ceil(p·n), the
+    PERCENTILE_DISC convention, spelled out identically on both sides
+    so no engine's quantile definition is trusted. Keyed windows only;
+    the 100 TB approximate path is sketches.approx_quantiles (GK,
+    mergeable)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("value"))
+    )
+    return r.groupBy("event_type").agg(
+        pick(0.50).alias("p50"), pick(0.95).alias("p95"), pick(0.99).alias("p99")
+    )

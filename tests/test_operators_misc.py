@@ -171,3 +171,35 @@ def test_mix_corpus_and_split_edges(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         split_corpus(df, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+# ---- bloom-filter join pruning ----
+
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.bloom import M_BITS, bloom_build, bloom_prune
+
+    build = spark.range(0, 200).select(F.col("id").alias("k"))
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    bits = bloom_build(build, "k")
+    n_bits = bits.count()
+    assert n_bits <= min(3 * 200, M_BITS)
+    kept = {r["k"] for r in bloom_prune(probe, "k", bits).collect()}
+    # no false negatives: every true member survives pruning
+    assert set(range(200)) <= kept
+    # pruning actually prunes: far fewer than the full probe side
+    assert len(kept) < 2000
+
+
+def test_bloom_prune_preserves_columns_and_rows(spark):
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.bloom import bloom_build, bloom_prune
+
+    build = spark.range(0, 5).select(F.col("id").alias("k"))
+    probe = spark.range(0, 5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    out = bloom_prune(probe, "k", bloom_build(build, "k"))
+    assert set(out.columns) == {"k", "v"}
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [(i, i * 10) for i in range(5)]

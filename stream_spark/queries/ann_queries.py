@@ -377,3 +377,46 @@ def source_partitioned_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataF
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
     )
+
+
+@register(
+    "embeddings_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e
+    )
+    SELECT vec_id, scale,
+           array_to_string(list_transform(v, x ->
+               CAST(CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale + 0.5) END AS BIGINT)), ',') AS q_csv
+    FROM s
+    """,
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (scale = max|x|/127,
+    q = floor(x/scale + 0.5)) — 4× memory cut for ANN serving /
+    embedding storage. Map-only, no shuffle; arithmetic is all-double
+    elementwise so both engines produce identical integers, and the
+    quantized vector is emitted as a CSV string so the gate can hash
+    it. floor(+0.5) not round(): CLAUDE.md rule 4 — round() ties
+    differ across engines, floor is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    s = e.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)).alias("scale"),
+    )
+    scale = F.col("scale")
+    quant = F.transform(
+        "v",
+        lambda x: F.when(scale == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(x / scale + F.lit(0.5)))
+        .cast("long"),
+    )
+    return s.select(
+        "vec_id", "scale", F.array_join(quant.cast("array<string>"), ",").alias("q_csv")
+    )

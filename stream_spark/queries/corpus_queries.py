@@ -230,3 +230,61 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+_CM_W = 1024  # counter columns per hash row
+_CM_H = "CAST(('0x'||substr(md5('cm{i}|'||tok),1,15)) AS BIGINT) % 1024"
+
+
+@register(
+    "corpus_countmin_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+    ), ex AS (
+        SELECT tok, COUNT(*) AS exact_cnt FROM t GROUP BY tok
+    ), p AS (
+        SELECT tok, exact_cnt,
+               {_CM_H.format(i=0)} AS p0, {_CM_H.format(i=1)} AS p1,
+               {_CM_H.format(i=2)} AS p2, {_CM_H.format(i=3)} AS p3
+        FROM ex
+    ),
+    c0 AS (SELECT p0, SUM(exact_cnt) AS v0 FROM p GROUP BY p0),
+    c1 AS (SELECT p1, SUM(exact_cnt) AS v1 FROM p GROUP BY p1),
+    c2 AS (SELECT p2, SUM(exact_cnt) AS v2 FROM p GROUP BY p2),
+    c3 AS (SELECT p3, SUM(exact_cnt) AS v3 FROM p GROUP BY p3)
+    SELECT tok AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(least(v0, v1, v2, v3) AS BIGINT) AS cm_est
+    FROM p JOIN c0 USING (p0) JOIN c1 USING (p1) JOIN c2 USING (p2) JOIN c3 USING (p3)
+    """,
+)
+def corpus_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (d=4 rows × w=1024 counters) over
+    corpus tokens, evaluated against exact counts: cm_est ≥ exact
+    always, collisions only inflate. The sketch table is FIXED SIZE
+    (4×1024 cells) no matter the corpus — the 100 TB path ships
+    per-partition partial counters through one bounded shuffle, and
+    md5-derived cell positions make the estimate engine-portable
+    (same overestimates in the oracle, bit for bit). The exact
+    per-token counts here are the evaluation harness, not part of
+    the sketch's cost."""
+    from stream_spark.operators.text import md5_long, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    pos = lambda i: (md5_long(F.concat(F.lit(f"cm{i}|"), F.col("tok"))) % _CM_W)  # noqa: E731
+    p = ex.select("tok", "exact_cnt", *[pos(i).alias(f"p{i}") for i in range(4)])
+    out = p
+    for i in range(4):
+        ci = p.groupBy(f"p{i}").agg(F.sum("exact_cnt").alias(f"v{i}"))
+        # broadcast-ok: counter table bounded by w=1024 cells
+        out = out.join(F.broadcast(ci), f"p{i}")
+    return out.select(
+        F.col("tok").alias("token"),
+        "exact_cnt",
+        F.least("v0", "v1", "v2", "v3").alias("cm_est"),
+    )

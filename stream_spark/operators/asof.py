@@ -26,9 +26,16 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     suffix: str = "_right",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """Left as-of join; right-side columns arrive suffixed. Rows with no
-    earlier right row keep NULLs (left-outer semantics)."""
+    earlier right row keep NULLs (left-outer semantics).
+
+    ``tolerance_ms`` (pandas merge_asof parity): a carried match older
+    than the bound is nulled out after the carry — same one-shuffle
+    plan, just a map-side mask on top. Timestamp columns are compared
+    in epoch-ms; plain numeric ts columns are compared directly (the
+    bound is then in the column's own units)."""
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r = right.select(
@@ -36,6 +43,14 @@ def asof_join(
         F.col(right_ts).alias("_ats"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
     ).withColumn("_side", F.lit(0))
+    is_ts = dict(right.dtypes)[right_ts].startswith("timestamp")
+    if tolerance_ms is not None:
+        rts = F.col("_ats").cast("timestamp") if is_ts else F.col("_ats")
+        r = r.withColumn(f"_tolrts{suffix}", F.unix_millis(rts) if is_ts else rts)
+
+    carry_names = [f"{c}{suffix}" for c in right_cols] + (
+        [f"_tolrts{suffix}"] if tolerance_ms is not None else []
+    )
 
     merged = l.unionByName(r, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at equal ts → a right
@@ -51,11 +66,18 @@ def asof_join(
     )
     carried = merged.select(
         "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_carry_{c}")
+        *[F.last(n, ignorenulls=True).over(w).alias(f"_carry_{n}") for n in carry_names],
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_ms is not None:
+        lts = F.col("_ats")
+        is_ts_l = dict(left.dtypes)[left_ts].startswith("timestamp")
+        left_ms = F.unix_millis(lts.cast("timestamp")) if is_ts_l else lts
+        in_tol = (left_ms - F.col(f"_carry__tolrts{suffix}")) <= F.lit(tolerance_ms)
+        picked = [
+            F.when(in_tol, F.col(f"_carry_{c}{suffix}")).alias(f"{c}{suffix}")
             for c in right_cols
-        ],
-    )
-    return carried.filter(F.col("_side") == 1).select(
-        *lcols, *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in right_cols]
-    )
+        ]
+    else:
+        picked = [F.col(f"_carry_{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols]
+    return out.select(*lcols, *picked)

@@ -731,3 +731,78 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("event_type").agg(
         pick(0.50).alias("p50"), pick(0.95).alias("p95"), pick(0.99).alias("p99")
     )
+
+
+@register(
+    "events_asof_tolerance",
+    oracle="""
+    WITH j AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               epoch_ms(p.ts) AS purchase_ts_ms,
+               c.event_id AS click_id_right,
+               epoch_ms(c.ts) AS click_ts_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT purchase_id, user_id, purchase_ts_ms,
+           CASE WHEN purchase_ts_ms - click_ts_ms <= 600000 THEN click_id_right END AS click_id_right,
+           CASE WHEN purchase_ts_ms - click_ts_ms <= 600000 THEN click_ts_ms END AS click_ts_ms
+    FROM j
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 10-minute tolerance (pandas merge_asof parity): a
+    preceding click older than the bound is no match. Same single-key-
+    shuffle carry plan as the unbounded as-of — the bound is a map-side
+    mask, not a range join."""
+    from stream_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        purchases, clicks, "user_id", "ts", "ts", ["ts", "event_id"],
+        suffix="_right", tolerance_ms=600_000,
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ts_ms"),
+        F.col("event_id_right").alias("click_id_right"),
+        F.unix_millis(F.col("ts_right").cast("timestamp")).alias("click_ts_ms"),
+    )
+
+
+@register(
+    "events_changelog_compact",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS last_ts_ms,
+           value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def events_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: collapse a change stream to the latest
+    record per key, dropping keys whose final change is a delete
+    (event_type='error' stands in for the delete marker). Realized as
+    max-of-struct ordered by (ts, event_id) — an ALGEBRAIC aggregate,
+    so partials combine map-side and the shuffle carries one row per
+    key, unlike the row_number window which shuffles every change.
+    This is the ingestion half of MERGE INTO at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+    )
+    return last.filter(F.col("m.event_type") != "error").select(
+        "user_id",
+        F.col("m.event_id").alias("last_event_id"),
+        F.unix_millis(F.col("m.ts").cast("timestamp")).alias("last_ts_ms"),
+        F.col("m.value").alias("last_value"),
+    )

@@ -203,3 +203,32 @@ def test_bloom_prune_preserves_columns_and_rows(spark):
     out = bloom_prune(probe, "k", bloom_build(build, "k"))
     assert set(out.columns) == {"k", "v"}
     assert sorted((r["k"], r["v"]) for r in out.collect()) == [(i, i * 10) for i in range(5)]
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(30), "p2")],
+        "user long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), "c1"), (1, ts(25), "c2")],
+        "user long, ts timestamp, cid string",
+    )
+    # 3-minute tolerance: p1 (click 2 min earlier) matches, p2's
+    # closest click is 5 min earlier → nulled out
+    out = {r["pid"]: r["cid_right"] for r in
+           asof_join(left, right, "user", "ts", "ts", ["cid"],
+                     tolerance_ms=180_000).collect()}
+    assert out["p1"] == "c1"
+    assert out["p2"] is None
+
+
+def test_asof_join_tolerance_numeric_ts(spark):
+    left = spark.createDataFrame([(1, 100, "p1"), (1, 500, "p2")],
+                                 "user long, ts long, pid string")
+    right = spark.createDataFrame([(1, 90, "c1")], "user long, ts long, cid string")
+    out = {r["pid"]: r["cid_right"] for r in
+           asof_join(left, right, "user", "ts", "ts", ["cid"],
+                     tolerance_ms=50).collect()}
+    assert out["p1"] == "c1"   # 10 units back, inside the bound
+    assert out["p2"] is None   # 410 units back, outside

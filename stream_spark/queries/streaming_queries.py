@@ -385,3 +385,32 @@ def streaming_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
         output_mode="append",
     )
     return out.select("user_id", "left_id", "left_ts", "left_value", "right_id", "right_ts")
+
+
+@register(
+    "streaming_heavy_hitters_tokens",
+    oracle="""
+    SELECT tok AS token, COUNT(*) AS mg_count
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+    GROUP BY tok
+    """,
+)
+def streaming_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters as a live stateful stream: documents
+    replayed, tokens exploded, md5-sharded bounded counters
+    (streaming/jobs.streaming_heavy_hitters). Capacity 512/shard
+    exceeds the test vocabulary, so counts are exact and the oracle is
+    the exact frequency table; the bounded-capacity error contract is
+    pytest-covered with an adversarial over-capacity stream."""
+    from stream_spark.operators.text import tokens
+    from stream_spark.streaming import streaming_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = f"{_SCRATCH}/heavy_hitters"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, docs, stage, n_slices=1, max_files_per_trigger=None)
+    toks = stream.select(F.explode(tokens(F.col("text"))).alias("token"))
+    out = run_stream_to_memory(
+        streaming_heavy_hitters(toks, "token", capacity=512), output_mode="append"
+    )
+    return out.select("token", "mg_count")

@@ -6,6 +6,7 @@ from stream_spark.streaming.jobs import (
     streaming_sliding_time_window,
     streaming_tumbling_count,
     streaming_tumbling_time_window,
+    streaming_heavy_hitters,
     streaming_windowed_approx_distinct,
 )
 from stream_spark.streaming.sources import file_replay_stream, paced_replay_stream, rate_stream
@@ -22,6 +23,7 @@ __all__ = [
     "streaming_tumbling_count",
     "streaming_sliding_count",
     "streaming_asof_enrich",
+    "streaming_heavy_hitters",
     "streaming_windowed_approx_distinct",
     "TelemetryListener",
 ]

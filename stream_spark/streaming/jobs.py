@@ -372,3 +372,54 @@ def streaming_asof_enrich(
     return stream.groupBy(key_col).applyInPandasWithState(
         process, out_schema, "ts long, rid long, has boolean", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    token_col: str,
+    capacity: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Misra-Gries heavy hitters over a token stream with BOUNDED state:
+    each shard (md5-sharded so any engine reproduces the assignment)
+    keeps at most ``capacity`` counters, merged per micro-batch with
+    the mergeable-summaries rule (pointwise sum, subtract the
+    (capacity+1)-th largest, drop ≤0). Guarantees
+    true_count - N_shard/(capacity+1) ≤ mg_count ≤ true_count; with
+    capacity ≥ shard vocabulary the counts are exact.
+
+    At 100 TB this is the frequency analogue of the windowed HLL:
+    state per shard is O(capacity), never O(vocabulary) — the only
+    way a top-k over an unbounded token stream holds memory. Each
+    batch emits the shard's current counters (append mode), so the
+    final emission per shard is its end-of-stream summary.
+    """
+    from stream_spark.operators.text import md5_long
+
+    sharded = stream.withColumn("_shard", md5_long(F.col(token_col)) % n_shards)
+
+    def process(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = (
+            dict(zip(*state.get)) if state.exists else {}
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for tok, cnt in batch[token_col].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(cnt)
+        if len(counters) > capacity:
+            cut = sorted(counters.values(), reverse=True)[capacity]
+            counters = {t: c - cut for t, c in counters.items() if c - cut > 0}
+        state.update((list(counters.keys()), [int(c) for c in counters.values()]))
+        yield pd.DataFrame(
+            sorted(counters.items()), columns=["token", "mg_count"]
+        )
+
+    out_schema = "token string, mg_count long"
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        process,
+        out_schema,
+        "toks array<string>, cnts array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -473,3 +473,41 @@ def test_streaming_join_rejects_unknown_type(spark, events):
 
     with _pytest.raises(ValueError, match="join type"):
         streaming_stream_stream_join(events, events, "user_id", "ts", "ts", how="full")
+
+
+def test_streaming_heavy_hitters_mg_bound(spark):
+    """Adversarial over-capacity stream: Zipf-ish token counts with
+    vocabulary 3× the Misra-Gries capacity. The MG contract must hold
+    per shard: true - N_shard/(cap+1) ≤ mg ≤ true, heavy tokens kept."""
+    from stream_spark.operators.text import md5_long
+    from stream_spark.streaming import streaming_heavy_hitters
+
+    rows = []
+    for i in range(30):  # 30 tokens, counts 60, 58, ..., 2 (vocab 3x cap)
+        rows += [(f"tok{i}",)] * (60 - 2 * i)
+    df = spark.createDataFrame(rows, "token string")
+    stage = f"{SCRATCH}/mg_hh"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, df, stage, n_slices=2)
+    cap = 10
+    out = run_stream_to_memory(
+        streaming_heavy_hitters(stream, "token", capacity=cap, n_shards=2),
+        output_mode="append",
+    )
+    # keep only each shard's LAST emission (end-of-stream summary):
+    # append mode emits per batch; the final batch's counters subsume
+    # earlier ones, so take max per token (MG counts only grow or get
+    # cut — the last emission is the largest for surviving tokens)
+    mg = {r["token"]: r["mg_count"] for r in out.groupBy("token").agg(
+        F.max("mg_count").alias("mg_count")).collect()}
+
+    true = {f"tok{i}": 60 - 2 * i for i in range(30)}
+    shard_of = {t: None for t in true}
+    sh = spark.createDataFrame([(t,) for t in true], "token string").select(
+        "token", (md5_long(F.col("token")) % 2).alias("s")).collect()
+    shard_of = {r["token"]: r["s"] for r in sh}
+    shard_n = {s: sum(c for t, c in true.items() if shard_of[t] == s) for s in (0, 1)}
+    for t, c in true.items():
+        est = mg.get(t, 0)
+        assert est <= c, f"{t}: overestimate {est} > {c}"
+        assert est >= c - shard_n[shard_of[t]] / (cap + 1) - 1e-9, f"{t}: under bound"

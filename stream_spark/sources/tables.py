@@ -51,6 +51,14 @@ def _read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
                 field.name,
                 F.expr(f"timestamp_micros(CAST(`{field.name}` DIV 1000 AS BIGINT))"),
             )
+    # tz-naive parquet timestamps surface as TIMESTAMP_NTZ, which
+    # Structured Streaming watermarks reject. Session tz is pinned UTC,
+    # so casting NTZ -> LTZ preserves every wall-clock value while
+    # restoring the event-time-capable type (DuckDB reads the same
+    # files as naive timestamps — parity is unchanged).
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

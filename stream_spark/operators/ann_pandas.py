@@ -27,6 +27,64 @@ from pyspark.sql import functions as F
 OUT_SCHEMA = "query_id long, neighbor_id long, cosine double"
 
 
+def rerank_crossencoder_stub(
+    candidates: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    cand_col: str = "neighbor_id",
+    retrieval_col: str = "cosine",
+) -> DataFrame:
+    """Two-stage retrieval: rerank ANN candidates with a pair scorer,
+    keep the top ``k`` per query by the blended score.
+
+    This is the retrieve-then-rerank shape every serving stack uses: a
+    cheap first stage (LSH/IVF/brute top-N) fans candidate PAIRS into
+    Arrow batches, an expensive per-pair model scores each batch, and
+    a per-query window keeps the winners. The scorer here is a
+    deterministic STUB — a real cross-encoder would load its model
+    once per executor and score (query_text, candidate_text) batches
+    in exactly this mapInPandas slot; no model runtime ships in this
+    container. The stub emits md5(query:candidate)-derived
+    pseudo-logits in [0, 0.1), so the pipeline stays oracle-checkable
+    (portable hash, CLAUDE.md rule 2) while exercising the real
+    batch shape. Cost scales with candidates (n_queries × N), never
+    the corpus — the whole point of reranking at 100 TB.
+    """
+    import hashlib
+
+    cols = [query_col, cand_col, retrieval_col]
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # model stub: per-pair pseudo-logit from the portable md5_long
+        # hash (first 15 hex chars as int), scaled to [0, 0.1)
+        for pdf in it:
+            key = pdf[query_col].astype(str) + ":" + pdf[cand_col].astype(str)
+            logit = key.map(
+                lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1000
+            ) / 10000.0
+            yield pd.DataFrame(
+                {
+                    query_col: pdf[query_col],
+                    cand_col: pdf[cand_col],
+                    retrieval_col: pdf[retrieval_col],
+                    "rerank_score": pdf[retrieval_col] + logit,
+                }
+            )
+
+    scored = candidates.select(*cols).mapInPandas(
+        score_batches,
+        schema=f"{query_col} long, {cand_col} long, {retrieval_col} double, rerank_score double",
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rerank_score").desc(), F.col(cand_col)
+    )
+    return (
+        scored.withColumn("rerank_rank", F.row_number().over(w))
+        .filter(F.col("rerank_rank") <= k)
+        .withColumn("rerank_rank", F.col("rerank_rank").cast("long"))
+    )
+
+
 def topk_pandas(
     queries: DataFrame,
     corpus: DataFrame,

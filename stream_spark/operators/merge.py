@@ -1,0 +1,103 @@
+"""MERGE INTO / upsert — the Delta-style table-maintenance primitive.
+
+Batch semantics (``merge_upsert``): updates matched on the key replace
+the target row, unmatched updates are inserted, and updates flagged
+with the delete marker remove the row — i.e. MERGE INTO with
+whenMatchedUpdateAll / whenNotMatchedInsertAll / whenMatchedDelete.
+Realized as union → max-of-struct keyed aggregate (priority: update
+beats target, later ``order_cols`` beat earlier within the updates),
+which is ALGEBRAIC: partials combine map-side, the shuffle carries one
+row per key — not a full-outer join whose both sides shuffle all rows
+and whose nulls then need COALESCE-ing per column.
+
+Storage side (``upsert_partitioned_parquet``): classic
+partition-scoped rewrite on plain parquet — read ONLY the hive
+partitions the updates touch (bounded-metadata collect of the distinct
+partition values), merge, write back under dynamic partition
+overwrite so untouched partitions are never rewritten. This is the
+copy-on-write half of a Delta/Iceberg MERGE without the transaction
+log; at 100 TB the work scales with the touched partitions, not the
+table. Not ACID — concurrent writers need a real table format.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge ``updates`` into ``target`` on ``key_cols``.
+
+    ``updates`` must carry every ``target`` column; rows where
+    ``delete_col`` (boolean, updates-side only) is true delete the
+    key. If several updates share a key, the greatest ``order_cols``
+    tuple wins (ties would be nondeterministic — pass an order).
+    """
+    keys = list(key_cols)
+    payload = [c for c in target.columns if c not in keys]
+    del_expr = (
+        F.coalesce(F.col(delete_col), F.lit(False)) if delete_col else F.lit(False)
+    )
+    # order_cols are updates-side; null-pad the target branch (its
+    # _prio=0 loses to any update regardless of the order tuple)
+    order = list(order_cols)
+    t = target.select(
+        *keys,
+        F.lit(0).alias("_prio"),
+        *[F.lit(None).cast(updates.schema[c].dataType).alias(c) for c in order],
+        F.lit(False).alias("_del"),
+        *payload,
+    )
+    u = updates.select(
+        *keys, F.lit(1).alias("_prio"), *order, del_expr.alias("_del"), *payload
+    )
+    ranked = F.struct(
+        F.col("_prio"), *[F.col(c) for c in order], F.col("_del"), *payload
+    )
+    merged = t.unionByName(u).groupBy(*keys).agg(F.max(ranked).alias("_m"))
+    return merged.filter(~F.col("_m._del")).select(
+        *keys, *[F.col(f"_m.{c}").alias(c) for c in payload]
+    )
+
+
+def upsert_partitioned_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    delete_col: str | None = None,
+    order_cols: Sequence[str] = (),
+) -> None:
+    """Apply ``merge_upsert`` to a hive-partitioned parquet table in
+    place, rewriting only the partitions the updates touch.
+
+    Keys are assumed not to move between partitions (standard
+    partitioned-upsert contract — a moved key would need a full-table
+    delete pass).
+    """
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]  # bounded metadata: one value per touched partition
+    target = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    merged = merge_upsert(target, updates, key_cols, delete_col, order_cols)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

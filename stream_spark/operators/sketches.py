@@ -50,6 +50,57 @@ def approx_quantiles(
     return df.agg(agg)
 
 
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    rate: float,
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    group_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Approximate quantiles that are still DETERMINISTIC: exact
+    PERCENTILE_DISC over a hash-of-id sample.
+
+    GK/t-digest sketches are mergeable but engine-specific — their
+    outputs can't be oracle-checked across engines. Sampling by the
+    row-id hash gives the other trade: the error is statistical
+    (~1/sqrt(rate·n) rank error) but the RESULT is a pure function of
+    the data, identical under any partitioning and reproducible in any
+    engine with md5 — so approximate quantiles stay under the exact
+    oracle gate. At 100 TB the sort/rank runs on rate·n rows; the
+    within-group sample must fit a keyed window (use approx_quantiles
+    when it can't).
+
+    One output column per probability, named ``p50``-style from the
+    probability's two digits.
+    """
+    from pyspark.sql import Window
+
+    from stream_spark.operators.sampling import deterministic_sample
+
+    keys = list(group_by or [])
+    s = deterministic_sample(df, id_col, rate)
+    w = Window.partitionBy(*keys).orderBy(value_col, id_col)
+    wn = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    r = s.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(p) * F.col("_n")).cast("long"), F.col("_v")
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in probabilities
+    ]
+    if keys:
+        return r.groupBy(*keys).agg(*aggs)
+    return r.agg(*aggs)
+
+
 def freq_items(df: DataFrame, cols: Sequence[str], support: float = 0.01) -> DataFrame:
     """Misra-Gries style frequent items per column (single pass,
     bounded state ~1/support per partition, merged)."""

@@ -157,6 +157,63 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_RERANK_N = 20
+
+
+@register(
+    "ann_topk_rerank",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HP.format(np=N_PLANES - 1)},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+        JOIN buckets bq ON q.vec_id = bq.vec_id
+        JOIN buckets bc ON c.vec_id = bc.vec_id AND bq.bucket = bc.bucket
+        JOIN norms nq ON q.vec_id = nq.vec_id
+        JOIN norms nc ON c.vec_id = nc.vec_id
+        GROUP BY query_id, neighbor_id, nq.nrm, nc.nrm
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_RERANK_N}
+    ),
+    rr AS (
+        SELECT query_id, neighbor_id, cosine,
+               cosine + (CAST(('0x' || substr(md5(CAST(query_id AS VARCHAR) || ':'
+                   || CAST(neighbor_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) / 10000.0
+                   AS rerank_score
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine, rerank_score, CAST(rn AS BIGINT) AS rerank_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id) AS rn
+        FROM rr
+    ) WHERE rn <= {_K}
+    """,
+)
+def ann_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank, the production two-stage shape: LSH
+    bucket-join retrieval (equi-join, no corpus product) fans top-20
+    candidates into a cross-encoder STUB pair scorer over Arrow
+    batches (ann_pandas.rerank_crossencoder_stub), final top-5 by
+    blended score. The stub's md5 pseudo-logits keep the pipeline
+    under the exact oracle gate; a real model drops into the same
+    mapInPandas slot."""
+    from stream_spark.operators.ann_pandas import rerank_crossencoder_stub
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = topk_lsh(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _RERANK_N
+    )
+    return rerank_crossencoder_stub(cand, _K).select(
+        "query_id", "neighbor_id", "cosine", "rerank_score", "rerank_rank"
+    )
+
+
 @register(
     "multimodal_decode",
     oracle="""

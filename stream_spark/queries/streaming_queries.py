@@ -388,6 +388,36 @@ def streaming_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_windowed_distinct_users",
+    oracle=f"""
+    SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY window_start_ms
+    """,
+)
+def streaming_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT windowed distinct on a live stream: collect_set state per
+    hourly window (streaming bars COUNT(DISTINCT), but set-union is a
+    mergeable aggregate, so partials combine across micro-batches).
+    State is one entry per distinct (window, user) — fine when keys
+    per window are bounded; the unbounded-cardinality path is the HLL
+    variant (streaming/jobs.streaming_windowed_approx_distinct,
+    tolerance-tested in pytest, engine-specific so not hashable here)."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/windowed_distinct"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    res = stream.groupBy(F.window("ts", f"{_HOUR} milliseconds").alias("w")).agg(
+        F.size(F.collect_set("user_id")).cast("long").alias("distinct_users")
+    )
+    out = run_stream_to_memory(res, output_mode="complete")
+    return out.select(
+        F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+        "distinct_users",
+    )
+
+
+@register(
     "streaming_heavy_hitters_tokens",
     oracle="""
     SELECT tok AS token, COUNT(*) AS mg_count

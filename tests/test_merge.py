@@ -1,0 +1,104 @@
+"""merge_upsert / upsert_partitioned_parquet (operators/merge.py)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from stream_spark.operators.merge import merge_upsert, upsert_partitioned_parquet
+
+SCHEMA = "k long, part string, v double, tag string"
+
+
+def _target(spark):
+    rows = [
+        (1, "a", 1.0, "old"),
+        (2, "a", 2.0, "old"),
+        (3, "b", 3.0, "old"),
+        (4, "b", 4.0, "old"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_merge_update_insert_delete(spark):
+    updates = spark.createDataFrame(
+        [
+            (2, "a", 20.0, "new", False),  # update
+            (5, "b", 50.0, "new", False),  # insert
+            (3, "b", 0.0, "new", True),  # delete
+            (9, "a", 0.0, "new", True),  # delete of absent key: no-op
+        ],
+        SCHEMA + ", del boolean",
+    )
+    out = merge_upsert(_target(spark), updates, ["k"], delete_col="del")
+    got = {r.k: (r.v, r.tag) for r in out.collect()}
+    assert got == {1: (1.0, "old"), 2: (20.0, "new"), 4: (4.0, "old"), 5: (50.0, "new")}
+
+
+def test_merge_order_cols_pick_latest(spark):
+    # two updates for the same key: the greater order tuple must win
+    updates = spark.createDataFrame(
+        [(1, "a", 10.0, "v1", 1), (1, "a", 11.0, "v2", 2)], SCHEMA + ", ver long"
+    )
+    out = merge_upsert(_target(spark), updates, ["k"], order_cols=["ver"])
+    assert {r.k: r.v for r in out.collect()}[1] == 11.0
+
+
+def test_merge_single_shuffle_no_join(spark):
+    updates = spark.createDataFrame([(2, "a", 20.0, "new")], SCHEMA)
+    out = merge_upsert(_target(spark), updates, ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # algebraic aggregate, not a full-outer join
+
+
+def test_upsert_partitioned_parquet_rewrites_only_touched(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    _target(spark).repartition(1).write.partitionBy("part").parquet(path)
+    import os
+
+    mtime_b = max(
+        os.path.getmtime(os.path.join(path, "part=b", f))
+        for f in os.listdir(os.path.join(path, "part=b"))
+        if f.endswith(".parquet")
+    )
+    updates = spark.createDataFrame(
+        [(2, "a", 20.0, "new", False), (6, "a", 60.0, "new", False), (1, "a", 0.0, "n", True)],
+        SCHEMA + ", del boolean",
+    )
+    upsert_partitioned_parquet(spark, path, updates, ["k"], "part", delete_col="del")
+    back = spark.read.parquet(path)
+    got = {r.k: (r.part, r.v) for r in back.collect()}
+    assert got == {2: ("a", 20.0), 6: ("a", 60.0), 3: ("b", 3.0), 4: ("b", 4.0)}
+    # untouched partition b was not rewritten (same data files)
+    mtime_b2 = max(
+        os.path.getmtime(os.path.join(path, "part=b", f))
+        for f in os.listdir(os.path.join(path, "part=b"))
+        if f.endswith(".parquet")
+    )
+    assert mtime_b2 == mtime_b
+    # dynamic overwrite restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
+        != "dynamic"
+    )
+
+
+def test_rerank_stub_changes_order_and_is_deterministic(spark):
+    from stream_spark.operators.ann_pandas import rerank_crossencoder_stub
+
+    cand = spark.createDataFrame(
+        [(1, 10, 0.90), (1, 11, 0.895), (1, 12, 0.5), (2, 10, 0.7), (2, 13, 0.69)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    a = rerank_crossencoder_stub(cand, 2).collect()
+    b = rerank_crossencoder_stub(cand, 2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 2 for v in per_q.values())
+    # blended score stays within [cosine, cosine + 0.1)
+    for r in a:
+        assert r.cosine <= r.rerank_score < r.cosine + 0.1

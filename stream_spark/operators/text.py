@@ -102,6 +102,108 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, minimum stop-word hits. Emits one 0/1 flag per rule plus
+    the conjunction — keep the flags, not just the verdict, so a
+    pipeline can report per-rule rejection rates. All Catalyst
+    higher-order functions, zero Python in the row path; counts stay
+    integer-exact so the only doubles are two identical divisions."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_len = sum_len / n
+    alpha_frac = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).cast("long") / n
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*QUALITY_STOPWORDS))).cast("long")
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    d = (
+        df.withColumn("n_words", n)
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("n_stop_hits", n_stop)
+        .withColumn("rule_n_words", flag((n >= min_words) & (n <= max_words)))
+        .withColumn(
+            "rule_mean_len", flag((mean_len >= min_mean_len) & (mean_len <= max_mean_len))
+        )
+        .withColumn("rule_alpha", flag(alpha_frac >= min_alpha_frac))
+        .withColumn("rule_stopwords", flag(n_stop >= min_stop_hits))
+    )
+    return d.withColumn(
+        "gopher_keep",
+        flag(
+            (F.col("rule_n_words") == 1)
+            & (F.col("rule_mean_len") == 1)
+            & (F.col("rule_alpha") == 1)
+            & (F.col("rule_stopwords") == 1)
+        ),
+    )
+
+
+def boilerplate_share(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    df_frac: float = 0.5,
+    min_df: int = 2,
+) -> DataFrame:
+    """RefinedWeb-style boilerplate detection, adapted to unstructured
+    text: an n-gram is boilerplate within a source when it appears in
+    ≥ ``df_frac`` of that source's documents AND ≥ ``min_df`` docs
+    absolute (the count floor keeps a 1-doc source from declaring its
+    whole text boilerplate — headers, footers, navigation chrome,
+    license blurbs are what survive both); each doc's boilerplate share
+    is the fraction of its distinct n-grams that are hot. Rewriting is
+    the caller's policy — this scores, a filter/strip stage acts.
+
+    Scale shape: grams shuffle once on (source, 60-bit gram key) for
+    the df count — the same inverted-index build dedup uses; the hot
+    set (df-capped, tiny by construction) joins back equi on the same
+    key, so nothing corpus-sized is broadcast or recomputed."""
+    grams = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("_g"),
+    ).select(id_col, source_col, md5_long(F.col("_g")).alias("_gk"))
+    dfreq = grams.groupBy(source_col, "_gk").agg(F.count("*").alias("_gdf"))
+    sizes = df.groupBy(source_col).agg(F.count("*").alias("_n_docs"))
+    hot = (
+        dfreq.join(sizes, source_col)
+        .filter(
+            (F.col("_gdf") >= min_df)
+            & (F.col("_gdf") * 1.0 / F.col("_n_docs") >= df_frac)
+        )
+        .select(source_col, "_gk")
+    )
+    per_doc = grams.groupBy(id_col, source_col).agg(F.count("*").alias("n_grams"))
+    hot_per_doc = (
+        grams.join(hot, [source_col, "_gk"]).groupBy(id_col).agg(F.count("*").alias("n_hot"))
+    )
+    out = per_doc.join(hot_per_doc, id_col, "left").na.fill(0, ["n_hot"])
+    return out.select(
+        id_col,
+        source_col,
+        "n_grams",
+        "n_hot",
+        (F.col("n_hot") / F.col("n_grams")).alias("boilerplate_share"),
+    )
+
+
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic with deterministic tie-break
     (langs checked in fixed order, strict > to switch)."""

@@ -444,3 +444,154 @@ def streaming_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFram
         streaming_heavy_hitters(toks, "token", capacity=512), output_mode="append"
     )
     return out.select("token", "mg_count")
+
+
+@register(
+    "streaming_stream_join_time",
+    oracle=f"""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           epoch_ms(p.ts) AS purchase_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND epoch_ms(p.ts) - epoch_ms(c.ts) <= {_HOUR}
+    """,
+)
+def streaming_stream_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A9 join as a REAL stream-stream join (A16 under the gate):
+    two replay streams, watermark-bounded state, time-range residual
+    on the user_id equi-key. Single-slice replay — file_replay_stream
+    slices by round-robin repartition, not by time, so a multi-slice
+    replay could advance the watermark past a click still in flight
+    and drop a legitimate match; time-ordered multi-batch arrival is
+    pytest-covered (tests/test_streaming.py watermark tests)."""
+    from stream_spark.streaming.jobs import streaming_stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_l = f"{_SCRATCH}/ssj_purchases"
+    stage_r = f"{_SCRATCH}/ssj_clicks"
+    shutil.rmtree(stage_l, ignore_errors=True)
+    shutil.rmtree(stage_r, ignore_errors=True)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    sl = file_replay_stream(spark, purchases, stage_l, n_slices=1, max_files_per_trigger=None)
+    sr = file_replay_stream(spark, clicks, stage_r, n_slices=1, max_files_per_trigger=None)
+    joined = streaming_stream_stream_join(sl, sr, "user_id", "ts", "cts", max_lag="1 hour")
+    out = run_stream_to_memory(
+        joined.select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.click_id").alias("click_id"),
+            F.unix_millis(F.col("l.ts").cast("timestamp")).alias("purchase_ts_ms"),
+            F.unix_millis(F.col("r.cts").cast("timestamp")).alias("click_ts_ms"),
+        ),
+        output_mode="append",
+    )
+    return out
+
+
+@register(
+    "streaming_stream_left_join_time",
+    oracle=f"""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           epoch_ms(p.ts) AS purchase_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND epoch_ms(p.ts) - epoch_ms(c.ts) <= {_HOUR}
+    """,
+)
+def streaming_stream_left_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join under the gate: unmatched
+    purchases emit null-padded only when the watermark passes their
+    join horizon, so two beyond-horizon sentinel files (strictly
+    increasing mtimes → replayed last) walk the watermark past every
+    real event and the no-data batch flushes the outer state. The run
+    terminates when every real purchase id has surfaced — a
+    deterministic completion point (each left row emits exactly once
+    as matched-or-null set), after which the memory sink holds exactly
+    the batch LEFT JOIN the oracle states."""
+    import datetime as dt
+    import os
+    import time
+    import uuid
+
+    from stream_spark.streaming.jobs import streaming_stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_l = f"{_SCRATCH}/lsj_purchases"
+    stage_r = f"{_SCRATCH}/lsj_clicks"
+    for d in (stage_l, stage_r):
+        shutil.rmtree(d, ignore_errors=True)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    # bounded metadata: the completion target and the sentinel horizon
+    n_left, horizon = purchases.agg(F.count("*"), F.max("ts")).collect()[0]
+    purchases.repartition(1).write.parquet(stage_l)
+    clicks.repartition(1).write.parquet(stage_r)
+    now = time.time()
+    for i, days in enumerate((30, 60)):
+        st = horizon + dt.timedelta(days=days)
+        spark.createDataFrame(
+            [(-1, st, -1)], "user_id long, ts timestamp, event_id long"
+        ).repartition(1).write.mode("append").parquet(stage_l)
+        spark.createDataFrame(
+            [(-1, st, -1)], "user_id long, cts timestamp, click_id long"
+        ).repartition(1).write.mode("append").parquet(stage_r)
+        # pin replay order: sentinels strictly after the real data
+        for d in (stage_l, stage_r):
+            newest = max(
+                (os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")),
+                key=os.path.getmtime,
+            )
+            os.utime(newest, (now + 10 * (i + 1), now + 10 * (i + 1)))
+    sl = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_l)
+    )
+    sr = (
+        spark.readStream.schema("user_id long, cts timestamp, click_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_r)
+    )
+    joined = streaming_stream_stream_join(
+        sl, sr, "user_id", "ts", "cts", max_lag="1 hour", how="left_outer"
+    )
+    # sentinels are filtered AFTER collection, never inside the plan
+    # (a left-side predicate would be pushed below the watermark and
+    # pin it at the real horizon)
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.click_id").alias("click_id"),
+        F.unix_millis(F.col("l.ts").cast("timestamp")).alias("purchase_ts_ms"),
+        F.unix_millis(F.col("r.cts").cast("timestamp")).alias("click_ts_ms"),
+    )
+    name = f"lsj{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = (
+                spark.table(name).filter(F.col("user_id") != -1)
+                .select("purchase_id").distinct().count()
+            )
+            if done >= n_left:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("user_id") != -1)

@@ -315,3 +315,79 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.cast("long").alias("n_oov"),
         (n_oov.cast("double") / n_tok).alias("oov_rate"),
     )
+
+
+@register(
+    "documents_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS ws FROM documents),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               list_aggregate(list_transform(ws, w -> length(w)), 'sum') / len(ws) AS mean_word_len,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) / len(ws) AS alpha_frac,
+               CAST(len(list_filter(ws, w -> w IN ({_STOP_IN}))) AS BIGINT) AS n_stop_hits
+        FROM t
+    ), rules AS (
+        SELECT *,
+               CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS rule_n_words,
+               CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS rule_mean_len,
+               CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS rule_alpha,
+               CAST(CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS rule_stopwords
+        FROM feat
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_hits,
+           rule_n_words, rule_mean_len, rule_alpha, rule_stopwords,
+           CAST(CASE WHEN rule_n_words = 1 AND rule_mean_len = 1 AND rule_alpha = 1
+                     AND rule_stopwords = 1 THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+    FROM rules
+    """,
+)
+def documents_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gate (operators/text.gopher_rules): per-rule 0/1
+    flags + conjunction, so rejection rates per rule are one groupBy
+    away."""
+    from stream_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stop_hits",
+        "rule_n_words", "rule_mean_len", "rule_alpha", "rule_stopwords", "gopher_keep",
+    )
+
+
+@register(
+    "documents_boilerplate_share",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {TOKS} AS ws FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               {MD5_60.format(x="ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS gk
+        FROM t, unnest(generate_series(1, len(ws) - 2)) s(i)
+    ),
+    dfreq AS (SELECT source, gk, COUNT(*) AS gdf FROM grams GROUP BY source, gk),
+    sizes AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    hot AS (
+        SELECT d.source, d.gk FROM dfreq d JOIN sizes s ON d.source = s.source
+        WHERE d.gdf >= 2 AND d.gdf * 1.0 / s.n_docs >= 0.5
+    ),
+    per_doc AS (SELECT doc_id, source, COUNT(*) AS n_grams FROM grams GROUP BY doc_id, source),
+    hotdoc AS (
+        SELECT g.doc_id, COUNT(*) AS n_hot
+        FROM grams g JOIN hot h ON g.source = h.source AND g.gk = h.gk
+        GROUP BY g.doc_id
+    )
+    SELECT p.doc_id, p.source, p.n_grams,
+           COALESCE(h.n_hot, 0) AS n_hot,
+           COALESCE(h.n_hot, 0) / p.n_grams AS boilerplate_share
+    FROM per_doc p LEFT JOIN hotdoc h ON p.doc_id = h.doc_id
+    """,
+)
+def documents_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequent-n-gram boilerplate score
+    (operators/text.boilerplate_share): the share of a doc's distinct
+    3-grams appearing in ≥50% of its source's documents."""
+    from stream_spark.operators.text import boilerplate_share
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_share(docs)

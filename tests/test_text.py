@@ -56,3 +56,45 @@ def test_fingerprint_stable_under_whitespace(spark):
     )
     out = {r["doc_id"]: (r["fp_md5"], r["fp_min_shingle"]) for r in fingerprint(df).collect()}
     assert out[1] == out[2]  # normalization makes fingerprints identical
+
+
+def test_gopher_rules_flags(spark):
+    from stream_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and " + "word " * 60),      # passes all rules
+            (2, "tiny doc"),                      # fails n_words
+            (3, ("the " + "a " * 70).strip()),    # mean len < 3 → fails
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[1].gopher_keep == 1
+    assert got[2].rule_n_words == 0 and got[2].gopher_keep == 0
+    assert got[3].rule_mean_len == 0 and got[3].gopher_keep == 0
+
+
+def test_boilerplate_share_detects_shared_footer(spark):
+    from stream_spark.operators.text import boilerplate_share
+
+    footer = "visit our site today"
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", f"alpha beta gamma delta {footer}"),
+            (2, "s1", f"epsilon zeta eta theta {footer}"),
+            (3, "s1", f"iota kappa lambda mu {footer}"),
+            # s2 has two docs with disjoint text: nothing reaches min_df
+            # in BOTH docs except the footer — but df 2/2 needs min_df=2,
+            # met, so the footer IS hot in s2 too; the unique grams are not
+            (4, "s2", "unique words only here now"),
+            (5, "s2", "other totally different content here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r for r in boilerplate_share(docs).collect()}
+    assert got[1].n_hot == 2  # the two footer 3-grams are hot in s1
+    assert got[1].boilerplate_share > 0
+    # s2's docs share nothing: no gram meets min_df there
+    assert got[4].n_hot == 0 and got[4].boilerplate_share == 0.0
+    assert got[5].n_hot == 0

@@ -110,3 +110,61 @@ def test_streaming_windowed_approx_distinct_equals_batch(spark, sf_dir, tmp_path
         r["window_start_ms"]: r["approx_distinct"] for r in got.collect()
     }
     assert streamed == batch
+
+
+def test_tdigest_rank_error_vs_exact(spark, sf_dir):
+    """t-digest p50/p95/p99 must land within 2% RANK error of the
+    exact distribution (the sketch's contract is rank accuracy, not
+    value accuracy)."""
+    import numpy as np
+
+    from stream_spark.operators.sketches import tdigest_quantiles
+    from stream_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = tdigest_quantiles(ev, "value", (0.5, 0.95, 0.99), delta=100).collect()[0]
+    vals = np.sort(np.array([r[0] for r in ev.select("value").collect()]))
+    n = len(vals)
+    for p, est in ((0.5, got["p50"]), (0.95, got["p95"]), (0.99, got["p99"])):
+        rank = np.searchsorted(vals, est) / n
+        assert abs(rank - p) < 0.02, f"p{int(p*100)}: est rank {rank:.4f}"
+
+
+def test_tdigest_grouped_and_merge_invariance(spark, sf_dir):
+    """Grouped digests; shard count must not change results materially
+    (merge associativity: 4-shard and 32-shard runs agree within the
+    sketch's own tolerance)."""
+    from stream_spark.operators.sketches import tdigest_quantiles
+    from stream_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = {
+        r["event_type"]: r["p95"]
+        for r in tdigest_quantiles(
+            ev, "value", (0.95,), group_by=["event_type"], n_shards=4
+        ).collect()
+    }
+    b = {
+        r["event_type"]: r["p95"]
+        for r in tdigest_quantiles(
+            ev, "value", (0.95,), group_by=["event_type"], n_shards=32
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        denom = max(abs(a[k]), 1e-9)
+        assert abs(a[k] - b[k]) / denom < 0.05, (k, a[k], b[k])
+
+
+def test_tdigest_centroid_count_bounded(spark):
+    """The whole point: centroids, not rows. 50k values must compress
+    to O(delta) centroids."""
+    import numpy as np
+
+    from stream_spark.operators.sketches import _tdigest_compress
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=50_000)
+    m, w = _tdigest_compress(v, np.ones_like(v), 100)
+    assert len(m) <= 200  # ~2x delta slack
+    assert abs(sum(w) - 50_000) < 1e-6

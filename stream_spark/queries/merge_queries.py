@@ -91,3 +91,112 @@ def events_value_percentile_sampled(spark: SparkSession, sf_dir: str) -> DataFra
     return sampled_quantiles(
         ev, "value", "event_id", 0.2, (0.5, 0.9, 0.99), group_by=["event_type"]
     )
+
+
+@register(
+    "events_value_winsorized",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), cuts AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT) THEN value END) AS lo,
+               MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS hi
+        FROM r GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(GREATEST(c.lo, LEAST(c.hi, e.value)) AS DECIMAL(18,4))) AS DOUBLE)
+               AS winsorized_sum,
+           CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: winsorize value at per-group exact p1/p99
+    (PERCENTILE_DISC rank spelling) and aggregate the clipped values in
+    DECIMAL. Two passes over the group — the cuts aggregate is
+    per-group tiny and joins back equi on the group key, so AQE
+    broadcasts it; nothing corpus-sized moves twice."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("value"))
+    )
+    cuts = r.groupBy("event_type").agg(pick(0.01).alias("lo"), pick(0.99).alias("hi"))
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        ev.join(cuts, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(clipped.cast("decimal(18,4)")).cast("double").alias("winsorized_sum"),
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_clipped"),
+        )
+    )
+
+
+_AFF_B = 1024  # hashed-token buckets
+
+
+@register(
+    "documents_domain_affinity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) % {_AFF_B} AS b
+        FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents) t
+    ),
+    target AS (SELECT b, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b)
+    SELECT t.doc_id,
+           CAST(SUM(COALESCE(tg.ct, 0)) AS BIGINT) AS target_mass,
+           CAST(SUM(r.cr) AS BIGINT) AS raw_mass,
+           SUM(COALESCE(tg.ct, 0)) * 1.0 / SUM(r.cr) AS affinity
+    FROM tok t
+    JOIN raw r ON t.b = r.b
+    LEFT JOIN target tg ON t.b = tg.b
+    GROUP BY t.doc_id
+    """,
+)
+def documents_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-inspired domain scoring with hashed token buckets
+    (Xie et al. 2023 use hashed-n-gram importance ratios): each doc is
+    scored by how much of its token mass falls in buckets the TARGET
+    domain (lang='en') favors — affinity = Σ target-bucket-count /
+    Σ corpus-bucket-count over the doc's tokens. A ratio of two BIGINT
+    sums, not a product of logs, so it hash-matches across engines
+    (libm log ulps don't). The bucket tables are ≤ {_AFF_B} rows —
+    broadcastable by construction at any corpus size."""
+    from stream_spark.operators.text import md5_long, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("_tok")
+    ).select("doc_id", "lang", (md5_long(F.col("_tok")) % _AFF_B).alias("b"))
+    target = tok.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("ct"))
+    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    j = tok.join(raw, "b").join(target, "b", "left").na.fill(0, ["ct"])
+    return j.groupBy("doc_id").agg(
+        F.sum("ct").cast("long").alias("target_mass"),
+        F.sum("cr").cast("long").alias("raw_mass"),
+        (F.sum("ct") * F.lit(1.0) / F.sum("cr")).alias("affinity"),
+    )

@@ -101,3 +101,55 @@ def upsert_partitioned_parquet(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitioned_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> list:
+    """Small-file compaction (the OPTIMIZE half of table maintenance):
+    rewrite each hive partition whose file count exceeds ``min_files``
+    into ceil(bytes / target_file_bytes) files, leaving healthy
+    partitions untouched (dynamic partition overwrite again). Streaming
+    sinks and frequent upserts strew small files; scans then pay one
+    task + one open per file — compaction restores scan parallelism ==
+    data size. Returns the partition values rewritten.
+
+    File listing happens driver-side but is bounded metadata (one stat
+    per file of the TOUCHED partitions' directories, not data).
+    """
+    import math
+    import os
+
+    to_fix: list = []
+    plans: dict = {}
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        pdir = os.path.join(path, entry)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if len(files) <= min_files:
+            continue
+        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        value = entry.split("=", 1)[1]
+        to_fix.append(value)
+        plans[value] = max(1, math.ceil(nbytes / target_file_bytes))
+    if not to_fix:
+        return []
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for value in to_fix:
+            part = spark.read.parquet(path).filter(F.col(partition_col) == value)
+            (
+                part.repartition(plans[value])
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return to_fix

@@ -200,3 +200,42 @@ def documents_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cr").cast("long").alias("raw_mass"),
         (F.sum("ct") * F.lit(1.0) / F.sum("cr")).alias("affinity"),
     )
+
+
+def _z_terms_sql(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "events_zorder_key",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id,
+               user_id % 256 AS a,
+               (epoch_ms(ts) // 3600000) % 256 AS b
+        FROM events
+    )
+    SELECT event_id, CAST({_z_terms_sql('a', 'b', 8)} AS BIGINT) AS zkey
+    FROM base
+    """,
+)
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (user_id, hour) — the
+    data-skipping layout primitive (operators/layout.py). Pure literal
+    bit arithmetic, identical in both engines; the physical write path
+    (range repartition on the key → narrow per-row-group min/max on
+    BOTH dimensions) is pytest-asserted against parquet row-group
+    stats in tests/test_merge.py."""
+    from stream_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        ((F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600000)).cast("long") % 256).alias("b"),
+    )
+    return base.select("event_id", zorder_key([F.col("a"), F.col("b")], bits=8).alias("zkey"))

@@ -102,3 +102,69 @@ def test_rerank_stub_changes_order_and_is_deterministic(spark):
     # blended score stays within [cosine, cosine + 0.1)
     for r in a:
         assert r.cosine <= r.rerank_score < r.cosine + 0.1
+
+
+def test_compact_partitioned_parquet(spark, tmp_path):
+    import os
+
+    from stream_spark.operators.merge import compact_partitioned_parquet
+
+    path = str(tmp_path / "frag")
+    big = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 800, "a").otherwise("b").alias("part"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    # fragment partition a into 8 files; leave b as 1
+    big.filter(F.col("part") == "a").repartition(8).write.partitionBy("part").parquet(path)
+    big.filter(F.col("part") == "b").repartition(1).write.mode("append").partitionBy(
+        "part"
+    ).parquet(path)
+    n_before = len([f for f in os.listdir(f"{path}/part=a") if f.endswith(".parquet")])
+    assert n_before >= 3
+    fixed = compact_partitioned_parquet(spark, path, "part", min_files=2)
+    assert fixed == ["a"]
+    n_after = len([f for f in os.listdir(f"{path}/part=a") if f.endswith(".parquet")])
+    assert n_after == 1  # tiny bytes → single target file
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.filter(F.col("part") == "b").count() == 200
+
+
+def test_zorder_write_narrows_rowgroups_on_both_dims(spark, tmp_path):
+    """Z-order vs single-column sort: per-file min/max width on the
+    SECONDARY dimension must shrink by ≥2× (that's the whole point of
+    the layout), while staying bounded on the primary."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stream_spark.operators.layout import zorder_write
+    from stream_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        ((F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600000)).cast("long") % 256).alias("b"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(ev, zpath, ["a", "b"], bits=8, n_files=8)
+    ev.repartitionByRange(8, "a").sortWithinPartitions("a").write.parquet(spath)
+
+    def mean_width(path, col):
+        widths = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                stats = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }[col]
+                widths.append(stats.max - stats.min)
+        return sum(widths) / len(widths)
+
+    z_b, s_b = mean_width(zpath, "b"), mean_width(spath, "b")
+    assert z_b * 2 <= s_b, f"z-order b-width {z_b} not ≥2x narrower than {s_b}"
+    # primary dim: z-order trades a little a-width for the b gain, but
+    # must still beat an unsorted (full-range) layout
+    assert mean_width(zpath, "a") < 255

@@ -174,6 +174,63 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return sh.groupBy("doc").agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc, band, bucket) LSH index rows — the joinable form of the
+    banded minhash signature (bucket = md5 of the band's hash run)."""
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    n_bands = PERMS // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"mh{b * BAND_SIZE + k}").cast("string") for k in range(BAND_SIZE)])
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc", F.explode(bands).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def incremental_dedup_flags(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental (online) dedup — the production crawl shape: flag
+    which NEW documents are near-dups of the EXISTING corpus without
+    ever pairing the corpus against itself.
+
+    The corpus side collapses to its DISTINCT (band, bucket) index
+    rows before the join, so each new band row meets at most one
+    index row — no bucket-size² blowup is possible by construction,
+    and the shuffle is one equi-join keyed on (band, bucket). At
+    100 TB the corpus index is precomputed once and stored
+    (minhash_band_buckets output is a plain table); each day's batch
+    joins against it and appends its own rows.
+
+    Returns (doc_id, is_dup 0/1) for every new document.
+    """
+    nb = minhash_band_buckets(new_df, text_col, id_col, n)
+    cb = (
+        minhash_band_buckets(corpus_df, text_col, id_col, n)
+        .select("band", "bucket")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = nb.join(cb, ["band", "bucket"], "left")
+    return joined.groupBy(F.col("doc").alias(id_col)).agg(
+        F.max(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("is_dup")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -198,22 +255,7 @@ def minhash_lsh_candidates(
       oracle-gated query runs with both off — test corpora have no hot
       buckets).
     """
-    sigs = minhash_signatures(df, text_col, id_col, n)
-    n_bands = PERMS // BAND_SIZE
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"mh{b * BAND_SIZE + k}").cast("string") for k in range(BAND_SIZE)])
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sigs.select("doc", F.explode(bands).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    exploded = minhash_band_buckets(df, text_col, id_col, n)
     if max_bucket_size is not None or block_size is not None:
         sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
         exploded = exploded.join(sizes, ["band", "bucket"])

@@ -386,3 +386,40 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size")).select(
         F.col("component").alias("keeper_vec_id"), "cluster_size"
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    h AS (
+        SELECT doc, p, MIN({_MH_PERM}) AS mh
+        FROM sh, unnest(generate_series(0, {PERMS - 1})) t(p)
+        GROUP BY doc, p
+    ),
+    bands AS (
+        SELECT doc, p // {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+        FROM h GROUP BY doc, p // {BAND_SIZE}
+    ),
+    corp AS (SELECT DISTINCT band, bucket FROM bands WHERE doc % 4 <> 0)
+    SELECT n.doc AS doc_id,
+           CAST(MAX(CASE WHEN c.bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
+    FROM (SELECT * FROM bands WHERE doc % 4 = 0) n
+    LEFT JOIN corp c ON n.band = c.band AND n.bucket = c.bucket
+    GROUP BY n.doc
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, the production crawl shape: today's batch
+    (doc_id %4 = 0) is flagged against the EXISTING corpus's LSH band
+    index without ever pairing the corpus with itself
+    (operators/dedup.incremental_dedup_flags). The corpus side joins
+    as a DISTINCT (band,bucket) set, so no bucket can fan out — the
+    structural fix for hot buckets in the online path."""
+    from stream_spark.operators.dedup import incremental_dedup_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return incremental_dedup_flags(batch, corpus)

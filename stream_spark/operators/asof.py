@@ -81,3 +81,85 @@ def asof_join(
     else:
         picked = [F.col(f"_carry_{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols]
     return out.select(*lcols, *picked)
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_right",
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """The same as-of semantics through ``cogroup().applyInPandas`` —
+    both sides shuffle once on the key, each key's rows meet in ONE
+    Arrow batch, and ``pd.merge_asof`` (a backward binary search, not
+    a window carry) resolves the matches.
+
+    Exists as the second, independently-derived implementation of
+    ``asof_join`` (tests/test_operators_misc.py checks they agree row
+    for row) and as the template for per-key pandas logic that Catalyst
+    can't express — the cogroup surface is the right tool whenever two
+    streams must be aligned with arbitrary per-key Python. Slower than
+    the Catalyst carry (Python in the row path): prefer ``asof_join``
+    unless the per-key logic demands pandas.
+
+    Caveat vs the carry implementation: a cogroup pair must fit in
+    executor memory per key — hot keys that a window absorbs can OOM a
+    pandas batch, so keep it off corpus-hot keys.
+    """
+    import pandas as pd
+
+    lcols = list(left.columns)
+    out_cols = lcols + [f"{c}{suffix}" for c in right_cols]
+    l_is_ts = dict(left.dtypes)[left_ts].startswith("timestamp")
+
+    schema_parts = []
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    for c in lcols:
+        schema_parts.append(f"{c} {ltypes[c]}")
+    for c in right_cols:
+        schema_parts.append(f"{c}{suffix} {rtypes[c]}")
+    schema = ", ".join(schema_parts)
+
+    # pre-suffix the right side: shared column names across the two
+    # cogroup sides resolve ambiguously (the right-side batch can
+    # arrive pruned to just the key), and the pandas fn wants the
+    # output names anyway
+    suffixed = [f"{c}{suffix}" for c in right_cols]
+    r2 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+    def merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        if lg.empty:
+            return pd.DataFrame(columns=out_cols)
+        lg = lg.sort_values(left_ts, kind="mergesort")
+        if rg.empty:
+            out = lg.copy()
+            for c in suffixed:
+                out[c] = None
+            return out[out_cols]
+        rg = rg[["_rts"] + suffixed]
+        # greatest right tuple wins ties on (key, ts) — parity with the
+        # carry implementation's deterministic tie-break
+        rg = rg.sort_values(["_rts"] + suffixed, kind="mergesort")
+        tol = pd.Timedelta(milliseconds=tolerance_ms) if (tolerance_ms is not None and l_is_ts) else (
+            tolerance_ms if tolerance_ms is not None else None
+        )
+        out = pd.merge_asof(
+            lg, rg, left_on=left_ts, right_on="_rts",
+            direction="backward", tolerance=tol,
+        )
+        return out[out_cols]
+
+    return (
+        left.groupBy(key)
+        .cogroup(r2.groupBy(key))
+        .applyInPandas(lambda lg, rg: merge(lg, rg), schema=schema)
+    )

@@ -232,3 +232,22 @@ def test_asof_join_tolerance_numeric_ts(spark):
                      tolerance_ms=50).collect()}
     assert out["p1"] == "c1"   # 10 units back, inside the bound
     assert out["p2"] is None   # 410 units back, outside
+
+
+def test_asof_cogrouped_matches_catalyst_carry(spark):
+    """Two independent as-of implementations (window carry vs cogroup
+    pd.merge_asof) must agree row-for-row, with and without tolerance."""
+    from stream_spark.operators.asof import asof_join, asof_join_cogrouped
+    from stream_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    for tol in (None, 600_000):
+        a = asof_join(left, right, "user_id", "ts", "ts", ["ts", "event_id"], tolerance_ms=tol)
+        b = asof_join_cogrouped(
+            left, right, "user_id", "ts", "ts", ["ts", "event_id"], tolerance_ms=tol
+        )
+        ka = sorted(map(tuple, a.select("user_id", "event_id", "event_id_right").collect()))
+        kb = sorted(map(tuple, b.select("user_id", "event_id", "event_id_right").collect()))
+        assert ka == kb, f"tol={tol}: implementations disagree"

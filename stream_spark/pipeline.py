@@ -234,6 +234,33 @@ def _stage_sample(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     return deterministic_sample(df, s.get("id", "doc_id"), float(s["rate"]))
 
 
+def _stage_sink(df, s, pipe, spark, sf_dir):
+    """Terminal write stage: persist the pipeline's current frame to
+    parquet/csv/json, optionally hive-partitioned or z-order
+    clustered (``zorder_by: [colA, colB]`` → operators/layout), then
+    pass the frame through so downstream stages / the caller still see
+    it (flogo pipelines end in an activity; ours can end in a table)."""
+    path = s["path"]
+    if s.get("zorder_by"):
+        from stream_spark.operators.layout import zorder_write
+
+        zorder_write(
+            df,
+            path,
+            s["zorder_by"],
+            bits=int(s.get("bits", 16)),
+            n_files=int(s.get("n_files", 8)),
+            mod=s.get("mod"),
+        )
+    else:
+        from stream_spark.sources.sinks import write_table
+
+        write_table(
+            df, path, fmt=s.get("format", "parquet"), partition_by=s.get("partition_by")
+        )
+    return df
+
+
 STAGE_TYPES: dict[str, Callable] = {
     "filter": _stage_filter,
     "aggregate": _stage_aggregate,
@@ -244,6 +271,7 @@ STAGE_TYPES: dict[str, Callable] = {
     "log": _stage_log,
     "dedup": _stage_dedup,
     "sample": _stage_sample,
+    "sink": _stage_sink,
 }
 
 

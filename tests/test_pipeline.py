@@ -230,3 +230,46 @@ def test_pipeline_telemetry_events(spark, sf_dir):
     kinds = [e[0] for e in events]
     assert kinds == ["pipeline-started", "stage-started", "stage-finished", "pipeline-finished"]
     assert events[1][2] == "0:filter"
+
+
+def test_pipeline_sink_stage_roundtrip(spark, tmp_path):
+    """A `sink` stage persists the frame mid-pipeline and passes it
+    through; the written table matches what the pipeline returns."""
+    from stream_spark.pipeline import Pipeline
+
+    out = str(tmp_path / "sunk")
+    pipe = Pipeline.from_dict(
+        {
+            "name": "sink_test",
+            "source": {"table": "events"},
+            "stages": [
+                {"type": "filter", "settings": {"type": "non-zero", "column": "value"}},
+                {"type": "select", "settings": {"columns": ["event_id", "user_id", "value"]}},
+                {"type": "sink", "settings": {"path": out}},
+            ],
+        }
+    )
+    res = pipe.run(spark, "/root/testdata/sf0.001")
+    back = spark.read.parquet(out)
+    assert back.count() == res.count()
+    assert set(back.columns) == {"event_id", "user_id", "value"}
+
+
+def test_pipeline_sink_stage_zorder(spark, tmp_path):
+    from stream_spark.pipeline import Pipeline
+
+    out = str(tmp_path / "zsunk")
+    pipe = Pipeline.from_dict(
+        {
+            "name": "zsink",
+            "source": {"table": "events"},
+            "stages": [
+                {"type": "select", "settings": {"columns": ["event_id", "user_id", "value"]}},
+                {"type": "sink", "settings": {"path": out, "zorder_by": ["user_id", "event_id"], "bits": 8, "n_files": 4}},
+            ],
+        }
+    )
+    res = pipe.run(spark, "/root/testdata/sf0.001")
+    back = spark.read.parquet(out)
+    assert back.count() == res.count()
+    assert "_zkey" not in back.columns

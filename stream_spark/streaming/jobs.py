@@ -423,3 +423,61 @@ def streaming_heavy_hitters(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_windowed_tdigest(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_ms: int,
+    probabilities: tuple = (0.5, 0.95, 0.99),
+    delta: int = 100,
+) -> DataFrame:
+    """t-digest quantiles per tumbling time window on a live stream:
+    state per window is the centroid arrays (O(delta) doubles, never
+    the rows), folded batch-by-batch with the same compressor the
+    batch operator uses (operators/sketches). Each batch emits the
+    window's current quantiles plus ``n_seen`` — the row with the
+    highest n_seen per window is the end-of-stream digest, and
+    intermediate emissions are live progressive estimates.
+
+    This is the streaming quantile shape at 100 TB: a windowed exact
+    percentile needs every row in state; this needs ~delta centroids
+    per open window regardless of rate.
+    """
+    import numpy as np
+
+    from stream_spark.operators.sketches import _tdigest_compress, _tdigest_quantile
+
+    bucket = (
+        (F.unix_millis(F.col(ts_col).cast("timestamp")) / window_ms).cast("long")
+        * window_ms
+    ).alias("window_start_ms")
+    keyed = stream.select(bucket, F.col(value_col).alias("_v"))
+
+    def process(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            means, weights = (list(x) for x in state.get)
+        else:
+            means, weights = [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        v = batch["_v"].to_numpy(dtype=np.float64)
+        m = np.concatenate([np.asarray(means), v])
+        w = np.concatenate([np.asarray(weights), np.ones_like(v)])
+        means, weights = _tdigest_compress(m, w, delta)
+        state.update((means, weights))
+        row = {"window_start_ms": [key[0]], "n_seen": [int(round(sum(weights)))]}
+        for p in probabilities:
+            row[f"p{int(p * 100)}"] = [_tdigest_quantile(means, weights, p)]
+        yield pd.DataFrame(row)
+
+    qcols = ", ".join(f"p{int(p * 100)} double" for p in probabilities)
+    return keyed.groupBy("window_start_ms").applyInPandasWithState(
+        process,
+        f"window_start_ms long, n_seen long, {qcols}",
+        "means array<double>, weights array<double>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -511,3 +511,47 @@ def test_streaming_heavy_hitters_mg_bound(spark):
         est = mg.get(t, 0)
         assert est <= c, f"{t}: overestimate {est} > {c}"
         assert est >= c - shard_n[shard_of[t]] / (cap + 1) - 1e-9, f"{t}: under bound"
+
+
+def test_streaming_windowed_tdigest_rank_error(spark):
+    """Windowed t-digest on a 4-slice replay: the final (highest
+    n_seen) digest per window must hit 2% rank error vs that window's
+    exact values, and n_seen must equal the window's row count —
+    proving state survives micro-batch boundaries."""
+    import numpy as np
+
+    from stream_spark.sources import load_table
+    from stream_spark.streaming import file_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.jobs import streaming_windowed_tdigest
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    stage = f"{SCRATCH}/wtd"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    DAY = 86_400_000
+    out = run_stream_to_memory(
+        streaming_windowed_tdigest(stream, "ts", "value", DAY, (0.5, 0.95)),
+        output_mode="append",
+    )
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        if r.window_start_ms not in final or r.n_seen > final[r.window_start_ms].n_seen:
+            final[r.window_start_ms] = r
+    exact = (
+        ev.select(
+            ((F.unix_millis(F.col("ts").cast("timestamp")) / DAY).cast("long") * DAY).alias("w"),
+            "value",
+        )
+        .groupBy("w")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    )
+    assert len(final) == len(exact) > 0
+    for r in exact:
+        got = final[r.w]
+        vals = np.sort(np.array(r.vs))
+        assert got.n_seen == len(vals)  # no rows lost across batches
+        for p, est in ((0.5, got.p50), (0.95, got.p95)):
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - p) < 0.02 + 2.0 / len(vals), (r.w, p, rank)

@@ -391,3 +391,53 @@ def documents_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_share(docs)
+
+
+@register(
+    "documents_quality_ntile",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               (CASE WHEN len({TOKS}) >= 10 AND len({TOKS}) <= 1000 THEN 0.4 ELSE 0.0 END
+                + CASE WHEN len(list_filter({TOKS}, w -> w IN ({_STOP_IN}))) * 1.0 / len({TOKS}) >= 0.05 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) <= 0.2 THEN 0.2 ELSE 0.0 END
+                + CASE WHEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0 / length(text) <= 0.1 THEN 0.1 ELSE 0.0 END
+               ) AS quality_score
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, quality_score,
+               row_number() OVER (ORDER BY quality_score DESC, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM feat
+    )
+    SELECT doc_id, quality_score,
+           CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS curriculum_bucket
+    FROM r
+    """,
+)
+def documents_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: decile-rank documents by quality score
+    (best = bucket 1) with a deterministic (score DESC, doc_id)
+    tie-break — the shard assignment a staged training run reads in
+    order. The global rank comes from the two-pass partition-offset
+    primitive (operators/rownum — no single-partition sort, per the
+    repo's own scale rule), and the bucket is the explicit
+    floor((rn-1)·k/n) formula, spelled identically in both engines
+    (SQL ntile distributes remainders differently). At 100 TB, swap
+    the exact rank for sampled quantile cuts of the score
+    (sketches.sampled_quantiles) — same output columns."""
+    from stream_spark.operators.rownum import with_global_row_number
+    from stream_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = quality_features(docs).select(
+        "doc_id", "quality_score", (-F.col("quality_score")).alias("_neg")
+    )
+    ranked = with_global_row_number(feat, ["_neg", "doc_id"]).drop("_neg")
+    n = ranked.count()  # bounded metadata: one scalar
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        (F.expr(f"((rn - 1) * 10) DIV {n}") + 1).cast("long").alias("curriculum_bucket"),
+    )

@@ -555,3 +555,22 @@ def test_streaming_windowed_tdigest_rank_error(spark):
         for p, est in ((0.5, got.p50), (0.95, got.p95)):
             rank = np.searchsorted(vals, est) / len(vals)
             assert abs(rank - p) < 0.02 + 2.0 / len(vals), (r.w, p, rank)
+
+
+def test_observe_counts_rides_the_action(spark):
+    """df.observe metrics: quality-gate accounting in the same pass."""
+    from stream_spark.operators.text import gopher_rules
+    from stream_spark.sources import load_table
+    from stream_spark.streaming.telemetry import observe_counts
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    gated = gopher_rules(docs)
+    observed, obs = observe_counts(
+        gated, "gate", flag_cols={"kept": "gopher_keep", "alpha_ok": "rule_alpha"}
+    )
+    n_out = observed.count()  # the action that materializes the metrics
+    got = obs.get
+    assert got["n_rows"] == n_out == docs.count()
+    exact_kept = gated.filter(F.col("gopher_keep") == 1).count()
+    assert got["kept"] == exact_kept
+    assert 0 <= got["kept"] <= got["alpha_ok"] <= got["n_rows"]

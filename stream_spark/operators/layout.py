@@ -70,3 +70,68 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def build_stats_manifest(spark, path: str, cols: Sequence[str]) -> DataFrame:
+    """Iceberg/Delta-style file-stats manifest over a plain parquet
+    directory: one row per data file with row count and per-column
+    min/max (numeric cols, surfaced as DOUBLE), harvested from the
+    parquet footers by executors via mapInPandas — the driver only
+    lists file NAMES (bounded metadata); no data pages are read.
+
+    Query planning reads the manifest (KBs) instead of opening every
+    footer at plan time: `manifest_prune` turns a range predicate into
+    the list of files that can possibly match — on a z-ordered table
+    that's the multi-dimensional skipping the layout bought.
+    """
+    import glob as _glob
+
+    import pandas as pd
+
+    files = sorted(_glob.glob(f"{path}/*.parquet")) or sorted(
+        _glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 32) or 1
+    )
+    want = list(cols)
+
+    def harvest(it):
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                row = {"file": f, "n_rows": md.num_rows}
+                mins: dict = {}
+                maxs: dict = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for i in range(g.num_columns):
+                        c = g.column(i)
+                        name = c.path_in_schema
+                        if name not in want or c.statistics is None:
+                            continue
+                        s = c.statistics
+                        mins[name] = s.min if name not in mins else min(mins[name], s.min)
+                        maxs[name] = s.max if name not in maxs else max(maxs[name], s.max)
+                for name in want:
+                    row[f"min_{name}"] = float(mins[name]) if name in mins else None
+                    row[f"max_{name}"] = float(maxs[name]) if name in maxs else None
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    stat_fields = ", ".join(f"min_{c} double, max_{c} double" for c in want)
+    return fdf.mapInPandas(harvest, schema=f"file string, n_rows long, {stat_fields}")
+
+
+def manifest_prune(manifest: DataFrame, col: str, lo: float, hi: float) -> list:
+    """Files whose [min, max] range for ``col`` intersects [lo, hi] —
+    the candidate set a range scan must read (collect is bounded: one
+    row per file). Files with no stats are kept (can't prove absence)."""
+    hit = manifest.filter(
+        F.col(f"min_{col}").isNull()
+        | ~((F.col(f"max_{col}") < lo) | (F.col(f"min_{col}") > hi))
+    )
+    return [r["file"] for r in hit.select("file").collect()]

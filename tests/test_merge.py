@@ -168,3 +168,31 @@ def test_zorder_write_narrows_rowgroups_on_both_dims(spark, tmp_path):
     # primary dim: z-order trades a little a-width for the b gain, but
     # must still beat an unsorted (full-range) layout
     assert mean_width(zpath, "a") < 255
+
+
+def test_stats_manifest_prunes_zordered_files(spark, tmp_path):
+    """Manifest-driven file pruning on a z-ordered table: a narrow
+    range predicate on the secondary dimension must skip files AND
+    return exactly the rows a full scan returns."""
+    from stream_spark.operators.layout import build_stats_manifest, manifest_prune, zorder_write
+    from stream_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        ((F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600000)).cast("long") % 256).alias("b"),
+    )
+    path = str(tmp_path / "ztab")
+    zorder_write(ev, path, ["a", "b"], bits=8, n_files=8)
+    man = build_stats_manifest(spark, path, ["a", "b"])
+    assert man.count() == 8
+    files = manifest_prune(man, "b", 10.0, 30.0)
+    assert 0 < len(files) < 8, f"no pruning: {len(files)} of 8 files"
+    got = (
+        spark.read.parquet(*files)
+        .filter(F.col("b").between(10, 30))
+        .select("event_id")
+        .collect()
+    )
+    want = spark.read.parquet(path).filter(F.col("b").between(10, 30)).select("event_id").collect()
+    assert sorted(r[0] for r in got) == sorted(r[0] for r in want)

@@ -477,3 +477,86 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "vec_id", "scale", F.array_join(quant.cast("array<string>"), ",").alias("q_csv")
     )
+
+
+_CASCADE_N1 = 50  # stage-1 retrieval depth
+_CASCADE_N2 = 10  # survivors into the expensive stage
+
+
+@register(
+    "ann_topk_rerank_cascade",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HP.format(np=N_PLANES - 1)},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+        JOIN buckets bq ON q.vec_id = bq.vec_id
+        JOIN buckets bc ON c.vec_id = bc.vec_id AND bq.bucket = bc.bucket
+        JOIN norms nq ON q.vec_id = nq.vec_id
+        JOIN norms nc ON c.vec_id = nc.vec_id
+        GROUP BY query_id, neighbor_id, nq.nrm, nc.nrm
+    ),
+    c1 AS (
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM scored) WHERE rk <= {_CASCADE_N1}
+    ),
+    r1 AS (
+        SELECT query_id, neighbor_id, cosine,
+               cosine + (CAST(('0x' || substr(md5(CAST(query_id AS VARCHAR) || ':'
+                   || CAST(neighbor_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) / 10000.0
+                   AS rerank_score
+        FROM c1
+    ),
+    c2 AS (
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id) AS rk
+            FROM r1) WHERE rk <= {_CASCADE_N2}
+    ),
+    r2 AS (
+        SELECT query_id, neighbor_id, cosine,
+               cosine + (CAST(('0x' || substr(md5('x2:' || CAST(query_id AS VARCHAR) || ':'
+                   || CAST(neighbor_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) / 5000.0
+                   AS final_score
+        FROM c2
+    )
+    SELECT query_id, neighbor_id, cosine, final_score, CAST(rk AS BIGINT) AS final_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY final_score DESC, neighbor_id) AS rk
+        FROM r2
+    ) WHERE rk <= {_K}
+    """,
+)
+def ann_topk_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged-escalation retrieval cascade: LSH retrieve top-50 →
+    cheap pair scorer keeps 10 → expensive scorer (different model
+    salt, 2× logit weight) ranks the final 5. Each stage's cost-depth
+    product stays flat while per-candidate cost grows 10× per stage —
+    the production serving economics. Both scorer stages are the
+    deterministic md5 STUB (real models drop into the same Arrow
+    slots); the oracle replays all three stages."""
+    from pyspark.sql import Window
+
+    from stream_spark.operators.ann_pandas import rerank_crossencoder_stub
+    from stream_spark.operators.text import md5_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = topk_lsh(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _CASCADE_N1
+    )
+    c2 = rerank_crossencoder_stub(c1, _CASCADE_N2)
+    # stage-2 "expensive" scorer: distinct salt, stronger logit weight
+    pair = F.concat(F.lit("x2:"), F.col("query_id"), F.lit(":"), F.col("neighbor_id"))
+    scored = c2.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        (F.col("cosine") + (md5_long(pair) % 1000) / F.lit(5000.0)).alias("final_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("final_score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("final_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("final_rank") <= _K)
+    )

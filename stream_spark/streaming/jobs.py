@@ -481,3 +481,30 @@ def streaming_windowed_tdigest(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark, enabled: bool = True) -> None:
+    """Switch stateful streaming to the RocksDB state store (bundled
+    with Spark 4). The default HDFS-backed store keeps every key in
+    executor HEAP — fine for bounded windows, fatal for long-running
+    streams whose state (dedup keys, session windows, join buffers)
+    grows past memory. RocksDB spills state to local disk with an
+    off-heap block cache, turning state size into a disk problem;
+    changelog checkpointing keeps recovery incremental. Affects
+    queries STARTED after the call."""
+    if enabled:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )

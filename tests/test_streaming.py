@@ -574,3 +574,33 @@ def test_observe_counts_rides_the_action(spark):
     exact_kept = gated.filter(F.col("gopher_keep") == 1).count()
     assert got["kept"] == exact_kept
     assert 0 <= got["kept"] <= got["alpha_ok"] <= got["n_rows"]
+
+
+def test_rocksdb_state_store_matches_batch(spark):
+    """The RocksDB state store (the long-running-stream config) must
+    produce byte-identical windowed aggregates to the default store."""
+    from stream_spark.sources import load_table
+    from stream_spark.streaming import file_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.jobs import (
+        streaming_tumbling_time_window,
+        use_rocksdb_state,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    stage = f"{SCRATCH}/rocksdb_state"
+    shutil.rmtree(stage, ignore_errors=True)
+    use_rocksdb_state(spark)
+    try:
+        stream = file_replay_stream(spark, ev, stage, n_slices=4)
+        out = run_stream_to_memory(
+            streaming_tumbling_time_window(stream, "ts", "value", "sum", 3_600_000),
+            output_mode="complete",
+        ).collect()
+    finally:
+        use_rocksdb_state(spark, enabled=False)
+    from stream_spark.operators.windows import tumbling_time_window
+
+    batch = tumbling_time_window(ev, "ts", "value", "sum", 3_600_000).collect()
+    g = {(r["window_start"], round(r["result"], 6)) for r in out}
+    b = {(r["window_start"], round(r["result"], 6)) for r in batch}
+    assert g == b

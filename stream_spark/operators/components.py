@@ -133,3 +133,48 @@ def connected_components_star(
         e.select(F.col("v").alias("node")).distinct().withColumn("component", F.col("node"))
     )
     return labels.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """PageRank in EXACT integer arithmetic (micro-rank units of 1e-9,
+    damping 0.85 as the rational 17/20): contributions are
+    ``r DIV outdeg``, the damped update is ``0.15e9 + (17·Σ) DIV 20``
+    — floor division on positive BIGINTs, so every engine computes the
+    identical ranks and an iterative graph algorithm fits the exact
+    oracle gate (same trick as the decimal k-means).
+
+    Plan shape per iteration: one equi-join of edges to ranks on the
+    source (ranks is one row per node — AQE broadcasts it when small,
+    shuffles on the key when not) and one keyed sum on the
+    destination. Never materializes anything denser than the edge
+    list; lineage grows linearly with iters, so localCheckpoint every
+    few rounds for deep runs (2 here).
+    """
+    deg = edges.groupBy(src).agg(F.count("*").alias("_outdeg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("r", F.lit(1_000_000_000).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", src), src)
+            .join(deg, src)
+            .select(F.col(dst).alias("node"), F.expr("r DIV _outdeg").alias("_c"))
+        )
+        s = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(s, "node", "left")
+            .na.fill(0, ["_s"])
+            .select(
+                "node",
+                (F.lit(150_000_000) + F.expr("(17 * _s) DIV 20")).cast("long").alias("r"),
+            )
+        )
+    return ranks

@@ -806,3 +806,58 @@ def events_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("m.ts").cast("timestamp")).alias("last_ts_ms"),
         F.col("m.value").alias("last_value"),
     )
+
+
+@register(
+    "parts_copurchase_pagerank",
+    oracle="""
+    WITH co AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT part_a AS src, part_b AS dst FROM co
+        UNION ALL
+        SELECT part_b AS src, part_a AS dst FROM co
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS s
+           FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.node, CAST(150000000 + (17 * COALESCE(c1.s, 0)) // 20 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+    c2 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS s
+           FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.node, CAST(150000000 + (17 * COALESCE(c2.s, 0)) // 20 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 ON c2.node = n.node)
+    SELECT node AS part_id, r AS rank_micro FROM r2
+    """,
+)
+def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (2 iterations,
+    integer micro-rank arithmetic — operators/components.pagerank_integer):
+    which parts sit centrally in basket structure. The oracle unrolls
+    both iterations; floor division on positive BIGINTs makes every
+    intermediate bit-identical across engines."""
+    from stream_spark.operators.components import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = co.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionByName(
+        co.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    out = pagerank_integer(edges, iters=2)
+    return out.select(F.col("node").alias("part_id"), F.col("r").alias("rank_micro"))

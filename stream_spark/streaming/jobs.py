@@ -508,3 +508,82 @@ def use_rocksdb_state(spark, enabled: bool = True) -> None:
         spark.conf.unset(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
+
+
+def streaming_tumbling_count_tws(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    function: str,
+    size: int,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """The count-tumbling window on the MODERN stateful API
+    (transformWithStateInPandas, Spark 4): a StatefulProcessor with a
+    typed ValueState replaces the raw (tuple-state, GroupState) fold.
+    Same semantics as streaming_tumbling_count — parity-tested against
+    it — but the new API brings schema'd state, independent per-state
+    TTL, and RocksDB-only operation (call jobs.use_rocksdb_state
+    first; the processor API requires the RocksDB provider).
+
+    Environment gate (same policy as the kafka wrappers): the
+    processor protocol speaks protobuf between the JVM and the Python
+    state server; if the ``protobuf`` package is absent this raises
+    ImportError up front instead of crashing the driver worker
+    mid-query. The parity test skips accordingly.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark.sql.streaming.proto); not available in this environment"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    if function not in ("sum", "count", "min", "max", "avg"):
+        raise ValueError(f"unsupported streaming count-window function: {function}")
+
+    class CountWindowProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "win", "n long, acc double, window_id long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n_seen, acc, window_id = self._state.get()
+            else:
+                n_seen, acc, window_id = 0, 0.0, 0
+            out = []
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(list(order_cols), kind="mergesort")
+            for v in batch[value_col]:
+                v = float(v)
+                if n_seen == 0:
+                    acc = v if function != "count" else 1.0
+                    n_seen = 1
+                else:
+                    if function == "sum" or function == "avg":
+                        acc += v
+                    elif function == "count":
+                        acc += 1.0
+                    elif function == "min":
+                        acc = min(acc, v)
+                    else:
+                        acc = max(acc, v)
+                    n_seen += 1
+                if n_seen == size:
+                    result = acc / size if function == "avg" else acc
+                    out.append((key[0], window_id, float(result)))
+                    n_seen, acc, window_id = 0, 0.0, window_id + 1
+            self._state.update((n_seen, float(acc), window_id))
+            yield pd.DataFrame(out, columns=[key_col, "window_id", "result"])
+
+        def close(self) -> None:
+            pass
+
+    out_schema = f"{key_col} string, window_id long, result double"
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        CountWindowProcessor(), out_schema, "append", "None"
+    )

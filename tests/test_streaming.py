@@ -604,3 +604,59 @@ def test_rocksdb_state_store_matches_batch(spark):
     g = {(r["window_start"], round(r["result"], 6)) for r in out}
     b = {(r["window_start"], round(r["result"], 6)) for r in batch}
     assert g == b
+
+
+def test_transform_with_state_count_window_parity(spark):
+    """The transformWithStateInPandas count window must reproduce the
+    applyInPandasWithState implementation row for row (same single-
+    slice replay → same arrival order). Skips when the protobuf
+    package (required by the processor protocol) isn't installed."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from stream_spark.sources import load_table
+    from stream_spark.streaming import file_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.jobs import (
+        streaming_tumbling_count,
+        streaming_tumbling_count_tws,
+        use_rocksdb_state,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+
+    def run(op, stage_name, rocksdb):
+        stage = f"{SCRATCH}/{stage_name}"
+        shutil.rmtree(stage, ignore_errors=True)
+        if rocksdb:
+            use_rocksdb_state(spark)
+        try:
+            stream = file_replay_stream(spark, ev, stage, n_slices=1, max_files_per_trigger=None)
+            return run_stream_to_memory(
+                op(stream, "event_type", "value", "sum", 20), output_mode="append"
+            ).collect()
+        finally:
+            if rocksdb:
+                use_rocksdb_state(spark, enabled=False)
+
+    old = run(streaming_tumbling_count, "tws_old", rocksdb=False)
+    new = run(streaming_tumbling_count_tws, "tws_new", rocksdb=True)
+    ko = sorted((r.event_type, r.window_id, round(r.result, 6)) for r in old)
+    kn = sorted((r.event_type, r.window_id, round(r.result, 6)) for r in new)
+    assert ko == kn and len(ko) > 0
+
+
+def test_tws_raises_clean_importerror_without_protobuf(spark, tiny_events):
+    """Without protobuf the modern API must fail fast with ImportError
+    at plan-build time, not crash the streaming driver worker."""
+    import pytest as _pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        _pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from stream_spark.streaming.jobs import streaming_tumbling_count_tws
+
+    with _pytest.raises(ImportError, match="protobuf"):
+        streaming_tumbling_count_tws(tiny_events, "event_type", "value", "sum", 3)

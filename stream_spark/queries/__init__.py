@@ -26,5 +26,6 @@ from stream_spark.queries import streaming_queries as _streaming_queries  # noqa
 from stream_spark.queries import source_queries as _source_queries  # noqa: E402,F401
 from stream_spark.queries import chunk_queries as _chunk_queries  # noqa: E402,F401
 from stream_spark.queries import merge_queries as _merge_queries  # noqa: E402,F401
+from stream_spark.queries import quality_queries as _quality_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -135,3 +135,23 @@ def manifest_prune(manifest: DataFrame, col: str, lo: float, hi: float) -> list:
         | ~((F.col(f"max_{col}") < lo) | (F.col(f"min_{col}") > hi))
     )
     return [r["file"] for r in hit.select("file").collect()]
+
+
+def read_parquet_range(
+    spark, path: str, col: str, lo: float, hi: float, manifest: DataFrame | None = None
+) -> DataFrame:
+    """Manifest-planned range scan: prune data files by their min/max
+    stats BEFORE Spark opens them, then apply the exact predicate to
+    the survivors. With no manifest passed, one is built on the fly
+    (footer-only reads, executor-side); production callers build it
+    once per table write and reuse it. On a z-ordered table this
+    skips most files for a selective range on ANY interleaved
+    dimension; correctness never depends on the manifest — the real
+    filter still runs on what's read."""
+    man = manifest if manifest is not None else build_stats_manifest(spark, path, [col])
+    files = manifest_prune(man, col, lo, hi)
+    if not files:
+        return (
+            spark.read.parquet(path).filter(F.col(col).between(lo, hi)).limit(0)
+        )
+    return spark.read.parquet(*files).filter(F.col(col).between(lo, hi))

@@ -861,3 +861,61 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank_integer(edges, iters=2)
     return out.select(F.col("node").alias("part_id"), F.col("r").alias("rank_micro"))
+
+
+@register(
+    "events_funnel_three_step",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    purchases AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    v1 AS (
+        SELECT v.user_id, v.ts, v.event_id, c.ts AS click_ts
+        FROM views v ASOF LEFT JOIN clicks c
+          ON v.user_id = c.user_id AND c.ts <= v.ts
+    ),
+    p1 AS (
+        SELECT p.user_id, p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ts_ms,
+               epoch_ms(v.ts) AS view_ts_ms, epoch_ms(v.click_ts) AS click_ts_ms
+        FROM purchases p ASOF LEFT JOIN (SELECT * FROM v1 WHERE click_ts IS NOT NULL) v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN click_ts_ms IS NOT NULL
+                          AND purchase_ts_ms - click_ts_ms <= 86400000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_completed
+    FROM p1 GROUP BY user_id
+    """,
+)
+def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (click → view → purchase within 24 h):
+    MATCH_RECOGNIZE-style sequence matching Spark lacks natively,
+    composed from two chained as-of joins — each view carries its last
+    preceding click, each purchase its last click-carrying view, so
+    the chain is strictly ordered; one keyed aggregate scores
+    completion per user. Two key-shuffles total (the as-of carry),
+    never a range fan-out."""
+    from stream_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    v1 = asof_join(views, clicks, "user_id", "ts", "ts", ["ts"], suffix="_click")
+    v1 = v1.filter(F.col("ts_click").isNotNull()).select(
+        "user_id", "ts", F.col("ts_click").alias("click_ts")
+    )
+    p1 = asof_join(purchases, v1, "user_id", "ts", "ts", ["ts", "click_ts"], suffix="_v")
+    done = (
+        F.col("click_ts_v").isNotNull()
+        & (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("click_ts_v").cast("timestamp"))
+            <= 86_400_000
+        )
+    )
+    return p1.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.when(done, 1).otherwise(0)).cast("long").alias("n_completed"),
+    )

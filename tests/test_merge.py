@@ -196,3 +196,23 @@ def test_stats_manifest_prunes_zordered_files(spark, tmp_path):
     )
     want = spark.read.parquet(path).filter(F.col("b").between(10, 30)).select("event_id").collect()
     assert sorted(r[0] for r in got) == sorted(r[0] for r in want)
+
+
+def test_read_parquet_range_matches_full_scan(spark, tmp_path):
+    from stream_spark.operators.layout import read_parquet_range, zorder_write
+    from stream_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        (F.col("user_id") % 256).alias("a"),
+        ((F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600000)).cast("long") % 256).alias("b"),
+    )
+    path = str(tmp_path / "ranged")
+    zorder_write(ev, path, ["a", "b"], bits=8, n_files=8)
+    got = read_parquet_range(spark, path, "b", 40.0, 60.0).select("event_id").collect()
+    want = (
+        spark.read.parquet(path).filter(F.col("b").between(40, 60)).select("event_id").collect()
+    )
+    assert sorted(r[0] for r in got) == sorted(r[0] for r in want)
+    # empty range → empty result with the right schema, no crash
+    assert read_parquet_range(spark, path, "b", 300.0, 400.0).count() == 0

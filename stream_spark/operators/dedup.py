@@ -299,9 +299,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     is bit j of the token's 60-bit md5 hash. Realized as an explode on
     bit position + two keyed aggregations; because rows are already
     hash-partitioned on doc, the (doc, bit) aggregate map-side combines
-    to ≤60 rows per doc before any shuffle. (A 60-conditional-sum
-    single aggregate was measured 2× slower — the wide buffer defeats
-    codegen — so the narrow-row form stays.)"""
+    to ≤60 rows per doc before any shuffle. (Two measured-and-rejected
+    alternatives: a 60-conditional-sum single aggregate — 2× slower,
+    the wide buffer defeats codegen; and a fully map-only form doing
+    60 F.aggregate passes over a pre-hashed token array — also 2×
+    slower at sf0.1 [0.84 s vs 1.71 s], re-scanning the array per bit
+    costs more than the narrow shuffle saves. The narrow-row form
+    stays.)"""
     toks = (
         df.select(
             F.col(id_col).alias("doc"),

@@ -13,14 +13,31 @@ genuinely required (multimodal decode stubs).
 """
 
 from stream_spark.operators.clustering import kmeans_assign
-from stream_spark.operators.components import connected_components, connected_components_star
+from stream_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+    pagerank_integer,
+)
 from stream_spark.operators.dedup import (
     exact_dedup,
+    incremental_dedup_flags,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from stream_spark.operators.asof import asof_join
+from stream_spark.operators.asof import asof_join, asof_join_cogrouped
+from stream_spark.operators.layout import (
+    build_stats_manifest,
+    manifest_prune,
+    read_parquet_range,
+    zorder_key,
+    zorder_write,
+)
+from stream_spark.operators.merge import (
+    compact_partitioned_parquet,
+    merge_upsert,
+    upsert_partitioned_parquet,
+)
 from stream_spark.operators.packing import pack_sequences
 from stream_spark.operators.rangejoin import range_join
 from stream_spark.operators.sampling import (
@@ -34,10 +51,18 @@ from stream_spark.operators.similarity import (
     topk_ivf,
     topk_lsh,
 )
-from stream_spark.operators.sketches import approx_distinct, approx_quantiles, freq_items
+from stream_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    freq_items,
+    sampled_quantiles,
+    tdigest_quantiles,
+)
 from stream_spark.operators.text import (
+    boilerplate_share,
     decontaminate,
     fingerprint,
+    gopher_rules,
     langid,
     quality_features,
     repetition_features,
@@ -56,8 +81,12 @@ __all__ = [
     "Pipeline",
     "TelemetryService",
     "approx_distinct",
-    "asof_join",
     "approx_quantiles",
+    "asof_join",
+    "asof_join_cogrouped",
+    "boilerplate_share",
+    "build_stats_manifest",
+    "compact_partitioned_parquet",
     "connected_components",
     "connected_components_star",
     "cosine_pairs_lsh",
@@ -67,25 +96,36 @@ __all__ = [
     "fingerprint",
     "freq_items",
     "get_spark",
+    "gopher_rules",
+    "incremental_dedup_flags",
     "kmeans_assign",
     "langid",
     "load_table",
+    "manifest_prune",
+    "merge_upsert",
     "minhash_lsh_candidates",
     "mix_corpus",
     "ngram_jaccard_pairs",
     "pack_sequences",
+    "pagerank_integer",
     "quality_features",
     "range_join",
+    "read_parquet_range",
     "register_telemetry_service",
     "repetition_features",
+    "sampled_quantiles",
     "simhash_pairs",
     "sliding_count_window",
     "sliding_time_window",
     "stratified_sample",
+    "tdigest_quantiles",
     "topk_bruteforce",
     "topk_ivf",
     "topk_lsh",
     "tumbling_count_window",
     "tumbling_time_window",
+    "upsert_partitioned_parquet",
+    "zorder_key",
+    "zorder_write",
 ]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

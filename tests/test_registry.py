@@ -18,3 +18,13 @@ def test_names_and_oracles_wellformed():
     for name, sql in ORACLES.items():
         assert re.fullmatch(r"[a-z0-9_]+", name), name
         assert sql.strip().upper().startswith(("SELECT", "WITH")), name
+
+
+def test_public_api_exports_resolve():
+    """Every name in stream_spark.__all__ must import and be callable
+    or a class — the curated API is a contract, not a wish list."""
+    import stream_spark as ss
+
+    for name in ss.__all__:
+        obj = getattr(ss, name)
+        assert callable(obj) or isinstance(obj, type), name

@@ -73,3 +73,79 @@ def test_null_values_in_windows(spark):
            tumbling_count_window(df, "value", "sum", 4, order_cols=("ts", "event_id")).collect()}
     # windows of 4 rows each; nulls (0,3,6,9) excluded from sums
     assert out == {0: 1.0 + 2.0, 1: 4.0 + 5.0 + 7.0, 2: 8.0 + 10.0 + 11.0}
+
+
+def test_merge_upsert_empty_sides(spark):
+    from stream_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    empty = spark.createDataFrame([], "k long, v double")
+    # empty updates → target unchanged
+    assert {r.k for r in merge_upsert(target, empty, ["k"]).collect()} == {1}
+    # empty target → updates inserted
+    assert {r.k for r in merge_upsert(empty, target, ["k"]).collect()} == {1}
+    # both empty → empty with the right columns
+    out = merge_upsert(empty, empty, ["k"])
+    assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+def test_boilerplate_and_gopher_on_empty(spark, empty_docs):
+    from stream_spark.operators.text import boilerplate_share, gopher_rules
+
+    empty_sourced = empty_docs.withColumn("source", F.lit(None).cast("string"))
+    assert boilerplate_share(empty_sourced).count() == 0
+    assert gopher_rules(empty_docs).count() == 0
+
+
+def test_pagerank_on_empty_edges(spark):
+    from stream_spark.operators.components import pagerank_integer
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_integer(edges, iters=2).count() == 0
+
+
+def test_incremental_dedup_empty_sides(spark, empty_docs):
+    from stream_spark.operators.dedup import incremental_dedup_flags
+
+    docs = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    # empty batch → no rows flagged
+    assert incremental_dedup_flags(empty_docs, docs).count() == 0
+    # empty corpus → batch rows all flagged NOT duplicate
+    out = incremental_dedup_flags(docs, empty_docs).collect()
+    assert [(r.doc_id, r.is_dup) for r in out] == [(1, 0)]
+
+
+def test_sampled_and_tdigest_quantiles_on_empty(spark, empty_events):
+    from stream_spark.operators.sketches import sampled_quantiles, tdigest_quantiles
+
+    s = sampled_quantiles(empty_events, "value", "event_id", 0.5, (0.5,))
+    assert s.count() == 1  # global agg emits one all-null row
+    assert s.collect()[0]["p50"] is None
+    assert (
+        sampled_quantiles(
+            empty_events, "value", "event_id", 0.5, (0.5,), group_by=["event_type"]
+        ).count()
+        == 0
+    )
+    # keyed t-digest on empty input → no groups, no crash
+    assert tdigest_quantiles(empty_events, "value", (0.5,), group_by=["event_type"]).count() == 0
+
+
+def test_zorder_and_manifest_on_empty(spark, tmp_path):
+    from stream_spark.operators.layout import build_stats_manifest, manifest_prune, zorder_write
+
+    empty = spark.createDataFrame([], "a long, b long")
+    path = str(tmp_path / "zempty")
+    zorder_write(empty, path, ["a", "b"], bits=8, n_files=2)
+    back = spark.read.parquet(path)
+    assert back.count() == 0 and set(back.columns) == {"a", "b"}
+    man = build_stats_manifest(spark, path, ["a"])
+    # stats-less files are kept by the conservative prune
+    assert len(manifest_prune(man, "a", 0, 10)) == man.count()
+
+
+def test_rerank_stub_on_empty(spark):
+    from stream_spark.operators.ann_pandas import rerank_crossencoder_stub
+
+    cand = spark.createDataFrame([], "query_id long, neighbor_id long, cosine double")
+    assert rerank_crossencoder_stub(cand, 5).count() == 0

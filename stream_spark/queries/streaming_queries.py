@@ -595,3 +595,38 @@ def streaming_stream_left_join_time(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         q.stop()
     return spark.table(name).filter(F.col("user_id") != -1)
+
+
+@register(
+    "streaming_grouped_time_sliding_sum",
+    oracle=f"""
+    WITH fanout AS (
+        SELECT event_type, value, unnest(generate_series(
+            CAST(floor((epoch_ms(ts) - {_HOUR}) / {_HOP}.0) AS BIGINT) + 1,
+            CAST(floor(epoch_ms(ts) / {_HOP}.0) AS BIGINT))) AS k
+        FROM events
+    )
+    SELECT event_type, CAST(k * {_HOP} AS BIGINT) AS window_start_ms, {_DSUM} AS result
+    FROM fanout GROUP BY event_type, k
+    """,
+)
+def streaming_grouped_time_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hopping windows on a live stream — completes the
+    streaming window matrix (tumbling/hopping/session/count ×
+    global/grouped): per-key state partitions on (key, window), so a
+    hot key's windows still spread across the cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/grouped_time_sliding"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    out = run_stream_to_memory(
+        streaming_sliding_time_window(
+            stream, "ts", "value", "sum", _HOUR, _HOP, group_by=["event_type"]
+        ),
+        output_mode="complete",
+    )
+    return out.select(
+        "event_type",
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
+        "result",
+    )

@@ -630,3 +630,27 @@ def streaming_grouped_time_sliding_sum(spark: SparkSession, sf_dir: str) -> Data
         F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
         "result",
     )
+
+
+@register(
+    "streaming_time_tumbling_avg",
+    oracle=f"""
+    SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           {_DSUM} / COUNT(value) AS result
+    FROM events GROUP BY window_start_ms
+    """,
+)
+def streaming_time_tumbling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The avg function path on a live stream (decimal-exact sum state
+    ÷ count at emit — order-insensitive, so micro-batch boundaries
+    can't perturb the float)."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/time_tumbling_avg"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    out = run_stream_to_memory(
+        streaming_tumbling_time_window(stream, "ts", "value", "avg", _HOUR), output_mode="complete"
+    )
+    return out.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"), "result"
+    )

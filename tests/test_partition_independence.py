@@ -31,3 +31,35 @@ def test_result_identical_across_partitionings(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_pagerank_partition_independent(spark):
+    """Integer PageRank must be bit-identical under any input layout
+    (floor division has no float accumulation to perturb)."""
+    from stream_spark.operators.components import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(12) if a != b and (a + b) % 3 == 0],
+        "src long, dst long",
+    )
+    r1 = {(r.node, r.r) for r in pagerank_integer(edges.repartition(1), iters=3).collect()}
+    r8 = {(r.node, r.r) for r in pagerank_integer(edges.repartition(8), iters=3).collect()}
+    assert r1 == r8
+
+
+def test_merge_upsert_partition_independent(spark):
+    from stream_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double")
+    updates = spark.createDataFrame(
+        [(i, float(i * 10), i % 7 == 0) for i in range(0, 80, 2)], "k long, v double, del boolean"
+    )
+    a = {
+        (r.k, r.v)
+        for r in merge_upsert(target.repartition(1), updates.repartition(1), ["k"], "del").collect()
+    }
+    b = {
+        (r.k, r.v)
+        for r in merge_upsert(target.repartition(16), updates.repartition(16), ["k"], "del").collect()
+    }
+    assert a == b

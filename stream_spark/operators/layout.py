@@ -61,7 +61,9 @@ def zorder_write(
     no driver-side data movement.
     """
     domain = mod if mod is not None else (1 << bits)
-    key = zorder_key([F.col(c).cast("long") % domain for c in cols], bits)
+    # pmod, not %: Spark's % keeps the dividend's sign, so negative
+    # values would land outside zorder_key's required [0, domain) range
+    key = zorder_key([F.pmod(F.col(c).cast("long"), F.lit(domain)) for c in cols], bits)
     out = df.withColumn("_zkey", key)
     (
         out.repartitionByRange(n_files, "_zkey")

@@ -90,6 +90,14 @@ def upsert_partitioned_parquet(
     ]  # bounded metadata: one value per touched partition
     target = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
     merged = merge_upsert(target, updates, key_cols, delete_col, order_cols)
+    # dynamic overwrite only rewrites partitions that appear in the
+    # output — a partition whose every row was deleted produces no
+    # output rows, so its stale directory would survive and the deleted
+    # rows reappear on the next read; diff and remove those explicitly
+    surviving = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }  # bounded metadata again (≤ len(touched) values)
+    emptied = [v for v in touched if v not in surviving]
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -101,6 +109,14 @@ def upsert_partitioned_parquet(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        import shutil
+        import os
+
+        for value in emptied:
+            pdir = os.path.join(path, f"{partition_col}={value}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
 
 
 def compact_partitioned_parquet(

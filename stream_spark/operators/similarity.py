@@ -119,6 +119,100 @@ def cosine_pairs_lsh(
     )
 
 
+N_TABLES = 8
+BAND_PLANES = 12
+
+
+def banded_buckets(
+    vec: Column,
+    n_tables: int = N_TABLES,
+    band_planes: int = BAND_PLANES,
+    dim: int = DIM,
+) -> Column:
+    """Per-table hyperplane bucket ids: ``array<struct<t:int, bucket:
+    long>>``, one entry per LSH table.
+
+    Multi-table OR-construction (Indyk-Motwani / E2LSH banding, the
+    same construction minhash banding uses in dedup.minhash_band_buckets):
+    table ``t`` owns planes ``t·b .. t·b+b-1`` of the SAME md5-derived
+    global family ``hyperplane_weights`` draws from, so the SQL oracle
+    reproduces every bucket with the formula it already knows. Within a
+    table the ``b`` sign bits AND together (bucket id = b-bit code →
+    2^b buckets per table); across tables candidates OR (agree on ALL
+    planes of ANY table). Per-plane collision is 1-θ/π, so pair recall
+    is 1-(1-(1-θ/π)^b)^H — tune b for bucket granularity (pair volume
+    Σ bucket² per table) and H for recall, independently. AND-only
+    bucketing (lsh_bucket) couples them: that was the round-2 scale
+    gap this replaces.
+    """
+    planes = hyperplane_weights(n_tables * band_planes, dim)
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for j in range(band_planes):
+            wcol = F.array(*[F.lit(w) for w in planes[t * band_planes + j]])
+            proj = _dec_sum(F.zip_with(vec, wcol, lambda x, y: x.cast("double") * y)).cast("double")
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(0)
+        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def cosine_pairs_lsh_banded(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    band_planes: int = BAND_PLANES,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with cosine ≥ threshold via multi-table banded
+    hyperplane LSH — the 100 TB embedding-dedup path.
+
+    Shape: one (id, t, bucket) index row per table per vector (H rows),
+    self-equi-join on (t, bucket), DISTINCT candidate ids, then the
+    vectors join back by id for the two-phase score (float prefilter,
+    exact-decimal rescore decides). Pair volume is Σ_t Σ_bucket m² with
+    2^band_planes buckets per table — at b=12 that's 4096 buckets/table
+    versus the 16 total of the round-2 AND-only scheme, with recall
+    bought back by the H-table OR. ``max_bucket_size`` drops
+    pathological buckets (identical-vector swarms collide in EVERY
+    table by construction — route those through exact dedup first),
+    mirroring minhash_lsh_candidates' control.
+    """
+    idx = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(banded_buckets(F.col(vec_col), n_tables, band_planes)).alias("tb"),
+        )
+        .select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
+    if max_bucket_size is not None:
+        sizes = idx.groupBy("t", "bucket").agg(F.count("*").alias("_bsz"))
+        idx = idx.join(sizes, ["t", "bucket"]).filter(F.col("_bsz") <= max_bucket_size)
+    a, b_ = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # OR across tables: a pair colliding in several tables scores once
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(_float_cosine(F.col("va"), F.col("vb")) >= threshold - 1e-6)
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,

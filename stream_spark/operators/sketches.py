@@ -236,7 +236,7 @@ def tdigest_quantiles(
         import numpy as np
 
         v = pdf["_v"].to_numpy(dtype=np.float64)
-        m, w = _tdigest_compress(v, np.ones_like(v), 100)
+        m, w = _tdigest_compress(v, np.ones_like(v), delta)
         head = {k: [pdf[k].iloc[0]] for k in keys}
         return pd.DataFrame({**head, "_means": [m], "_weights": [w]})
 

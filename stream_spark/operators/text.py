@@ -175,11 +175,18 @@ def boilerplate_share(
     the df count — the same inverted-index build dedup uses; the hot
     set (df-capped, tiny by construction) joins back equi on the same
     key, so nothing corpus-sized is broadcast or recomputed."""
-    grams = df.select(
-        F.col(id_col),
-        F.col(source_col),
-        F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("_g"),
-    ).select(id_col, source_col, md5_long(F.col("_g")).alias("_gk"))
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("_g"),
+        )
+        .select(id_col, source_col, md5_long(F.col("_g")).alias("_gk"))
+        # distinct per (doc, gram): df counts must be document frequency,
+        # not occurrence counts — a doc repeating a gram twice must not
+        # clear min_df on its own, and shares are over distinct grams
+        .distinct()
+    )
     dfreq = grams.groupBy(source_col, "_gk").agg(F.count("*").alias("_gdf"))
     sizes = df.groupBy(source_col).agg(F.count("*").alias("_n_docs"))
     hot = (

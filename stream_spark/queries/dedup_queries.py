@@ -135,22 +135,47 @@ _UNNEST_E = """
 """
 
 
-from stream_spark.operators.similarity import N_PLANES  # noqa: E402
-from stream_spark.queries.ann_queries import _HP  # noqa: E402
+from stream_spark.operators.similarity import BAND_PLANES, N_TABLES  # noqa: E402
+
+# banded multi-table hyperplane buckets: plane p = t·b + j of the SAME
+# global md5 family the single-table oracle used; per-table b-bit codes.
+_HPB = f"""
+    hpb AS (
+        SELECT j, i,
+               ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+        FROM unnest(generate_series(0, {N_TABLES * BAND_PLANES - 1})) t(j),
+             unnest(generate_series(0, 63)) s(i)
+    ),
+    tbuckets AS (
+        SELECT vec_id, tbl,
+               CAST(SUM(CASE WHEN proj >= 0 THEN 1 << jj ELSE 0 END) AS BIGINT) AS bucket
+        FROM (
+            SELECT e.vec_id, hpb.j // {BAND_PLANES} AS tbl, hpb.j % {BAND_PLANES} AS jj,
+                   CAST(SUM(CAST(e.x * hpb.w AS DECIMAL(28,12))) AS DOUBLE) AS proj
+            FROM e JOIN hpb ON e.i = hpb.i + 1
+            GROUP BY e.vec_id, hpb.j
+        ) p GROUP BY vec_id, tbl
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM tbuckets a
+        JOIN tbuckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+"""
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH {_UNNEST_E},
-    {_HP.format(np=N_PLANES - 1)},
+    {_HPB},
     dots AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SELECT c.id_a, c.id_b,
                CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
-        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-        JOIN buckets ba ON a.vec_id = ba.vec_id
-        JOIN buckets bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
-        GROUP BY id_a, id_b
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b AND a.i = b.i
+        GROUP BY c.id_a, c.id_b
     )
     SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
     FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
@@ -158,15 +183,17 @@ from stream_spark.queries.ann_queries import _HP  # noqa: E402
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via the LSH-bucketed operator — the
-    scale path (equi-join on deterministic hyperplane buckets, no
-    cartesian product). The brute all-pairs operator
+    """Embedding near-dup pairs via multi-table banded hyperplane LSH —
+    the scale path: 2^{BAND_PLANES} buckets per table (pair volume
+    Σ bucket², max bucket ≤ 7 on this corpus) with recall bought back by
+    the {N_TABLES}-table OR-construction, replacing round 2's AND-only
+    16-bucket scheme (~n²/16 pairs). The brute all-pairs operator
     (similarity.cosine_pairs) stays as the verification path and is
     pytest-compared against this one (tests/test_ann.py)."""
-    from stream_spark.operators.similarity import cosine_pairs_lsh
+    from stream_spark.operators.similarity import cosine_pairs_lsh_banded
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_lsh(emb, threshold=0.4)
+    return cosine_pairs_lsh_banded(emb, threshold=0.4)
 
 
 @register(
@@ -346,14 +373,14 @@ def training_data_prep_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_UNNEST_E},
-    {_HP.format(np=N_PLANES - 1)},
+    {_HPB},
     dots AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SELECT c.id_a, c.id_b,
                CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
-        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-        JOIN buckets ba ON a.vec_id = ba.vec_id
-        JOIN buckets bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
-        GROUP BY id_a, id_b
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b AND a.i = b.i
+        GROUP BY c.id_a, c.id_b
     ),
     edges AS (
         SELECT id_a, id_b FROM dots
@@ -373,15 +400,16 @@ def training_data_prep_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embedding dedup pipeline end to end: LSH-bucketed cosine
-    pairs (≥0.4) → large-star/small-star components → one keeper per
-    cluster. Both stages are the scale paths (equi-join buckets, O(log
-    n) rounds); the oracle replays them with a recursive-CTE closure."""
+    """The embedding dedup pipeline end to end: banded multi-table LSH
+    cosine pairs (≥0.4) → large-star/small-star components → one keeper
+    per cluster. Both stages are the scale paths (equi-join on (table,
+    bucket) with 2^12 buckets/table, O(log n) rounds); the oracle
+    replays them with a recursive-CTE closure."""
     from stream_spark.operators.components import connected_components_star
-    from stream_spark.operators.similarity import cosine_pairs_lsh
+    from stream_spark.operators.similarity import cosine_pairs_lsh_banded
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_lsh(emb, threshold=0.4).select("id_a", "id_b")
+    pairs = cosine_pairs_lsh_banded(emb, threshold=0.4).select("id_a", "id_b")
     comp = connected_components_star(pairs, a_col="id_a", b_col="id_b")
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size")).select(
         F.col("component").alias("keeper_vec_id"), "cluster_size"

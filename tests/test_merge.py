@@ -216,3 +216,50 @@ def test_read_parquet_range_matches_full_scan(spark, tmp_path):
     assert sorted(r[0] for r in got) == sorted(r[0] for r in want)
     # empty range → empty result with the right schema, no crash
     assert read_parquet_range(spark, path, "b", 300.0, 400.0).count() == 0
+
+
+def test_upsert_deletes_entire_partition(spark, tmp_path):
+    """Deleting every row of a touched partition must remove its
+    directory — dynamic overwrite alone leaves the stale files behind
+    (ADVICE r2 finding)."""
+    import os
+
+    path = str(tmp_path / "tbl_del")
+    _target(spark).repartition(1).write.partitionBy("part").parquet(path)
+    updates = spark.createDataFrame(
+        [(3, "b", 0.0, "n", True), (4, "b", 0.0, "n", True)],
+        SCHEMA + ", del boolean",
+    )
+    upsert_partitioned_parquet(spark, path, updates, ["k"], "part", delete_col="del")
+    assert not os.path.isdir(os.path.join(path, "part=b"))
+    back = spark.read.parquet(path)
+    assert {r.k for r in back.collect()} == {1, 2}
+
+
+def test_zorder_write_handles_negative_values(spark, tmp_path):
+    """The fold must use pmod so negative column values land in
+    [0, domain) (ADVICE r2 finding): a=-1 clusters with a=255, and every
+    row survives the write."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stream_spark.operators.layout import zorder_write
+
+    df = spark.range(1024).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") - 512).alias("a"),  # values in [-512, 511]
+        (F.col("id") % 7).alias("b"),
+    )
+    path = str(tmp_path / "zneg")
+    zorder_write(df, path, ["a", "b"], bits=8, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 1024
+    # per-file min/max of pmod(a, 256) must be narrow: with the sign bug
+    # negatives fold to negative remainders and the interleave scatters
+    # them across the key space
+    widths = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        vals = [((v % 256) + 256) % 256 for v in pq.read_table(f, columns=["a"])["a"].to_pylist()]
+        widths.append(max(vals) - min(vals))
+    assert sum(widths) / len(widths) < 200, widths

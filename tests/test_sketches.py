@@ -168,3 +168,20 @@ def test_tdigest_centroid_count_bounded(spark):
     m, w = _tdigest_compress(v, np.ones_like(v), 100)
     assert len(m) <= 200  # ~2x delta slack
     assert abs(sum(w) - 50_000) < 1e-6
+
+
+def test_tdigest_delta_reaches_stage1(spark):
+    """delta must reach the stage-1 compressor (ADVICE r2 finding): with
+    delta=2000 over 1000 weight-1 points the k1 bound never lets two
+    points merge, so the digest is EXACT — the p99 equals the midpoint-
+    rank interpolation of the raw data to float precision. The old
+    hard-coded stage-1 delta=100 merged tail points of this cubic-growth
+    distribution and missed by thousands."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.sketches import tdigest_quantiles
+
+    df = spark.range(1000).select((F.col("id") ** 3).alias("v"))
+    got = tdigest_quantiles(df, "v", (0.99,), delta=2000, n_shards=1).collect()[0]
+    expected = (989.0**3 + 990.0**3) / 2.0  # target rank 990 between mids 989.5/990.5
+    assert abs(got["p99"] - expected) < 1e-6, got["p99"]

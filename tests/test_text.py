@@ -98,3 +98,28 @@ def test_boilerplate_share_detects_shared_footer(spark):
     # s2's docs share nothing: no gram meets min_df there
     assert got[4].n_hot == 0 and got[4].boilerplate_share == 0.0
     assert got[5].n_hot == 0
+
+
+def test_boilerplate_share_dedupes_intra_doc_repeats(spark):
+    """df counts are DOCUMENT frequency: a single doc repeating a 3-gram
+    twice must not clear min_df=2 on its own (ADVICE r2 finding), and
+    n_grams counts distinct grams per the docstring."""
+    from stream_spark.operators.text import boilerplate_share
+
+    rep = "alpha beta gamma"
+    docs = spark.createDataFrame(
+        [
+            # doc 1 repeats the same 3-gram twice within itself — the
+            # only doc in source s1 containing it
+            (1, "s1", f"{rep} filler {rep}"),
+            (2, "s1", "totally different words here now"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r for r in boilerplate_share(docs).collect()}
+    # no gram appears in >= 2 DOCS, so nothing is hot anywhere
+    assert got[1].n_hot == 0 and got[1].boilerplate_share == 0.0
+    assert got[2].n_hot == 0
+    # n_grams = distinct grams: "alpha beta gamma filler alpha beta gamma"
+    # has 5 positional 3-grams but only 4 distinct (rep occurs twice)
+    assert got[1].n_grams == 4

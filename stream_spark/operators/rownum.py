@@ -30,12 +30,18 @@ def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn"
     # Both the counts job and the row-number job must see the SAME
     # partition layout or the offsets are garbage. Two pins:
     # an explicit numPartitions (user-specified counts are exempt from
-    # AQE coalescing), and persist() so the second job reuses the
-    # materialized partitions instead of re-running the (sampled)
-    # range exchange.
+    # AQE coalescing), and an EAGER localCheckpoint so the second job
+    # reuses the materialized partitions instead of re-running the
+    # (sampled) range exchange. localCheckpoint, not persist():
+    # persist() pins the dataset in the CacheManager until someone
+    # calls unpersist — which no caller of a returned DataFrame ever
+    # can at the right time — while checkpoint blocks are reference-
+    # counted by the ContextCleaner and freed as soon as the result
+    # DataFrame is garbage-collected (tests/test_operators_misc.py
+    # asserts the release).
     n_parts = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
-    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
 
     counts = ranged.groupBy("_pid").count().collect()
     cum = 0
@@ -75,9 +81,12 @@ def with_global_cumsum(
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
+    # eager localCheckpoint for the same two reasons as
+    # with_global_row_number: layout consistency across the two jobs,
+    # and ContextCleaner-managed release instead of a CacheManager pin
     ranged = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_v", F.col(value_col).cast(value_cast)
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     partials = ranged.groupBy("_pid").agg(F.sum("_v").alias("s")).collect()
     cum = 0

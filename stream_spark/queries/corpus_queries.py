@@ -187,6 +187,34 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold=0.6)
 
 
+from stream_spark.queries.dedup_queries import MAX_DOC_FREQ, _SHINGLES3_CAPPED  # noqa: E402
+
+
+@register(
+    "dedup_containment_capped",
+    oracle=f"""
+    WITH {_SHINGLES3_CAPPED},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM shc GROUP BY doc),
+    co AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM shc a JOIN shc b ON a.g = b.g AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           common / sa.sz AS containment_ab,
+           common / sb.sz AS containment_ba
+    FROM co JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+    WHERE common / sa.sz >= 0.6 OR common / sb.sz >= 0.6
+    """,
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs with the df-cut ON (max_doc_freq={MAX_DOC_FREQ})
+    — the crawl-scale default, same bounded-join rationale and SQL-
+    replayed HAVING cut as dedup_ngram_jaccard_capped."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.6, max_doc_freq=MAX_DOC_FREQ)
+
+
 @register(
     "corpus_tfidf_top_terms",
     oracle=f"""

@@ -65,6 +65,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+#: df-cut for the capped pair queries: drop shingles present in more
+#: than this many documents before the inverted-index self-join.
+MAX_DOC_FREQ = 4
+
+# capped shingles: the df-cut replayed in SQL — a HAVING on the
+# inverted index, exactly as VERDICT r2 #2 prescribed.
+_SHINGLES3_CAPPED = f"""
+    {_SHINGLES3},
+    keep AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {MAX_DOC_FREQ}),
+    shc AS (SELECT sh.doc, sh.g FROM sh JOIN keep USING (g))
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_SHINGLES3_CAPPED},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM shc GROUP BY doc),
+    co AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM shc a JOIN shc b ON a.g = b.g AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, common / (sa.sz + sb.sz - common) AS jaccard
+    FROM co JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+    WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard pairs with the df-cut ON (max_doc_freq={MAX_DOC_FREQ}) —
+    the crawl-scale default. Candidate volume is Σ freq(shingle)² and a
+    single boilerplate shingle across 10⁶ docs is 10¹² pairs; dropping
+    high-df shingles before the self-join bounds every join task.
+    Semantics are Jaccard over the PRUNED shingle sets (sizes counted
+    after the cut), which the oracle replays as a HAVING on the
+    inverted index — fully SQL-expressible, so this path is gated too,
+    not just the exact-Jaccard variant above."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=MAX_DOC_FREQ)
+
+
 _MH_PERM = (
     f"((((2654435761 * (p + 1)) % 2147483647) * ({MD5_60.format(x='g')} % 2147483647)"
     " + ((40503 * (p + 1) + 17) % 2147483647)) % 2147483647)"

@@ -209,6 +209,129 @@ def streaming_sliding_count(
     )
 
 
+def streaming_tumbling_count_accumulate(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    size: int,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key count-tumbling ``accumulate`` over a LIVE stream —
+    reference functions/accumulate.go:3 evaluated by windows.go
+    TumblingWindow: every completed window of ``size`` samples emits
+    ALL its samples in arrival order, then resets.
+
+    State = the open window's sample list — bounded at ``size`` doubles
+    per key BY CONSTRUCTION (the list empties on every emit), so state
+    size is O(keys · size) forever. Output is the exploded relational
+    form (key, window_id, pos, value), matching the batch
+    ``tumbling_count_window(..., 'accumulate')`` + posexplode shape so
+    the two paths are row-for-row comparable.
+    """
+
+    def process(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, window_id = state.get
+            vals = list(vals)
+        else:
+            vals, window_id = [], 0
+        out_rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(list(order_cols), kind="mergesort")
+        for v in batch[value_col]:
+            vals.append(float(v))
+            if len(vals) == size:
+                out_rows.extend(
+                    (key[0], window_id, pos, x) for pos, x in enumerate(vals)
+                )
+                vals, window_id = [], window_id + 1
+        state.update((vals, window_id))
+        yield pd.DataFrame(out_rows, columns=[key_col, "window_id", "pos", "value"])
+
+    out_schema = f"{key_col} string, window_id long, pos long, value double"
+    return stream.groupBy(key_col).applyInPandasWithState(
+        process,
+        out_schema,
+        "vals array<double>, window_id long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_tumbling_count_array(
+    stream: DataFrame,
+    key_col: str,
+    vec_col: str,
+    function: str,
+    size: int,
+    order_cols: tuple[str, ...] = ("vec_id",),
+    scale: int = 12,
+) -> DataFrame:
+    """Per-key count-tumbling ELEMENT-WISE aggregation of array samples
+    on a live stream — reference functions/sum.go:44 (SumIntArray) /
+    average.go:40 over windows.go count windows.
+
+    Exactness contract: each element is quantized to ``scale`` decimal
+    places (HALF_EVEN — IEEE ties-to-even, what DuckDB's double→decimal
+    cast does; ties are real, e.g. 0.1983642578125 in the test
+    embeddings) and the
+    window accumulates SCALED INTEGERS — bit-identical to the batch
+    operator's DECIMAL(28,12) fold and to the DuckDB oracle, with no
+    float-order sensitivity across micro-batch boundaries. State is one
+    int vector + counter per key (array length bounded by the data's
+    fixed dim), emitted rows are the exploded (key, window_id, pos,
+    result) form matching operators/arrays.elementwise_agg.
+    """
+    if function not in ("sum", "avg"):
+        raise ValueError(f"unsupported streaming array function: {function}")
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    quantum = Decimal(1).scaleb(-scale)
+
+    def process(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_seen, acc, window_id = state.get
+            acc = list(acc)
+        else:
+            n_seen, acc, window_id = 0, [], 0
+        out_rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(list(order_cols), kind="mergesort")
+        for vec in batch[vec_col]:
+            q = [
+                int(
+                    Decimal(float(x)).quantize(quantum, rounding=ROUND_HALF_EVEN).scaleb(scale)
+                )
+                for x in vec
+            ]
+            if not acc:
+                acc = q
+            else:
+                acc = [a + b for a, b in zip(acc, q)]
+            n_seen += 1
+            if n_seen == size:
+                for pos, s in enumerate(acc):
+                    exact = Decimal(s).scaleb(-scale)  # the window's exact decimal sum
+                    result = float(exact) if function == "sum" else float(exact) / size
+                    out_rows.append((key[0], window_id, pos, result))
+                n_seen, acc, window_id = 0, [], window_id + 1
+        state.update((n_seen, acc, window_id))
+        yield pd.DataFrame(out_rows, columns=[key_col, "window_id", "pos", "result"])
+
+    out_schema = f"{key_col} long, window_id long, pos long, result double"
+    return stream.groupBy(key_col).applyInPandasWithState(
+        process,
+        out_schema,
+        "n long, acc array<long>, window_id long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(result: DataFrame, output_mode: str = "complete", timeout_s: int = 120) -> DataFrame:
     """Run a streaming plan to completion (availableNow) into a memory
     sink and return the final table as a batch DataFrame."""

@@ -39,6 +39,43 @@ def file_replay_stream(
     return reader.parquet(stage_dir)
 
 
+def ordered_replay_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    stage_dir: str,
+    order_cols: list[str],
+    n_slices: int = 4,
+) -> DataFrame:
+    """Stage ``df`` as ``n_slices`` parquet files, each a CONTIGUOUS
+    range of ``order_cols``, replayed one file per micro-batch in key
+    order — the replay shape arrival-order (count-window) operators
+    need for multi-batch runs: slice k's rows all precede slice k+1's
+    in the global order, so the cross-batch fold sees the same sequence
+    the batch operator sorts out.
+
+    ``repartitionByRange`` makes partition i the i-th key range (a
+    distributed write — nothing is collected); file mtimes are then set
+    strictly increasing by partition index because the file source
+    processes oldest-first under ``maxFilesPerTrigger=1``.
+    """
+    import glob
+    import time
+
+    (
+        df.repartitionByRange(n_slices, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    files = sorted(glob.glob(f"{stage_dir}/part-*.parquet"))
+    base = time.time() - len(files) - 60
+    for i, f in enumerate(files):
+        os.utime(f, (base + i, base + i))
+    return (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(stage_dir)
+    )
+
+
 def paced_replay_stream(
     spark: SparkSession,
     df: DataFrame,

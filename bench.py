@@ -2,6 +2,14 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
+
+The frozen 16-query headline set (metric/value/queries keys) is
+comparable round over round back to BENCH_r01.json. A second tier
+covering the C-block operators the headliners miss (pagerank, packing,
+embedding dedup, k-means, boilerplate, ...) plus one streaming
+replay-throughput measurement rides along under the "tier2" key of the
+SAME json line — run ``python bench.py --tier2`` to execute only that
+tier while iterating.
 """
 
 from __future__ import annotations
@@ -32,9 +40,79 @@ HEADLINERS = [
     "ann_topk_bruteforce",
 ]
 
+#: tier 2: scale-sensitive C-block operators invisible to the frozen
+#: headline set — regressions here were untracked before round 3.
+TIER2 = [
+    "parts_copurchase_pagerank",
+    "training_pack_sequences",
+    "dedup_embedding_cosine",
+    "embedding_dedup_clusters",
+    "embeddings_kmeans",
+    "documents_boilerplate_share",
+    "dedup_ngram_jaccard_capped",
+    "corpus_tfidf_top_terms",
+]
+
+
+def _time_query(spark, fn, sf_dir) -> tuple[float, int]:
+    """One untimed warm run (JIT/codegen/broadcast warmup), then the
+    best of two timed runs measures steady-state compute — the regime a
+    long-running stream processor actually operates in. A forced JVM GC
+    before each timed run (JMH-style iteration hygiene) keeps it from
+    paying the warm run's garbage debt — without it, timings degrade
+    2-5x across the suite as heap pressure accumulates. Min-of-2
+    (standard steady-state practice) filters one-off scheduler/GC
+    spikes that showed 2-4x outliers on single-shot runs of an
+    otherwise unchanged plan; the floor, not the average, is the
+    compute cost."""
+    df = fn(spark, sf_dir)
+    df.count()
+    best, n = None, 0
+    for _rep in range(2):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        n = df.count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best, n
+
+
+def _streaming_throughput(spark, sf_dir: str) -> float:
+    """Replay the sf events table through a real readStream →
+    hourly-tumbling-sum → memory-sink job (availableNow, 4 file
+    slices) and report end-to-end input rows/sec — the engine's
+    streaming pitch, measured, not inferred from batch timings."""
+    import shutil
+
+    from stream_spark.sources import load_table
+    from stream_spark.streaming import (
+        file_replay_stream,
+        run_stream_to_memory,
+        streaming_tumbling_time_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    stage = "/root/repo/.scratch/bench_stream"
+    best = None
+    for _rep in range(2):  # first run warms the streaming codepaths
+        shutil.rmtree(stage, ignore_errors=True)
+        stream = file_replay_stream(spark, ev, stage, n_slices=4)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        out = run_stream_to_memory(
+            streaming_tumbling_time_window(stream, "ts", "value", "sum", 3_600_000),
+            output_mode="complete",
+        )
+        out.count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(n_rows / best, 1)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tier2_only = "--tier2" in sys.argv
     from stream_spark.queries import QUERIES
     from stream_spark.session import get_spark
 
@@ -42,30 +120,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name in HEADLINERS:
+    if not tier2_only:
+        for name in HEADLINERS:
+            if name not in QUERIES:
+                continue
+            best, n = _time_query(spark, QUERIES[name], sf_dir)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    tier2: dict[str, float] = {}
+    for name in TIER2:
         if name not in QUERIES:
             continue
-        # one untimed warm run (JIT/codegen/broadcast warmup), then the
-        # best of two timed runs measures steady-state compute — the
-        # regime a long-running stream processor actually operates in.
-        # A forced JVM GC before each timed run (JMH-style iteration
-        # hygiene) keeps it from paying the warm run's garbage debt —
-        # without it, timings degrade 2-5x across the suite as heap
-        # pressure accumulates. Min-of-2 (standard steady-state
-        # practice) filters one-off scheduler/GC spikes that showed
-        # 2-4x outliers on single-shot runs of an otherwise unchanged
-        # plan; the floor, not the average, is the compute cost.
-        df = QUERIES[name](spark, sf_dir)
-        df.count()
-        best, n = None, 0
-        for _rep in range(2):
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.time()
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        best, n = _time_query(spark, QUERIES[name], sf_dir)
+        tier2[name] = round(best, 3)
+        print(f"# tier2 {name}: {n} rows in {tier2[name]}s", file=sys.stderr)
+    rps = _streaming_throughput(spark, sf_dir)
+    tier2["streaming_replay_rows_per_sec"] = rps
+    print(f"# tier2 streaming replay: {rps} rows/s", file=sys.stderr)
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     total = round(sum(timings.values()), 3)
@@ -76,6 +148,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tier2": tier2,
                 "sf": sf,
             }
         )

@@ -157,6 +157,76 @@ def banded_buckets(
     return F.array(*entries)
 
 
+def banded_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    band_planes: int = BAND_PLANES,
+    dim: int = DIM,
+) -> DataFrame:
+    """(id, t, bucket) LSH index rows — the joinable form of
+    ``banded_buckets``, computed as ONE numpy matmul per Arrow batch
+    instead of H·b Catalyst decimal folds (which cost ~8 s per 2000
+    vectors: 96 folds × 64 BigDecimal adds per row, far past codegen's
+    comfort zone; the matmul is milliseconds and is the shape a real
+    100 TB projection pass takes — map-only, no shuffle).
+
+    Exactness vs the SQL oracle is preserved by sign resolution: the
+    float64 matmul decides each bucket bit, and any projection within
+    1e-6 of zero (float error is < 1e-10 here) is recomputed with the
+    oracle's own arithmetic — per-product DECIMAL(28,12) quantization
+    summed exactly — so every bit equals the all-decimal fold's.
+    pytest (test_ann) asserts row-for-row equality with banded_buckets.
+    """
+    import numpy as np
+
+    planes = np.array(hyperplane_weights(n_tables * band_planes, dim))
+    weights = (1 << np.arange(band_planes)).astype(np.int64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            P = V @ planes.T  # (n, H*b) float64 projections
+            near = np.abs(P) < 1e-6
+            if near.any():
+                from decimal import ROUND_HALF_UP, Decimal
+
+                q = Decimal(1).scaleb(-12)
+                for r, c in zip(*np.where(near)):
+                    s = sum(
+                        int(
+                            Decimal(float(x) * float(w))
+                            .quantize(q, rounding=ROUND_HALF_UP)
+                            .scaleb(12)
+                        )
+                        for x, w in zip(V[r], planes[c])
+                    )
+                    P[r, c] = 1.0 if s >= 0 else -1.0
+            bits = (P >= 0).astype(np.int64)
+            out = {"id": [], "t": [], "bucket": []}
+            for t in range(n_tables):
+                B = bits[:, t * band_planes : (t + 1) * band_planes] @ weights
+                out["id"].append(ids)
+                out["t"].append(np.full(len(ids), t, dtype=np.int32))
+                out["bucket"].append(B)
+            yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    # repartition first: a single-split parquet would project the whole
+    # corpus in one task otherwise (map-only either way)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias(id_col), F.col(vec_col))
+        .repartition(par, F.col(id_col))
+        .mapInPandas(gen, "id long, t int, bucket long")
+    )
+
+
 def cosine_pairs_lsh_banded(
     df: DataFrame,
     threshold: float,
@@ -180,13 +250,7 @@ def cosine_pairs_lsh_banded(
     table by construction — route those through exact dedup first),
     mirroring minhash_lsh_candidates' control.
     """
-    idx = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(banded_buckets(F.col(vec_col), n_tables, band_planes)).alias("tb"),
-        )
-        .select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    )
+    idx = banded_index(df, id_col, vec_col, n_tables, band_planes)
     if max_bucket_size is not None:
         sizes = idx.groupBy("t", "bucket").agg(F.count("*").alias("_bsz"))
         idx = idx.join(sizes, ["t", "bucket"]).filter(F.col("_bsz") <= max_bucket_size)

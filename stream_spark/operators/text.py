@@ -175,8 +175,13 @@ def boilerplate_share(
     the df count — the same inverted-index build dedup uses; the hot
     set (df-capped, tiny by construction) joins back equi on the same
     key, so nothing corpus-sized is broadcast or recomputed."""
+    # explicit repartition before the CPU-heavy tokenize+explode: a
+    # small parquet arrives as ONE split and would n-gram the whole
+    # corpus single-threaded (same rationale as dedup.shingle_docs)
+    par = df.sparkSession.sparkContext.defaultParallelism
     grams = (
-        df.select(
+        df.repartition(par, F.col(id_col))
+        .select(
             F.col(id_col),
             F.col(source_col),
             F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("_g"),

@@ -317,3 +317,26 @@ def test_banded_lsh_max_bucket_size_drops_identical_swarm(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1000, 1001) in got  # the small-bucket pair survives
     assert not any(a < 100 and b < 100 for a, b in got)  # swarm dropped
+
+
+def test_banded_index_matches_catalyst_buckets(spark):
+    """The vectorized (matmul) index must agree bit-for-bit with the
+    all-decimal Catalyst fold on every (id, table): the float64 sign is
+    exact away from zero and the near-zero escape recomputes with the
+    oracle's decimal arithmetic."""
+    import random
+
+    from stream_spark.operators.similarity import banded_buckets, banded_index
+
+    rnd = random.Random(21)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = {
+        (r["id"], r["t"]): r["bucket"] for r in banded_index(df).collect()
+    }
+    slow = {}
+    for r in df.select(
+        "vec_id", F.explode(banded_buckets(F.col("embedding"))).alias("tb")
+    ).collect():
+        slow[(r["vec_id"], r["tb"]["t"])] = r["tb"]["bucket"]
+    assert fast == slow

@@ -104,6 +104,8 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .localCheckpoint()  # consumed 3x below (mins2, sym2, rows) —
+            # unmaterialized, the whole large-star would recompute per use
         )
         # small-star: smaller-or-equal endpoints hang off the min
         mins2 = _min_nbr(large.union(large.select(F.col("v").alias("u"), F.col("u").alias("v"))))

@@ -726,3 +726,53 @@ def streaming_array_elementwise_sum(spark: SparkSession, sf_dir: str) -> DataFra
         output_mode="append",
     )
     return out.select(F.col("label").cast("long").alias("label"), "window_id", "pos", "result")
+
+
+from stream_spark.operators.dedup import BAND_SIZE, PERMS  # noqa: E402
+from stream_spark.queries.dedup_queries import _MH_PERM, _SHINGLES3  # noqa: E402
+
+
+@register(
+    "streaming_dedup_minhash",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    h AS (
+        SELECT doc, p, MIN({_MH_PERM}) AS mh
+        FROM sh, unnest(generate_series(0, {PERMS - 1})) t(p)
+        GROUP BY doc, p
+    ),
+    bands AS (
+        SELECT doc, p // {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+        FROM h GROUP BY doc, p // {BAND_SIZE}
+    ),
+    dups AS (
+        SELECT DISTINCT b.doc FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    )
+    SELECT d.doc_id, CAST(CASE WHEN dups.doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc
+    """,
+)
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online NEAR-dup detection on a live stream (the crawl shape):
+    stateless per-doc minhash band signatures (mapInPandas) feed ONE
+    stateful first-seen fold keyed by (band, bucket) — state per live
+    bucket is a single doc id, never a document. Replayed in doc-id
+    order over 4 micro-batches so "duplicates an EARLIER doc" is
+    well-defined; the final per-doc max(hit) runs batch-side on the
+    sink output (a second stateful agg is not append-legal)."""
+    from stream_spark.streaming import ordered_replay_stream
+    from stream_spark.streaming.dedup import streaming_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = f"{_SCRATCH}/dedup_minhash"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = ordered_replay_stream(spark, docs, stage, ["doc_id"], n_slices=4)
+    out = run_stream_to_memory(streaming_minhash_dedup(stream), output_mode="append")
+    flags = out.groupBy(F.col("doc").alias("_doc")).agg(F.max("hit").cast("long").alias("is_dup"))
+    return (
+        docs.select("doc_id")
+        .join(flags, docs.doc_id == flags._doc, "left")
+        .select("doc_id", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"))
+    )

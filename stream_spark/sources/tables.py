@@ -44,7 +44,13 @@ def _read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    schema = pq.read_schema(path)
+    schema_path = path
+    if os.path.isdir(path):  # multi-file table (e.g. the derived sf1 probe set)
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        schema_path = os.path.join(path, parts[0])
+    schema = pq.read_schema(schema_path)
     for field in schema:
         if patypes.is_timestamp(field.type) and field.type.unit == "ns":
             df = df.withColumn(

@@ -4,6 +4,13 @@ Exact streaming dedup = ``dropDuplicates`` on a content key with a
 watermark bounding state (Structured Streaming keeps one state entry
 per key within the watermark horizon). The content key is the md5 of
 normalized text — 16 bytes of state per doc, not the document.
+
+NEAR-dup streaming dedup (``streaming_minhash_dedup``) is the online
+crawl shape: minhash band buckets computed STATELESSLY per document
+(a doc's signature depends only on its own text — one mapInPandas,
+no streaming aggregation), then one stateful first-seen fold keyed by
+(band, bucket). State is the smallest doc id seen per live bucket —
+16-ish bytes per distinct bucket, never the documents.
 """
 
 from __future__ import annotations
@@ -31,3 +38,105 @@ def streaming_exact_dedup(
         keyed = keyed.withWatermark(ts_col, watermark)
         return keyed.dropDuplicatesWithinWatermark(["_content_key"]).drop("_content_key")
     return keyed.dropDuplicates(["_content_key"]).drop("_content_key")
+
+
+def _minhash_band_rows_py(text: str, n: int = 3) -> list[tuple[int, str]]:
+    """(band, bucket) rows for ONE document — the same md5 + affine-
+    permutation + band-concat math as operators/dedup.minhash_band_buckets
+    (and its SQL oracle), replicated in Python so a streaming map can
+    compute signatures statelessly per row. Deterministic everywhere.
+    """
+    import hashlib
+    import re
+
+    from stream_spark.operators.dedup import BAND_SIZE, MERSENNE31, PERMS, perm_consts
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    ws = norm.split(" ")
+    shingles = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    if not shingles:
+        return []
+    h31s = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MERSENNE31 for g in shingles
+    ]
+    mh = []
+    for p in range(PERMS):
+        a, b = perm_consts(p)
+        mh.append(min((a * h + b) % MERSENNE31 for h in h31s))
+    rows = []
+    for band in range(PERMS // BAND_SIZE):
+        run = ",".join(str(mh[band * BAND_SIZE + k]) for k in range(BAND_SIZE))
+        rows.append((band, hashlib.md5(run.encode()).hexdigest()))
+    return rows
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Online near-dup detection — the crawl-pipeline shape: flag each
+    arriving document that shares ANY minhash band bucket with an
+    earlier-id document already seen on the stream.
+
+    Two stages, both streaming-legal:
+
+    1. STATELESS signature map (mapInPandas): a doc's band buckets
+       depend only on its own text, so no streaming aggregation is
+       needed — each row fans out to PERMS/BAND_SIZE (band, bucket)
+       rows.
+    2. ONE stateful fold (applyInPandasWithState keyed by (band,
+       bucket)): state is the smallest doc id seen for the bucket; a
+       band row hits when the bucket was already claimed by a smaller
+       id (earlier batch, or earlier in this batch by id order).
+
+    Emits (doc, band, hit) rows in append mode; callers aggregate
+    ``max(hit)`` per doc batch-side after the sink (chaining a second
+    stateful aggregate onto the fold is not append-legal). Replay the
+    stream in id order (ordered_replay_stream) for parity with the
+    batch/SQL definition "is_dup(d) = ∃ d' < d sharing a bucket" —
+    state per live bucket is one long, documents never enter state.
+    """
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def to_bands(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc": [], "band": [], "bucket": []}
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                for band, bucket in _minhash_band_rows_py(str(text), n):
+                    out["doc"].append(int(doc))
+                    out["band"].append(band)
+                    out["bucket"].append(bucket)
+            yield pd.DataFrame(out)
+
+    bands = stream.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        to_bands, "doc long, band int, bucket string"
+    )
+
+    def first_seen(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc")
+        out = []
+        for doc in batch["doc"]:
+            doc = int(doc)
+            out.append((doc, key[0], 1 if seen is not None and seen < doc else 0))
+            seen = doc if seen is None else min(seen, doc)
+        state.update((seen,))
+        yield pd.DataFrame(out, columns=["doc", "band", "hit"])
+
+    return bands.groupBy("band", "bucket").applyInPandasWithState(
+        first_seen,
+        "doc long, band int, hit int",
+        "seen long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -660,3 +660,35 @@ def test_tws_raises_clean_importerror_without_protobuf(spark, tiny_events):
 
     with _pytest.raises(ImportError, match="protobuf"):
         streaming_tumbling_count_tws(tiny_events, "event_type", "value", "sum", 3)
+
+
+def test_streaming_minhash_dedup_flags_only_later_neardups(spark, tmp_path):
+    """Online near-dup: a doc is flagged iff it shares a band bucket
+    with an EARLIER-id doc — across micro-batch boundaries (the dup
+    arrives two batches after its original), never the other way."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.streaming import ordered_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.dedup import streaming_minhash_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                              # original
+        (2, "completely different words here about other topics entirely now"),
+        (3, "yet another unrelated document with its own vocabulary set"),
+        (4, base),                              # exact dup of 1, later batch
+        (5, base + " trailing"),                # near dup of 1
+        (6, "final distinct text block nothing shared with previous ones"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stage = str(tmp_path / "stream_mh")
+    stream = ordered_replay_stream(spark, docs, stage, ["doc_id"], n_slices=3)
+    out = run_stream_to_memory(streaming_minhash_dedup(stream), output_mode="append")
+    flags = {
+        r["_doc"]: r["dup"]
+        for r in out.groupBy(F.col("doc").alias("_doc")).agg(F.max("hit").alias("dup")).collect()
+    }
+    assert flags[1] == 0  # first occurrence never flagged
+    assert flags[4] == 1  # exact dup, two batches later
+    assert flags[5] == 1  # near dup (shares most shingles -> some band)
+    assert flags.get(2, 0) == 0 and flags.get(3, 0) == 0 and flags.get(6, 0) == 0

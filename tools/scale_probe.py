@@ -1,0 +1,114 @@
+"""sf1 scale probe (VERDICT r2 #8): run the most scale-sensitive gated
+queries at 10x sf0.1 and check none goes super-linear.
+
+For each query: time at sf0.1 (steady-state best-of-2 after a warm
+run, same methodology as bench.py) and at sf1; report the wall-time
+ratio. PASS if every ratio <= 10x (linear) with 2x headroom (<= 20x) —
+a query whose cost is quadratic in corpus size would show ~100x.
+
+Run: python tools/scale_probe.py [sf1_dir]   (writes SCALE_PROBE.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard_capped",
+    "dedup_containment_capped",
+    "dedup_embedding_cosine",
+    "embedding_dedup_clusters",
+    "dedup_clusters",
+    "dedup_incremental_batch",
+    "events_sessionize",
+    "training_pack_sequences",
+    "training_data_prep_packed",
+    "parts_copurchase_pagerank",
+    "agg_tumbling_count_sum",
+    "streaming_stream_join_time",
+    "streaming_stream_left_join_time",
+    "streaming_count_window_sum",
+]
+
+
+def _bestof2(spark, fn, sf_dir):
+    """Warm once, then best of 2 FULL fn()+count runs. Unlike bench.py
+    (which times a pre-built plan), the probe rebuilds per run: several
+    probe queries do real work at construction time — streaming queries
+    run their readStream job inside fn(), iterative operators
+    (components, k-means, the two-pass rownum primitives) collect or
+    localCheckpoint while building — and a count() of the finished
+    result would time only the tail."""
+    fn(spark, sf_dir).count()
+    best, n = None, 0
+    for _ in range(2):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best, n
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf1_dir = args[0] if args else "/root/repo/.scratch/sf1"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--queries="):
+            only = set(a.split("=", 1)[1].split(","))
+    if not os.path.isdir(sf1_dir):
+        raise SystemExit(f"{sf1_dir} missing — run tools/make_sf1.py first")
+    from stream_spark.queries import QUERIES
+    from stream_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # resumable: --queries=a,b re-times a subset and merges into the
+    # existing report (long full runs can be split across invocations)
+    report = {}
+    if only is not None and os.path.exists("SCALE_PROBE.json"):
+        with open("SCALE_PROBE.json") as f:
+            report = json.load(f)
+    worst = 0
+    for name in PROBE:
+        if only is not None and name not in only:
+            continue
+        if name not in QUERIES:
+            continue
+        t01, n01 = _bestof2(spark, QUERIES[name], "/root/testdata/sf0.1")
+        t1, n1 = _bestof2(spark, QUERIES[name], sf1_dir)
+        ratio = t1 / t01 if t01 > 0 else float("inf")
+        ok = ratio <= 20.0  # linear 10x + 2x headroom
+        report[name] = {
+            "sf0.1_sec": round(t01, 3),
+            "sf1_sec": round(t1, 3),
+            "ratio": round(ratio, 2),
+            "sf0.1_rows": n01,
+            "sf1_rows": n1,
+            "linear_ok": ok,
+        }
+        flag = "" if ok else "  <-- SUPER-LINEAR"
+        print(f"{name}: {t01:.2f}s -> {t1:.2f}s ({ratio:.1f}x){flag}", file=sys.stderr)
+        if not ok:
+            worst = 1
+        with open("SCALE_PROBE.json", "w") as f:  # incremental: survive kills
+            json.dump(report, f, indent=1)
+    with open("SCALE_PROBE.json", "w") as f:
+        json.dump(report, f, indent=1)
+    all_linear = all(v["linear_ok"] for v in report.values())
+    print(json.dumps({"probe": "sf1", "queries": len(report), "all_linear": all_linear}))
+    raise SystemExit(0 if all_linear else 1)
+
+
+if __name__ == "__main__":
+    main()

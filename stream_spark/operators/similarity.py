@@ -157,6 +157,19 @@ def banded_buckets(
     return F.array(*entries)
 
 
+def embedding_mean(df: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension corpus mean as bounded driver metadata (dim
+    doubles) — exact-decimal accumulation, one keyed agg."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+        .collect()  # bounded metadata: dim rows
+    )
+    out = {int(r["i"]): float(r["m"]) for r in rows}
+    return [out[i] for i in sorted(out)]
+
+
 def banded_index(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -164,6 +177,7 @@ def banded_index(
     n_tables: int = N_TABLES,
     band_planes: int = BAND_PLANES,
     dim: int = DIM,
+    center: list[float] | None = None,
 ) -> DataFrame:
     """(id, t, bucket) LSH index rows — the joinable form of
     ``banded_buckets``, computed as ONE numpy matmul per Arrow batch
@@ -178,11 +192,27 @@ def banded_index(
     oracle's own arithmetic — per-product DECIMAL(28,12) quantization
     summed exactly — so every bit equals the all-decimal fold's.
     pytest (test_ann) asserts row-for-row equality with banded_buckets.
+
+    ``center``: optional per-dimension mean (``embedding_mean``) to
+    subtract before projecting. Sign-LSH assumes zero-centered data;
+    on a half-space corpus (all-positive features — common for count
+    or ReLU embeddings) planes with a large weight sum go constant-sign
+    and collapse the bucket space (the adversarial case
+    test_ann.test_banded_lsh_bucket_space documents). Centering
+    restores balanced splits: projection of (x - μ) = x·w - μ·w, one
+    precomputed offset per plane. Centered buckets are pytest-level
+    (the gated oracle queries run uncentered — replaying μ in SQL is
+    possible but the uncentered path is the oracle-parity one).
     """
     import numpy as np
 
     planes = np.array(hyperplane_weights(n_tables * band_planes, dim))
     weights = (1 << np.arange(band_planes)).astype(np.int64)
+    offsets = (
+        np.asarray(center, dtype=np.float64) @ planes.T
+        if center is not None
+        else np.zeros(n_tables * band_planes)
+    )
 
     def gen(batches):
         import pandas as pd
@@ -192,8 +222,10 @@ def banded_index(
                 continue
             ids = pdf[id_col].to_numpy()
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            P = V @ planes.T  # (n, H*b) float64 projections
+            P = V @ planes.T - offsets  # (n, H*b) float64 projections
             near = np.abs(P) < 1e-6
+            if center is not None:
+                near = np.zeros_like(near)  # centered = pytest-level, no decimal escape
             if near.any():
                 from decimal import ROUND_HALF_UP, Decimal
 

@@ -316,3 +316,58 @@ def corpus_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         F.least("v0", "v1", "v2", "v3").alias("cm_est"),
     )
+
+
+from stream_spark.operators.dedup import BAND_SIZE as _BS, PERMS as _PS  # noqa: E402
+
+
+@register(
+    "corpus_cross_source_dup_matrix",
+    oracle=f"""
+    WITH {{sh}},
+    h AS (
+        SELECT doc, p, MIN({{mh}}) AS mh
+        FROM sh, unnest(generate_series(0, {{perms_m1}})) t(p)
+        GROUP BY doc, p
+    ),
+    bands AS (
+        SELECT doc, p // {{bs}} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+        FROM h GROUP BY doc, p // {{bs}}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    )
+    SELECT da.source AS source_a, db.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.doc_b) AS BIGINT) AS n_dup_docs
+    FROM cand c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+    GROUP BY source_a, source_b
+    """.format(sh=_SHINGLES3, mh=_MH_PERM, perms_m1=_PS - 1, bs=_BS),
+)
+def corpus_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination diagnostics: for every (source_a,
+    source_b) pair, how many near-dup candidate pairs (minhash band
+    collisions) straddle them, and how many LATER docs are involved —
+    the corpus-curation report that tells you which ingests overlap.
+    Built on the same banded index as dedup_minhash_lsh; the two
+    source joins are keyed on doc id (dims never broadcast — documents
+    is corpus-sized)."""
+    from stream_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")), "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_dup_docs"),
+        )
+    )

@@ -776,3 +776,49 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(flags, docs.doc_id == flags._doc, "left")
         .select("doc_id", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"))
     )
+
+
+from stream_spark.queries.text_queries import TOKS as _TOKS, _STOP_IN  # noqa: E402
+
+
+@register(
+    "streaming_quality_gate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS ws FROM documents),
+    feat AS (
+        SELECT doc_id, lang,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               list_aggregate(list_transform(ws, w -> length(w)), 'sum') / len(ws) AS mean_word_len,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) / len(ws) AS alpha_frac,
+               CAST(len(list_filter(ws, w -> w IN ({_STOP_IN}))) AS BIGINT) AS n_stop_hits
+        FROM t
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND mean_word_len BETWEEN 3.0 AND 10.0
+                          AND alpha_frac >= 0.8 AND n_stop_hits >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM feat GROUP BY lang
+    """,
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate on a LIVE document stream: the rule
+    columns are stateless Catalyst expressions (streaming-legal as-is),
+    followed by one streaming aggregate per language — the shape of an
+    online ingest filter with its accept-rate dashboard. Replayed over
+    4 micro-batches; complete-mode counts equal the batch oracle's."""
+    from stream_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = f"{_SCRATCH}/quality_gate"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, docs, stage, n_slices=4)
+    gated = gopher_rules(stream)
+    out = run_stream_to_memory(
+        gated.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("gopher_keep").cast("long").alias("n_keep"),
+        ),
+        output_mode="complete",
+    )
+    return out.select("lang", "n_docs", "n_keep")

@@ -441,3 +441,43 @@ def documents_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.expr(f"((rn - 1) * 10) DIV {n}") + 1).cast("long").alias("curriculum_bucket"),
     )
+
+
+@register(
+    "training_pack_efficiency",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS s,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens, CAST(s // 2048 AS BIGINT) AS pack_id,
+               CAST((cum - 1) // 2048 - s // 2048 + 1 AS BIGINT) AS n_packs_spanned
+        FROM c
+    )
+    SELECT pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_starting,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+           CAST(SUM(CASE WHEN n_packs_spanned > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM packed GROUP BY pack_id
+    """,
+)
+def training_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing diagnostics over the pack_sequences output: per 2048-
+    token context, how many docs START in it, how many tokens they
+    contribute, and how many straddle the boundary (candidates for
+    splitting or re-packing). Concat-then-chunk wastes zero tokens by
+    construction — boundary fragmentation is the metric that matters.
+    One keyed agg on the packed frame; inherits the two-pass prefix-sum
+    scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    packed = pack_sequences(with_tokens, budget=2048)
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs_starting"),
+        F.sum("n_tokens").alias("tokens_started"),
+        F.sum(F.when(F.col("n_packs_spanned") > 1, 1).otherwise(0)).cast("long").alias("n_boundary_docs"),
+    )

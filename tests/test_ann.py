@@ -340,3 +340,34 @@ def test_banded_index_matches_catalyst_buckets(spark):
     ).collect():
         slow[(r["vec_id"], r["tb"]["t"])] = r["tb"]["bucket"]
     assert fast == slow
+
+
+def test_banded_lsh_centering_rebalances_halfspace_buckets(spark):
+    """Sign LSH assumes zero-centered data; on the all-positive corpus
+    centering must multiply the live-bucket count and slash the hot
+    bucket — the documented cure for the adversarial case above."""
+    import random
+
+    from stream_spark.operators.similarity import banded_index, embedding_mean
+
+    rnd = random.Random(11)
+    n = 1500
+    rows = [(i, [rnd.uniform(0.0, 1.0) for _ in range(64)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def stats(idx):
+        per = {}
+        for r in idx.groupBy("t", "bucket").count().collect():
+            per.setdefault(r["t"], []).append(r["count"])
+        buckets = min(len(v) for v in per.values())
+        hot = max(max(v) for v in per.values())
+        pairs = sum(m * (m - 1) // 2 for v in per.values() for m in v)
+        return buckets, hot, pairs
+
+    b0, h0, p0 = stats(banded_index(df))
+    mu = embedding_mean(df)
+    assert len(mu) == 64 and all(0.3 < m < 0.7 for m in mu)
+    b1, h1, p1 = stats(banded_index(df, center=mu))
+    assert b1 >= 4 * b0, (b0, b1)
+    assert h1 * 4 <= h0, (h0, h1)
+    assert p1 * 10 <= p0, (p0, p1)

@@ -266,22 +266,34 @@ def test_rownum_primitives_release_their_cached_blocks(spark):
 
     from stream_spark.operators.rownum import with_global_cumsum, with_global_row_number
 
+    def rdd_ids() -> set:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
     gc.collect()
     time.sleep(1.0)
-    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    baseline = rdd_ids()
 
-    df = spark.range(50_000).select(F.col("id"), (F.col("id") % 97).alias("v"))
-    out = with_global_row_number(df, ["id"])
-    assert out.count() == 50_000
-    out2 = with_global_cumsum(df, "v", ["id"])
-    assert out2.count() == 50_000
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
+    def run_queries() -> set:
+        # inner scope: every DataFrame reference dies when this returns,
+        # so the poll below isn't at the mercy of test-frame locals
+        df = spark.range(50_000).select(F.col("id"), (F.col("id") % 97).alias("v"))
+        assert with_global_row_number(df, ["id"]).count() == 50_000
+        assert with_global_cumsum(df, "v", ["id"]).count() == 50_000
+        return rdd_ids() - baseline
 
-    del out, out2, df
-    for _ in range(40):  # cleaner runs async off JVM GC (periodic GC is 30 min)
-        gc.collect()  # release the py4j handles...
-        spark.sparkContext._jvm.System.gc()  # ...then let the ContextCleaner see them
-        if spark.sparkContext._jsc.getPersistentRDDs().size() <= baseline:
+    created = run_queries()  # the primitives' checkpoint blocks
+    assert created
+
+    # cleaner runs async off JVM GC (periodic GC interval is 30 min) —
+    # release the py4j handles, nudge the JVM, poll. Generous bound:
+    # under full-suite load the detach+GC+cleanup chain can take a while.
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        spark.sparkContext._jvm.System.runFinalization()
+        if not (rdd_ids() & created):
             break
         time.sleep(0.5)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= baseline
+    # track the SPECIFIC ids (other tests' cached data may coexist)
+    assert not (rdd_ids() & created)

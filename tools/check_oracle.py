@@ -59,8 +59,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    shard = None  # --shard=i/n runs the i-th of n registry slices (long sf0.1 runs)
+    for a in sys.argv[1:]:
+        if a.startswith("--shard="):
+            i, n = a.split("=", 1)[1].split("/")
+            shard = (int(i), int(n))
 
     from stream_spark.queries import ORACLES, QUERIES
     from stream_spark.session import get_spark
@@ -73,8 +79,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
-    for name, fn in QUERIES.items():
+    for qi, (name, fn) in enumerate(QUERIES.items()):
         if only and name not in only:
+            continue
+        if shard is not None and qi % shard[1] != shard[0]:
             continue
         t0 = time.time()
         try:

@@ -169,3 +169,43 @@ def compact_partitioned_parquet(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return to_fix
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: (keys..., change_type) for every row that differs
+    between two versions of a table — 'added' (key only in new),
+    'removed' (key only in old), 'changed' (key in both, any compared
+    column differs). The regression-testing / CDC-backfill primitive:
+    one full-outer join keyed on the table key, column comparison via
+    null-safe inequality (no value hashing, so no cross-engine string-
+    cast hazards). Unchanged keys are dropped, so output is bounded by
+    the churn, not the table.
+    """
+    keys = list(key_cols)
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in old.columns if c not in keys
+    ]
+    o = old.select(*keys, *cols, F.lit(1).alias("_in_old"))
+    n = new.select(
+        *[F.col(k).alias(f"_n_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = [o[k].eqNullSafe(n[f"_n_{k}"]) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_n_{c}"))
+    out = j.select(
+        *[F.coalesce(F.col(k), F.col(f"_n_{k}")).alias(k) for k in keys],
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .alias("change_type"),
+    )
+    return out.filter(F.col("change_type").isNotNull())

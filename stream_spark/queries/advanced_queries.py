@@ -919,3 +919,50 @@ def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum(F.when(done, 1).otherwise(0)).cast("long").alias("n_completed"),
     )
+
+
+@register(
+    "parts_copurchase_triangles",
+    oracle="""
+    WITH co AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM co e1
+        JOIN co e2 ON e2.u = e1.v
+        JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    roles AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM roles GROUP BY node
+    """,
+)
+def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph
+    (operators/components.triangle_counts): tight basket communities.
+    Spark runs the degree-ordered-orientation algorithm (every node's
+    oriented out-degree is O(√m), so wedge volume is bounded on skewed
+    graphs); the oracle enumerates u<v<w triangles directly — same
+    triangle set, different exploration order."""
+    from stream_spark.operators.components import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    out = triangle_counts(co, a_col="part_a", b_col="part_b")
+    return out.select(F.col("node").alias("part_id"), "n_triangles")

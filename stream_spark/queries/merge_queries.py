@@ -239,3 +239,99 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600000)).cast("long") % 256).alias("b"),
     )
     return base.select("event_id", zorder_key([F.col("a"), F.col("b")], bits=8).alias("zkey"))
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+           END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions (operators/merge.
+    table_diff): the new version is derived deterministically in-query
+    (every 97th key deleted, every 11th price bumped, every 13th key
+    re-inserted under an offset id). One keyed full-outer join with
+    null-safe column compare — output bounded by the churn."""
+    from stream_spark.operators.merge import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+            )
+        )
+    )
+    return table_diff(orders, new, ["o_orderkey"])
+
+
+@register(
+    "orders_rollup_incremental",
+    oracle="""
+    SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) AS day_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY day_ms
+    """,
+)
+def orders_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily rollup is
+    kept as an algebraic STATE table (count, decimal sum) and a new
+    batch merges by re-aggregating base-state ∪ delta-state — never
+    re-reading history. Here the split is derived in-query (base =
+    even order keys, delta = odd) and the oracle is the FULL recompute:
+    merged partials must equal it exactly, which is the entire point
+    of decomposable aggregates (CLAUDE.md rule 1 makes the sums
+    order-insensitive, so base+delta order cannot matter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.unix_millis(F.date_trunc("day", F.col("o_orderdate")).cast("timestamp"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(day.alias("day_ms")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_rev_state"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderkey") % 2 == 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 2 == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day_ms")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            # decimal(18,4) partial sums re-sum exactly; Spark widens the
+            # sum's precision internally, cast back before the double
+            F.sum("_rev_state").cast("decimal(28,4)").cast("double").alias("revenue"),
+        )
+    )
+    return merged

@@ -297,3 +297,35 @@ def test_rownum_primitives_release_their_cached_blocks(spark):
         time.sleep(0.5)
     # track the SPECIFIC ids (other tests' cached data may coexist)
     assert not (rdd_ids() & created)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant: K4 has 4 triangles, each K4 node touches
+    exactly 3 of them; the pendant node is in none."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from stream_spark.operators.components import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # duplicate + reversed edges must not change the counts
+    df2 = spark.createDataFrame(edges + [(2, 1), (3, 1), (1, 2)], "u long, v long")
+    assert {r["node"]: r["n_triangles"] for r in triangle_counts(df2).collect()} == got
+
+
+def test_table_diff_branches(spark):
+    from stream_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (4, None, 4.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 unchanged w/ null col, 5 added
+    assert got == {2: "changed", 3: "removed", 5: "added"}

@@ -966,3 +966,86 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = triangle_counts(co, a_col="part_a", b_col="part_b")
     return out.select(F.col("node").alias("part_id"), "n_triangles")
+
+
+_NAMES_BLOCKED = r"""
+    names AS (
+        SELECT DISTINCT p_name AS name,
+               (string_split_regex(p_name, '\s+'))[-1] AS blk
+        FROM part
+    ),
+    fpairs AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 4
+    )
+"""
+
+
+@register(
+    "parts_fuzzy_name_pairs",
+    oracle=f"""
+    WITH {_NAMES_BLOCKED}
+    SELECT name_a, name_b, dist FROM fpairs
+    """,
+)
+def parts_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (operators/fuzzy.fuzzy_name_pairs): distinct
+    part names within Levenshtein 4, blocked on the head noun (last
+    token) — pair volume Σ block², distinct-value space not row space.
+    The entity-resolution candidate generator."""
+    from stream_spark.operators.fuzzy import fuzzy_name_pairs
+
+    parts = load_table(spark, sf_dir, "part")
+    return fuzzy_name_pairs(parts, "p_name", max_dist=4)
+
+
+@register(
+    "parts_name_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NAMES_BLOCKED},
+    und AS (SELECT name_a AS src, name_b AS dst FROM fpairs
+            UNION ALL SELECT name_b, name_a FROM fpairs),
+    reach(node, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    full_names AS (
+        SELECT n.name, COALESCE(c.component, n.name) AS component
+        FROM names n LEFT JOIN comp c ON c.node = n.name
+    )
+    SELECT f.component AS canonical_name,
+           CAST(COUNT(DISTINCT f.name) AS BIGINT) AS n_names,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part p JOIN full_names f ON p.p_name = f.name
+    GROUP BY canonical_name
+    """,
+)
+def parts_name_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: fuzzy name pairs → large-star/
+    small-star components over the NAME graph (string min works — the
+    scheme only needs a total order) → every part mapped to its
+    cluster's canonical (lexicographic-min) name. Singleton names keep
+    themselves. The cluster step runs on distinct VALUES, so graph size
+    is vocabulary-bounded regardless of table size."""
+    from stream_spark.operators.components import connected_components_star
+    from stream_spark.operators.fuzzy import fuzzy_name_pairs
+
+    parts = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_name_pairs(parts, "p_name", max_dist=4)
+    comp = connected_components_star(pairs.select("name_a", "name_b"), a_col="name_a", b_col="name_b")
+    names = parts.select(F.col("p_name").alias("node")).distinct()
+    full = names.join(comp, "node", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("node"))
+    )
+    return (
+        parts.join(full, parts.p_name == full.node)
+        .groupBy(F.col("component").alias("canonical_name"))
+        .agg(
+            F.countDistinct("node").alias("n_names"),
+            F.count("*").alias("n_parts"),
+        )
+    )

@@ -329,3 +329,19 @@ def test_table_diff_branches(spark):
     got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
     # 1 unchanged (absent), 2 changed, 3 removed, 4 unchanged w/ null col, 5 added
     assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_fuzzy_name_pairs_blocking_and_bound(spark):
+    from stream_spark.operators.fuzzy import fuzzy_name_pairs
+
+    rows = [
+        (1, "red bolt"), (2, "rad bolt"), (3, "red bolt"),  # dup value
+        (4, "blue bolt"), (5, "red gear"),                   # gear: other block
+        (6, "completely different bolt"),                    # same block, far
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["name_a"], r["name_b"]): r["dist"] for r in fuzzy_name_pairs(df, "name", 2).collect()}
+    assert got == {("rad bolt", "red bolt"): 1}  # distinct values, one close pair
+    wide = {(r["name_a"], r["name_b"]) for r in fuzzy_name_pairs(df, "name", 4).collect()}
+    assert ("blue bolt", "red bolt") in wide       # dist 4 within block
+    assert not any("gear" in a and "bolt" in b or "bolt" in a and "gear" in b for a, b in wide)

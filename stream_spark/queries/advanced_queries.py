@@ -1049,3 +1049,97 @@ def parts_name_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_parts"),
         )
     )
+
+
+@register(
+    "events_out_of_order_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (PARTITION BY event_type, user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS late_rate
+    FROM seq GROUP BY event_type
+    """,
+)
+def events_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder accounting — the number every watermark
+    delay is tuned from: the fraction of events arriving behind their
+    KEY's running event-time max in arrival (event_id) order, rolled up
+    per type. Keyed by (event_type, user_id) — the same high-cardinality
+    key streaming state partitions on, so no 5-key window skew — then
+    one agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seq = ev.withColumn("prior_max", F.max("ts").over(w))
+    late = F.when(F.col("ts") < F.col("prior_max"), 1).otherwise(0)
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late).cast("long").alias("n_late"),
+        (F.sum(late).cast("double") / F.count("*")).alias("late_rate"),
+    )
+
+
+@register(
+    "events_burst_windows",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, h
+    ),
+    stats AS (
+        SELECT event_type, h, c,
+               CAST(SUM(CAST(c AS DECIMAL(18,0))) OVER w AS DOUBLE) AS s1,
+               CAST(SUM(CAST(c * c AS DECIMAL(28,0))) OVER w AS DOUBLE) AS s2,
+               COUNT(*) OVER w AS n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS window_start_ms, c AS n_events,
+           (c - s1 / n) / sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-9)) AS burst_z
+    FROM stats
+    WHERE n >= 6 AND (c - s1 / n) / sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-9)) >= 3.0
+    """,
+)
+def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hourly counts per type scored against the
+    trailing 24 closed hours (z ≥ 3 with ≥6 hours of history). Counts
+    are integers, so the trailing sums accumulate in DECIMAL exactly —
+    mean/variance/sqrt are then single double operations, identical in
+    both engines. Keyed ROWS frame, no global order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        ((F.unix_millis(F.col("ts").cast("timestamp")) / 3600000).cast("long") * 3600000).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    stats = (
+        hourly.withColumn("s1", F.sum(F.col("c").cast("decimal(18,0)")).over(w).cast("double"))
+        .withColumn("s2", F.sum((F.col("c") * F.col("c")).cast("decimal(28,0)")).over(w).cast("double"))
+        .withColumn("n", F.count("*").over(w))
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(1e-9))
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") >= 6) & (z >= 3.0))
+        .select(
+            "event_type",
+            F.col("h").alias("window_start_ms"),
+            F.col("c").alias("n_events"),
+            z.alias("burst_z"),
+        )
+    )

@@ -332,9 +332,19 @@ def streaming_tumbling_count_array(
     )
 
 
-def run_stream_to_memory(result: DataFrame, output_mode: str = "complete", timeout_s: int = 120) -> DataFrame:
+def run_stream_to_memory(result: DataFrame, output_mode: str = "complete", timeout_s: int = 300) -> DataFrame:
     """Run a streaming plan to completion (availableNow) into a memory
-    sink and return the final table as a batch DataFrame."""
+    sink and return the final table as a batch DataFrame.
+
+    ``awaitTermination(timeout)`` returning False means the job is
+    STILL RUNNING — reading the sink then would silently return a
+    partial result (each replay slice covers the whole key/time range,
+    so a half-processed complete-mode window agg has every window with
+    subset-only values: wrong numbers, plausible shape). That exact
+    flake hit one gate query in a 176-query run; fail loudly instead,
+    and stop the query so a stuck run can't leak scheduler slots into
+    later queries.
+    """
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
@@ -343,7 +353,13 @@ def run_stream_to_memory(result: DataFrame, output_mode: str = "complete", timeo
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming job {name} still running after {timeout_s}s — "
+            "refusing to read a partial memory sink"
+        )
     spark = result.sparkSession
     return spark.table(name)
 

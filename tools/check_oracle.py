@@ -85,11 +85,20 @@ def main() -> int:
         if shard is not None and qi % shard[1] != shard[0]:
             continue
         t0 = time.time()
+        spark_err = None
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
+            spark_err = e
+        finally:
+            # a streaming query that outlived its gate entry (e.g. a
+            # timed-out availableNow job) would bleed scheduler slots
+            # into every later query — reap strays between entries
+            for sq in spark.streams.active:
+                sq.stop()
+        if spark_err is not None:
             continue
         if name not in ORACLES:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows) [{time.time()-t0:.1f}s]")

@@ -1,0 +1,139 @@
+"""Product quantization (PQ) — the memory-bound half of large-scale
+ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+Search"): each vector is split into ``n_sub`` subvectors, each encoded
+as the id of its nearest subspace centroid, so a 64-float embedding
+compresses to ``n_sub`` small codes and asymmetric distance against a
+full-precision query is ``n_sub`` table lookups.
+
+Spark realization keeps the whole thing oracle-expressible:
+
+- codebooks are DETERMINISTIC: subspace centroids come from the
+  ``k`` lowest-id corpus vectors (the same seeding contract as
+  ``similarity.topk_ivf`` — bounded-metadata collect, k rows);
+- assignment is a map-only scan: per (row, subspace) the argmin of the
+  exact-DECIMAL squared L2 distance to each centroid, ties to the
+  smaller code (min over (dist, code) structs — ALGEBRAIC, no window);
+- asymmetric top-k joins the corpus codes against the query's
+  per-(subspace, code) distance table (bounded: queries × n_sub × k
+  rows) and sums exact decimals per (query, vector) — one equi-join
+  and one keyed agg, never a full-precision corpus scan per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_SUB = 8
+K_CODES = 16
+
+
+def _sq_dist_dec(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance: per-term (x-w)² quantized to
+    DECIMAL(28,12) (both engines' cast), summed exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast("decimal(28,12)")),
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+    )
+
+
+def _codebooks(corpus: DataFrame, id_col: str, vec_col: str, n_sub: int, k: int, dim: int):
+    """n_sub × k × (dim/n_sub) centroid floats from the k lowest-id
+    corpus vectors (bounded metadata collect)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(k)
+        .collect()  # bounded metadata: k seed rows by contract
+    )
+    sub = dim // n_sub
+    return [
+        [[float(r["_v"][s * sub + j]) for j in range(sub)] for r in rows]
+        for s in range(n_sub)
+    ]
+
+
+def pq_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = N_SUB,
+    k: int = K_CODES,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, sub, code) PQ encoding of every corpus vector — map-only,
+    exact-decimal argmin, ties to the smaller code."""
+    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    sub = dim // n_sub
+    entries = []
+    for s in range(n_sub):
+        part = F.slice(F.col(vec_col), s * sub + 1, sub)
+        best = F.array(
+            *[
+                F.struct(
+                    _sq_dist_dec(part, F.array(*[F.lit(w) for w in books[s][c]])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k)
+            ]
+        )
+        entries.append(
+            F.struct(F.lit(s).alias("sub"), F.array_min(best).getField("c").alias("code"))
+        )
+    return corpus.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("sc")
+    ).select("id", F.col("sc.sub").alias("sub"), F.col("sc.code").cast("long").alias("code"))
+
+
+def topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = N_SUB,
+    k: int = K_CODES,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k: full-precision queries against PQ
+    codes. Per query the (sub, code) → distance LUT is n_sub·k rows;
+    the corpus side only ships its codes. Returns (query_id,
+    neighbor_id, adist, rank) — adist is the approximate squared L2,
+    exact-decimal so both engines rank identically."""
+    from pyspark.sql import Window
+
+    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    sub = dim // n_sub
+    codes = pq_codes(corpus, id_col, vec_col, n_sub, k, dim).withColumnRenamed("id", "neighbor_id")
+    lut_entries = []
+    for s in range(n_sub):
+        part = F.slice(F.col(vec_col), s * sub + 1, sub)
+        for c in range(k):
+            lut_entries.append(
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.lit(c).cast("long").alias("code"),
+                    _sq_dist_dec(part, F.array(*[F.lit(w) for w in books[s][c]])).alias("d"),
+                )
+            )
+    lut = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(F.array(*lut_entries)).alias("e")
+    ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"), F.col("e.d").alias("d"))
+    # broadcast-ok: lut is the contract-bounded query set × n_sub × k
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("decimal(30,12)").alias("_ad"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_ad"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_ad").cast("double").alias("adist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

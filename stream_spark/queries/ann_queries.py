@@ -560,3 +560,91 @@ def ann_topk_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("final_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("final_rank") <= _K)
     )
+
+
+from stream_spark.operators.pq import K_CODES, N_SUB  # noqa: E402
+
+# PQ codebook + exact-decimal assignment, replayed in SQL: seeds are
+# the K lowest-id vectors of the given corpus expression {corpus_pred}.
+_PQ_CODES = f"""
+    seeds AS (
+        SELECT vec_id AS cent_vid,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        FROM (SELECT vec_id FROM embeddings WHERE {{corpus_pred}} ORDER BY vec_id LIMIT {K_CODES})
+    ),
+    cb AS (
+        SELECT (e.i - 1) // 8 AS sub, s.code, (e.i - 1) % 8 AS j, e.x AS w
+        FROM e JOIN seeds s ON e.vec_id = s.cent_vid
+    ),
+    dists AS (
+        SELECT v.vec_id, cb.sub, cb.code,
+               CAST(SUM(CAST((v.x - cb.w) * (v.x - cb.w) AS DECIMAL(28,12))) AS DECIMAL(30,12)) AS d
+        FROM e v JOIN cb ON (v.i - 1) // 8 = cb.sub AND (v.i - 1) % 8 = cb.j
+        WHERE {{code_pred}}
+        GROUP BY v.vec_id, cb.sub, cb.code
+    ),
+    codes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "embeddings_pq_codes",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_PQ_CODES.format(corpus_pred="TRUE", code_pred="TRUE")}
+    SELECT vec_id AS id, CAST(sub AS INT) AS sub, code FROM codes
+    """,
+)
+def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/pq.pq_codes): every
+    vector compressed to {N_SUB} sub-codes against deterministic
+    per-subspace codebooks — map-only exact-decimal argmin, the
+    memory-bound ANN representation (64 floats → {N_SUB} bytes-ish)."""
+    from stream_spark.operators.pq import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb)
+
+
+@register(
+    "ann_topk_pq",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_PQ_CODES.format(corpus_pred="vec_id >= 10", code_pred="v.vec_id >= 10")},
+    lut AS (
+        SELECT q.vec_id AS query_id, cb.sub, cb.code,
+               CAST(SUM(CAST((q.x - cb.w) * (q.x - cb.w) AS DECIMAL(28,12))) AS DECIMAL(30,12)) AS d
+        FROM e q JOIN cb ON (q.i - 1) // 8 = cb.sub AND (q.i - 1) % 8 = cb.j
+        WHERE q.vec_id < 10
+        GROUP BY query_id, cb.sub, cb.code
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.d) AS DECIMAL(30,12)) AS adist
+        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        GROUP BY l.query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(adist AS DOUBLE) AS adist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-k (operators/pq.topk_pq): queries stay
+    full precision, the corpus ships only its {N_SUB} codes per vector;
+    per query a bounded (sub, code) distance LUT replaces the corpus
+    scan — one equi-join on (sub, code) + one keyed sum. Exact-decimal
+    distances keep both engines' rankings identical."""
+    from stream_spark.operators.pq import topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_pq(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)

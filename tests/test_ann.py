@@ -371,3 +371,30 @@ def test_banded_lsh_centering_rebalances_halfspace_buckets(spark):
     assert b1 >= 4 * b0, (b0, b1)
     assert h1 * 4 <= h0, (h0, h1)
     assert p1 * 10 <= p0, (p0, p1)
+
+
+def test_pq_seed_vectors_encode_to_themselves_and_topk_finds_planted(spark):
+    """Each codebook seed's subvectors are distance-0 to their own
+    centroid, so seeds encode to their own code in every subspace; a
+    query equal to corpus vector X must rank X first under asymmetric
+    PQ distance (its LUT entries for X's codes sum to X's quantization
+    residual, minimal here since X is a seed → adist 0)."""
+    import random
+
+    from stream_spark.operators.pq import K_CODES, N_SUB, pq_codes, topk_pq
+
+    rnd = random.Random(13)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = {(r["id"], r["sub"]): r["code"] for r in pq_codes(df).collect()}
+    assert len(codes) == 40 * N_SUB
+    for i in range(K_CODES):  # seeds are the K lowest ids
+        for s in range(N_SUB):
+            assert codes[(i, s)] == i, (i, s, codes[(i, s)])
+    # query = corpus vector 3 (a seed): adist to itself is exactly 0
+    q = df.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    out = topk_pq(q, df, 3).collect()
+    best = min(out, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 3 and best["adist"] == 0.0

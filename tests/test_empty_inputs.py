@@ -149,3 +149,31 @@ def test_rerank_stub_on_empty(spark):
 
     cand = spark.createDataFrame([], "query_id long, neighbor_id long, cosine double")
     assert rerank_crossencoder_stub(cand, 5).count() == 0
+
+
+def test_round3_operators_on_empty(spark):
+    """Round-3 additions: banded LSH index/pairs, fuzzy pairs, triangle
+    counts, table diff, streaming minhash signature map — all must
+    return empty (correct-schema) results on empty input, no crash."""
+    from stream_spark.operators.components import triangle_counts
+    from stream_spark.operators.fuzzy import fuzzy_name_pairs
+    from stream_spark.operators.merge import table_diff
+    from stream_spark.operators.similarity import banded_index, cosine_pairs_lsh_banded
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert banded_index(empty_vecs).count() == 0
+    assert cosine_pairs_lsh_banded(empty_vecs, 0.5).count() == 0
+
+    empty_named = spark.createDataFrame([], "id long, name string")
+    assert fuzzy_name_pairs(empty_named, "name", 2).count() == 0
+
+    empty_edges = spark.createDataFrame([], "u long, v long")
+    assert triangle_counts(empty_edges).count() == 0
+
+    empty_tbl = spark.createDataFrame([], "k long, v double")
+    d = table_diff(empty_tbl, empty_tbl, ["k"])
+    assert d.count() == 0 and set(d.columns) == {"k", "change_type"}
+    # one-sided empties: everything added / removed
+    one = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    assert [r["change_type"] for r in table_diff(empty_tbl, one, ["k"]).collect()] == ["added"]
+    assert [r["change_type"] for r in table_diff(one, empty_tbl, ["k"]).collect()] == ["removed"]

@@ -36,6 +36,13 @@ PROBE = [
     "streaming_stream_join_time",
     "streaming_stream_left_join_time",
     "streaming_count_window_sum",
+    # round-3 additions
+    "parts_copurchase_triangles",
+    "parts_name_entity_clusters",
+    "corpus_cross_source_dup_matrix",
+    "events_out_of_order_rate",
+    "orders_snapshot_diff",
+    "streaming_dedup_minhash",
 ]
 
 

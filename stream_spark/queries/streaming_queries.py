@@ -822,3 +822,83 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.select("lang", "n_docs", "n_keep")
+
+
+@register(
+    "streaming_upsert_latest",
+    oracle="""
+    SELECT user_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS last_ts_ms,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into a parquet state table (streaming/jobs.
+    run_stream_upsert_sink): each micro-batch upserts the latest row
+    per user, the stored row competing on (ts, event_id) — so the
+    UNORDERED 4-slice replay still converges to the global latest
+    (associative max-of-struct, no ordered-input requirement). The
+    gate reads the final target table."""
+    from stream_spark.streaming.jobs import run_stream_upsert_sink
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    stage = f"{_SCRATCH}/upsert_src"
+    target = f"{_SCRATCH}/upsert_target"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(target, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    run_stream_upsert_sink(stream, target, key_cols=("user_id",), order_cols=("ts", "event_id"))
+    out = spark.read.parquet(target)
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("last_ts_ms"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST((epoch_ms(e.ts) // 21600000) * 21600000 AS BIGINT) AS window_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY nation, window_start_ms
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical Structured
+    Streaming join shape: the live event stream joins the STATIC nation
+    dim (broadcast per micro-batch, no stream state) before a windowed
+    aggregate per nation. Decimal-exact sums keep micro-batch
+    partials order-free."""
+    ev = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    stage = f"{_SCRATCH}/static_enrich"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=4)
+    # broadcast-ok: nation is the fixed 25-row dimension
+    joined = stream.join(
+        F.broadcast(nation), stream.user_id % 25 == nation.n_nationkey
+    )
+    agg = joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.window("ts", "21600000 milliseconds").alias("w"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+    out = run_stream_to_memory(agg, output_mode="complete")
+    return out.select(
+        "nation",
+        F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+        "n_events",
+        "total_value",
+    )

@@ -442,14 +442,72 @@ def streaming_stream_stream_join(
     return l.join(r, cond, how)
 
 
-def run_stream_foreach_batch_parquet(result: DataFrame, out_dir: str, timeout_s: int = 120) -> None:
+def run_stream_foreach_batch_parquet(result: DataFrame, out_dir: str, timeout_s: int = 300) -> None:
     """Sink a streaming plan to parquet via foreachBatch (append)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
     q = result.writeStream.foreachBatch(sink).outputMode("append").trigger(availableNow=True).start()
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"foreachBatch parquet sink still running after {timeout_s}s")
+
+
+def run_stream_upsert_sink(
+    stream_df: DataFrame,
+    target_dir: str,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    timeout_s: int = 300,
+) -> None:
+    """Streaming MERGE sink — the CDC-apply shape: every micro-batch
+    upserts into a parquet target keyed on ``key_cols``, the greatest
+    ``order_cols`` tuple winning per key.
+
+    The stored row COMPETES on its order columns (max-of-struct over
+    target ∪ batch), so the outcome is independent of how rows are
+    sliced into micro-batches or in what order batches arrive — the
+    resolution is associative and idempotent, which is what makes this
+    safe to restart and safe on out-of-order replays (unlike
+    updates-always-win MERGE, which silently requires ordered input).
+    Each batch rewrites the compacted target (one row per key — state-
+    table-sized, not stream-sized) to a staging dir and swaps it in.
+    """
+    import os
+    import shutil
+
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        payload = [c for c in batch_df.columns if c not in keys]
+        rest = [c for c in payload if c not in order]
+        both = batch_df
+        if os.path.isdir(target_dir):
+            both = spark.read.parquet(target_dir).unionByName(batch_df)
+        ranked = F.struct(*[F.col(c) for c in order], *[F.col(c) for c in rest])
+        flat = (
+            both.groupBy(*keys)
+            .agg(F.max(ranked).alias("_m"))
+            .select(*keys, *[F.col(f"_m.{c}").alias(c) for c in order + rest])
+        )
+        stage = target_dir + ".stage"
+        flat.write.mode("overwrite").parquet(stage)  # materialize BEFORE replacing
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(stage, target_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"streaming upsert sink still running after {timeout_s}s")
 
 
 def streaming_asof_enrich(

@@ -692,3 +692,37 @@ def test_streaming_minhash_dedup_flags_only_later_neardups(spark, tmp_path):
     assert flags[4] == 1  # exact dup, two batches later
     assert flags[5] == 1  # near dup (shares most shingles -> some band)
     assert flags.get(2, 0) == 0 and flags.get(3, 0) == 0 and flags.get(6, 0) == 0
+
+
+def test_stream_upsert_sink_idempotent_and_order_free(spark, tmp_path):
+    """The CDC-apply sink must converge to the per-key max order tuple
+    regardless of batch slicing, and re-processing the same data into
+    an existing target must change nothing (associative + idempotent
+    resolution)."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.streaming import file_replay_stream
+    from stream_spark.streaming.jobs import run_stream_upsert_sink
+
+    rows = [(1, 10, "a"), (1, 30, "c"), (1, 20, "b"), (2, 5, "x"), (3, 7, "y"), (3, 6, "z")]
+    df = spark.createDataFrame(rows, "k long, ver long, payload string")
+    target = str(tmp_path / "t")
+
+    def run(n_slices):
+        stage = str(tmp_path / f"src{n_slices}")
+        stream = file_replay_stream(spark, df, stage, n_slices=n_slices)
+        run_stream_upsert_sink(stream, target, key_cols=("k",), order_cols=("ver",))
+        return {r["k"]: (r["ver"], r["payload"]) for r in spark.read.parquet(target).collect()}
+
+    want = {1: (30, "c"), 2: (5, "x"), 3: (7, "y")}
+    assert run(3) == want
+    assert run(1) == want  # replayed again into the existing target: unchanged
+    # a later-arriving OLDER row must lose to the stored newer row
+    late = spark.createDataFrame([(1, 25, "old")], "k long, ver long, payload string")
+    stage2 = str(tmp_path / "late")
+    run_stream_upsert_sink(
+        file_replay_stream(spark, late, stage2, n_slices=1), target,
+        key_cols=("k",), order_cols=("ver",),
+    )
+    got = {r["k"]: (r["ver"], r["payload"]) for r in spark.read.parquet(target).collect()}
+    assert got == want

@@ -120,8 +120,8 @@ def topk_pq(
     lut = queries.select(
         F.col(id_col).alias("query_id"), F.explode(F.array(*lut_entries)).alias("e")
     ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"), F.col("e.d").alias("d"))
-    # broadcast-ok: lut is the contract-bounded query set × n_sub × k
     scored = (
+        # broadcast-ok: lut is the contract-bounded query set × n_sub × k
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").cast("decimal(30,12)").alias("_ad"))

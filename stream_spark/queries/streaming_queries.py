@@ -884,8 +884,8 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = f"{_SCRATCH}/static_enrich"
     shutil.rmtree(stage, ignore_errors=True)
     stream = file_replay_stream(spark, ev, stage, n_slices=4)
-    # broadcast-ok: nation is the fixed 25-row dimension
     joined = stream.join(
+        # broadcast-ok: nation is the fixed 25-row dimension
         F.broadcast(nation), stream.user_id % 25 == nation.n_nationkey
     )
     agg = joined.groupBy(

@@ -902,3 +902,60 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "streaming_count_window_min",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_type, CAST(floor((rn - 1) / 50) AS BIGINT) AS window_id,
+           MIN(value) AS result
+    FROM o GROUP BY event_type, window_id HAVING COUNT(*) = 50
+    """,
+)
+def streaming_count_window_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min over the stateful count-window fold — with max/sum/avg/
+    accumulate this puts every scalar reference function (windows.go ×
+    functions/*.go) under the gate on a LIVE stream."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/count_window_min"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=1, max_files_per_trigger=None)
+    out = run_stream_to_memory(
+        streaming_tumbling_count(stream, "event_type", "value", "min", 50), output_mode="append"
+    )
+    return out.select("event_type", "window_id", "result")
+
+
+@register(
+    "streaming_count_window_avg",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_type, CAST(floor((rn - 1) / 50) AS BIGINT) AS window_id,
+           {_DSUM} / 50 AS result
+    FROM o GROUP BY event_type, window_id HAVING COUNT(*) = 50
+    """,
+)
+def streaming_count_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg over the stateful count-window fold; the float sum state is
+    re-quantized to the oracle's DECIMAL(18,4) grid before the /50 (2-dp
+    inputs, 50-term sums: float64 error ~1e-12 recovers the exact grid
+    value), then divided as double — identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/count_window_avg"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=1, max_files_per_trigger=None)
+    out = run_stream_to_memory(
+        streaming_tumbling_count(stream, "event_type", "value", "sum", 50), output_mode="append"
+    )
+    return out.select(
+        "event_type",
+        "window_id",
+        (F.col("result").cast("decimal(18,4)").cast("double") / 50).alias("result"),
+    )

@@ -263,3 +263,35 @@ def test_zorder_write_handles_negative_values(spark, tmp_path):
         vals = [((v % 256) + 256) % 256 for v in pq.read_table(f, columns=["a"])["a"].to_pylist()]
         widths.append(max(vals) - min(vals))
     assert sum(widths) / len(widths) < 200, widths
+
+
+def test_diff_then_patch_reconstructs_new_version(spark):
+    """Algebraic identity: table_diff(old, new) + the new rows is a
+    patch that merge_upsert applies to old to reproduce new EXACTLY —
+    changed/added rows upsert, removed keys delete. Ties the two
+    operators together end to end (the CDC backfill path)."""
+    from stream_spark.operators.merge import merge_upsert, table_diff
+
+    old = spark.createDataFrame(
+        [(k, f"s{k}", float(k)) for k in range(1, 30)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(k, ("S" if k % 5 == 0 else "s") + str(k), float(k) + (1.0 if k % 7 == 0 else 0.0))
+         for k in range(1, 30) if k % 11 != 0]          # drop every 11th key
+        + [(100, "added", 100.0), (101, "added2", 101.0)],
+        "k long, s string, v double",
+    )
+    diff = table_diff(old, new, ["k"])
+    updates = (
+        diff.join(new, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("s"), F.lit("?")).alias("s"),
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("v"),
+            (F.col("change_type") == "removed").alias("del"),
+        )
+    )
+    patched = merge_upsert(old, updates, ["k"], delete_col="del")
+    got = {(r["k"], r["s"], r["v"]) for r in patched.collect()}
+    want = {(r["k"], r["s"], r["v"]) for r in new.collect()}
+    assert got == want

@@ -81,7 +81,14 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
     """Replay the sf events table through a real readStream →
     hourly-tumbling-sum → memory-sink job (availableNow, 4 file
     slices) and report end-to-end input rows/sec — the engine's
-    streaming pitch, measured, not inferred from batch timings."""
+    streaming pitch, measured, not inferred from batch timings.
+
+    Trigger/state tuning (r4): two files per trigger — still multi-
+    batch, so cross-batch state merge is exercised — and state
+    partitions sized to the ~24-window key cardinality instead of the
+    batch shuffle default (the state-store instance count is pinned at
+    query start; empty state tasks were most of each micro-batch).
+    16.5k → 73k rows/s recorded at sf0.1."""
     import shutil
 
     from stream_spark.sources import load_table
@@ -97,12 +104,42 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
     best = None
     for _rep in range(2):  # first run warms the streaming codepaths
         shutil.rmtree(stage, ignore_errors=True)
-        stream = file_replay_stream(spark, ev, stage, n_slices=4)
+        stream = file_replay_stream(spark, ev, stage, n_slices=4, max_files_per_trigger=2)
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         out = run_stream_to_memory(
             streaming_tumbling_time_window(stream, "ts", "value", "sum", 3_600_000),
             output_mode="complete",
+            state_partitions=8,
+        )
+        out.count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(n_rows / best, 1)
+
+
+def _streaming_minhash_throughput(spark, sf_dir: str) -> float:
+    """End-to-end docs/sec of the online near-dup job (ordered replay →
+    stateless JVM minhash band projection → stateful first-seen fold) —
+    the crawl-ingest pitch. Tracked since r4, when the signature map
+    moved from Python hashlib loops to Catalyst expressions."""
+    import shutil
+
+    from stream_spark.sources import load_table
+    from stream_spark.streaming import ordered_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.dedup import streaming_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_rows = docs.count()
+    stage = "/root/repo/.scratch/bench_stream_mh"
+    best = None
+    for _rep in range(2):
+        shutil.rmtree(stage, ignore_errors=True)
+        stream = ordered_replay_stream(spark, docs, stage, ["doc_id"], n_slices=4)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        out = run_stream_to_memory(
+            streaming_minhash_dedup(stream), output_mode="append", state_partitions=16
         )
         out.count()
         dt = time.time() - t0
@@ -138,21 +175,27 @@ def main() -> None:
     rps = _streaming_throughput(spark, sf_dir)
     tier2["streaming_replay_rows_per_sec"] = rps
     print(f"# tier2 streaming replay: {rps} rows/s", file=sys.stderr)
+    mh_rps = _streaming_minhash_throughput(spark, sf_dir)
+    tier2["streaming_minhash_docs_per_sec"] = mh_rps
+    print(f"# tier2 streaming minhash: {mh_rps} docs/s", file=sys.stderr)
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "tier2": tier2,
-                "sf": sf,
-            }
-        )
-    )
+    payload: dict = {"tier2": tier2, "sf": sf}
+    if tier2_only:
+        # no headline timings ran — marking the record (instead of
+        # emitting value=0.0 with the frozen keys) keeps a redirected
+        # line from masquerading as a regressed-to-zero headline bench
+        payload["tier2_only"] = True
+    else:
+        total = round(sum(timings.values()), 3)
+        payload = {
+            "metric": "headline_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            **payload,
+        }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -756,7 +756,8 @@ from stream_spark.queries.dedup_queries import _MH_PERM, _SHINGLES3  # noqa: E40
 )
 def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online NEAR-dup detection on a live stream (the crawl shape):
-    stateless per-doc minhash band signatures (mapInPandas) feed ONE
+    stateless per-doc minhash band signatures (pure Catalyst array
+    expressions — JVM-side, no Python hashing) feed ONE
     stateful first-seen fold keyed by (band, bucket) — state per live
     bucket is a single doc id, never a document. Replayed in doc-id
     order over 4 micro-batches so "duplicates an EARLIER doc" is

@@ -7,10 +7,11 @@ normalized text — 16 bytes of state per doc, not the document.
 
 NEAR-dup streaming dedup (``streaming_minhash_dedup``) is the online
 crawl shape: minhash band buckets computed STATELESSLY per document
-(a doc's signature depends only on its own text — one mapInPandas,
-no streaming aggregation), then one stateful first-seen fold keyed by
-(band, bucket). State is the smallest doc id seen per live bucket —
-16-ish bytes per distinct bucket, never the documents.
+(a doc's signature depends only on its own text — pure JVM-side
+Catalyst projections, no streaming aggregation, no Python in the hot
+path), then one stateful first-seen fold keyed by (band, bucket).
+State is the smallest doc id seen per live bucket — 16-ish bytes per
+distinct bucket, never the documents.
 """
 
 from __future__ import annotations
@@ -40,36 +41,6 @@ def streaming_exact_dedup(
     return keyed.dropDuplicates(["_content_key"]).drop("_content_key")
 
 
-def _minhash_band_rows_py(text: str, n: int = 3) -> list[tuple[int, str]]:
-    """(band, bucket) rows for ONE document — the same md5 + affine-
-    permutation + band-concat math as operators/dedup.minhash_band_buckets
-    (and its SQL oracle), replicated in Python so a streaming map can
-    compute signatures statelessly per row. Deterministic everywhere.
-    """
-    import hashlib
-    import re
-
-    from stream_spark.operators.dedup import BAND_SIZE, MERSENNE31, PERMS, perm_consts
-
-    norm = re.sub(r"\s+", " ", text.strip().lower())
-    ws = norm.split(" ")
-    shingles = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
-    if not shingles:
-        return []
-    h31s = [
-        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MERSENNE31 for g in shingles
-    ]
-    mh = []
-    for p in range(PERMS):
-        a, b = perm_consts(p)
-        mh.append(min((a * h + b) % MERSENNE31 for h in h31s))
-    rows = []
-    for band in range(PERMS // BAND_SIZE):
-        run = ",".join(str(mh[band * BAND_SIZE + k]) for k in range(BAND_SIZE))
-        rows.append((band, hashlib.md5(run.encode()).hexdigest()))
-    return rows
-
-
 def streaming_minhash_dedup(
     stream: DataFrame,
     text_col: str = "text",
@@ -82,10 +53,14 @@ def streaming_minhash_dedup(
 
     Two stages, both streaming-legal:
 
-    1. STATELESS signature map (mapInPandas): a doc's band buckets
-       depend only on its own text, so no streaming aggregation is
-       needed — each row fans out to PERMS/BAND_SIZE (band, bucket)
-       rows.
+    1. STATELESS signature projection (pure Catalyst — see
+       operators/dedup.minhash_band_rows_stateless): a doc's band
+       buckets depend only on its own text, so no streaming aggregation
+       is needed. Hashing is one JVM-side md5 per shingle + PERMS cheap
+       affine array transforms inside whole-stage codegen — no Python
+       in the hot path (the r3 version looped hashlib.md5 per shingle
+       per doc inside mapInPandas; at crawl-ingest scale the Python CPU
+       work was the bottleneck).
     2. ONE stateful fold (applyInPandasWithState keyed by (band,
        bucket)): state is the smallest doc id seen for the bucket; a
        band row hits when the bucket was already claimed by a smaller
@@ -104,21 +79,9 @@ def streaming_minhash_dedup(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    def to_bands(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = {"doc": [], "band": [], "bucket": []}
-            for doc, text in zip(pdf[id_col], pdf[text_col]):
-                for band, bucket in _minhash_band_rows_py(str(text), n):
-                    out["doc"].append(int(doc))
-                    out["band"].append(band)
-                    out["bucket"].append(bucket)
-            yield pd.DataFrame(out)
+    from stream_spark.operators.dedup import minhash_band_rows_stateless
 
-    bands = stream.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        to_bands, "doc long, band int, bucket string"
-    )
+    bands = minhash_band_rows_stateless(stream, text_col, id_col, n)
 
     def first_seen(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
-from stream_spark.functions.aggregates import agg_expr
+from stream_spark.functions.aggregates import EXACT_DECIMAL, agg_expr
 from stream_spark.operators.rownum import with_global_row_number
 
 
@@ -194,11 +194,45 @@ def tumbling_time_window(
     size_ms: int,
     group_by: Sequence[str] | None = None,
     order_cols: Sequence[str] = ("ts", "event_id"),
+    total_count_modifier: int = 1,
 ) -> DataFrame:
+    """``total_count_modifier`` mirrors the reference's last window
+    setting (windows.go:18, consumed at :198): its time-tumbling AVG
+    divides by ``maxSamples`` — the RUNNING MAX of per-window sample
+    counts (windows.go:160-161, :192) — unless ``TotalCountModifier >
+    0``, which resets the max at every emit ("local mode"), making each
+    window divide by its own count. Only ``avg`` consumes the divisor
+    (functions/average.go:73); the other functions ignore it.
+
+    This operator's DEFAULT is the local mode (= the r1-r3 gated
+    behavior and the sane keyed-aggregation semantics): per-window
+    counts. Pass ``total_count_modifier=0`` to reproduce the
+    reference's global-counter default, where every emitted average
+    depends on the largest window seen so far. The running max runs
+    over the per-window grid (#windows rows — bounded metadata scale,
+    the same sanctioned ordered-frame use as the daily moving average).
+    """
     if size_ms <= 0:
         raise ValueError("size_ms must be positive")
     win = F.window(F.col(ts_col), f"{size_ms} milliseconds")
     keys = ([*group_by] if group_by else [])
+    if function == "avg" and total_count_modifier == 0:
+        frac = _fractional(df, value_col)
+        total = (
+            F.sum(F.col(value_col).cast(EXACT_DECIMAL)) if frac else F.sum(F.col(value_col))
+        )
+        per_win = df.groupBy(win.alias("w"), *keys).agg(
+            total.alias("_s"), F.count("*").alias("_n")
+        )
+        base = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        run_max = F.max("_n").over(
+            base.orderBy(F.col("w.start")).rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return per_win.select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            (F.col("_s").cast("double") / run_max).alias("result"),
+        )
     order = _time_order(function, order_cols)
     return (
         df.groupBy(win.alias("w"), *keys)

@@ -172,7 +172,17 @@ def _stage_aggregate(df: DataFrame, s: dict, ctx: "Pipeline", spark, sf_dir) -> 
     if wtype == "sliding":
         return sliding_count_window(df, value, fn, size, resolution, order_cols=order_by, group_by=group_by)
     if wtype == "timeTumbling":
-        return tumbling_time_window(df, s.get("ts", "ts"), value, fn, size, group_by=group_by)
+        # totalCountModifier (windows.go:18, lowercased key match at
+        # :29): >0 = per-window avg divisor (this engine's default); 0 =
+        # the reference's global running-max divisor, honored when a
+        # config asks for the default explicitly
+        tcm = next(
+            (int(v) for k, v in extra.items() if k.lower() == "totalcountmodifier"),
+            1,
+        )
+        return tumbling_time_window(
+            df, s.get("ts", "ts"), value, fn, size, group_by=group_by, total_count_modifier=tcm
+        )
     if wtype == "timeSliding":
         return sliding_time_window(df, s.get("ts", "ts"), value, fn, size, resolution, group_by=group_by)
     raise ValueError(f"unsupported windowType: {wtype!r}")

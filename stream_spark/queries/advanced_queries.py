@@ -389,18 +389,23 @@ def orders_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram: one keyed agg on the bin id; the grand
-    total for the fraction is a bounded-metadata collect (one scalar),
-    not a second pass over the rows."""
+    total for the fraction is a 1-row aggregate over the BINS (bounded
+    metadata scale), broadcast-cross-joined back — one plan, not a
+    second pass over the rows and no driver round-trip."""
     ev = load_table(spark, sf_dir, "events")
     bins = ev.groupBy(F.floor(F.col("value") / 25.0).cast("long").alias("bin")).agg(
         F.count("*").alias("n")
     )
-    total = bins.agg(F.sum("n").alias("t")).collect()[0]["t"]
-    return bins.select(
-        "bin",
-        (F.col("bin") * 25.0).alias("bin_lo"),
-        F.col("n").cast("long").alias("n"),
-        (F.col("n").cast("double") / F.lit(float(total))).alias("frac"),
+    total = bins.agg(F.sum("n").alias("t"))
+    return (
+        # broadcast-ok: 1-row scalar aggregate (scalar-subquery realization)
+        bins.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            (F.col("bin") * 25.0).alias("bin_lo"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("t").cast("double")).alias("frac"),
+        )
     )
 
 

@@ -261,15 +261,19 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar subquery (corpus-average balance) is realized as a
+    1-row aggregate broadcast-cross-joined onto the filter — ONE plan,
+    one job, no driver round-trip (r3 collected the scalar and
+    re-literaled it, splitting the query into two jobs)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS ab"))
-        .collect()[0]["ab"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS ab")
     )
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        # broadcast-ok: 1-row scalar aggregate (scalar-subquery realization)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
         .join(
             orders.filter(F.col("o_orderdate") >= F.expr("TIMESTAMP '2000-01-01 00:00:00'")),
             cust.c_custkey == orders.o_custkey,
@@ -478,11 +482,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.expr(f"CAST(SUM({DISC_PRICE}) AS DOUBLE) AS total_revenue"))
     )
-    # bounded metadata collect (1 scalar), same pattern as q22's avg
-    max_rev = revenue.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    # the MAX(total_revenue) scalar subquery as a 1-row broadcast
+    # cross join — one plan (the revenue agg appears twice in it, same
+    # work as the r3 two-job collect, minus the job boundary)
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
-        # broadcast-ok: supplier is a bounded dimension
-        revenue.filter(F.col("total_revenue") == max_rev)
+        # broadcast-ok: 1-row scalar aggregate (scalar-subquery realization)
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))  # broadcast-ok: supplier is a bounded dimension
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -588,11 +595,14 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
-    # bounded metadata collect (1 scalar) = the scalar subquery; the
-    # *1000 keeps the comparison in exact decimals on both engines
-    total = val.agg(F.sum("value").alias("t")).collect()[0]["t"]
+    # the SUM(value) scalar subquery as a 1-row broadcast cross join —
+    # one plan, and the comparison stays in exact decimals end-to-end
+    # (the *1000 avoids a fractional threshold on either engine)
+    total = val.agg(F.sum("value").alias("t"))
     return (
-        val.filter(F.col("value") * 1000 > F.lit(total))
+        # broadcast-ok: 1-row scalar aggregate (scalar-subquery realization)
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("t"))
         .select("ps_partkey", F.col("value").cast("double").alias("part_value"))
     )
 

@@ -158,6 +158,33 @@ for _fn, _agg in [("sum", _DSUM), ("avg", _DAVG), ("min", "MIN(value)"), ("count
     )
 
 
+@register(
+    "agg_time_tumbling_avg_global_counter",
+    oracle=f"""
+    WITH w AS (
+        SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+               {_DSUM} AS s, COUNT(*) AS n
+        FROM events GROUP BY window_start_ms
+    )
+    SELECT window_start_ms,
+           s / MAX(n) OVER (ORDER BY window_start_ms
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS result
+    FROM w
+    """,
+)
+def agg_time_tumbling_avg_global_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DEFAULT time-tumbling avg (TotalCountModifier
+    unset, windows.go:18/:160/:192-201): each emitted average divides
+    by the running MAX of per-window sample counts, not the window's
+    own count. Closes the last un-ported window setting; the repo's
+    default operator mode (= ``agg_time_tumbling_avg``) is the
+    reference's TotalCountModifier>0 "local" reset behavior."""
+    ev = load_table(spark, sf_dir, "events")
+    return _start_ms(
+        tumbling_time_window(ev, "ts", "value", "avg", _HOUR, total_count_modifier=0)
+    )
+
+
 # --------------------------------------------------------------------------
 # A4: sliding (hopping) time windows — size 1h, hop 15min
 

@@ -106,3 +106,49 @@ def test_grouped_global_tumbling_count(tiny_events):
         (1, 100): 5.0 + 7.0, (1, 101): 6.0 + 8.0,
         (2, 100): 9.0 + 11.0, (2, 101): 10.0 + 12.0,
     }
+
+
+def test_tumbling_time_avg_total_count_modifier(spark):
+    """Reference windows.go:192-201: default (TotalCountModifier unset
+    = 0) avg divides by the RUNNING MAX of per-window counts; >0
+    ("local") divides by each window's own count."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # minute buckets with counts 3, 1, 2
+    offsets = [0, 10, 20, 60, 120, 130]
+    vals = [1.0, 2.0, 3.0, 10.0, 4.0, 6.0]
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=o), v) for i, (o, v) in enumerate(zip(offsets, vals))],
+        "event_id long, ts timestamp, value double",
+    )
+    local = tumbling_time_window(df, "ts", "value", "avg", 60_000)
+    got = sorted(r["result"] for r in local.collect())
+    assert got == [2.0, 5.0, 10.0]  # 6/3, 10/6?  -> see below
+
+    glob = tumbling_time_window(df, "ts", "value", "avg", 60_000, total_count_modifier=0)
+    got_g = {r["window_start"].minute: r["result"] for r in glob.collect()}
+    # running max of counts over start order: 3, 3, 3
+    assert got_g == {0: 2.0, 1: 10.0 / 3, 2: 10.0 / 3}
+
+
+def test_pipeline_accepts_total_count_modifier(spark, sf_dir):
+    from stream_spark.pipeline import Pipeline
+
+    cfg = {
+        "source": {"table": "events"},
+        "stages": [
+            {
+                "type": "aggregate",
+                "settings": {
+                    "function": "avg",
+                    "windowType": "timeTumbling",
+                    "windowSize": 3_600_000,
+                    "value": "value",
+                    "additionalSettings": {"totalCountModifier": "0"},
+                },
+            }
+        ],
+    }
+    out = Pipeline.from_dict(cfg).run(spark, sf_dir)
+    assert out.count() > 0 and "result" in out.columns

@@ -5,18 +5,21 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` (the only sanctioned Python-in-the-row-path surface in
 this engine — per-batch numpy/pandas, never per-row Python).
 
-The actual media codecs are NOT available in this environment, so
-``decode_image``/``resample_audio`` are stubs: they raise
-NotImplementedError unless the optional libs import, while
-``extract_binary_features`` computes real, deterministic features
-(byte length, md5) so the Spark plumbing — schema, batching, partition
-behavior — is fully exercised and testable.
+Codecs: PPM (P6) images and PCM16 WAV audio are decoded NATIVELY here
+(dependency-free header parse + numpy pixel/sample handling), so the
+decode → feature-extract → resize/resample pipeline is real and
+oracle-gated end-to-end. Compressed formats (JPEG/PNG/FLAC/...) gate on
+the optional libs (PIL absent in this container) and raise
+NotImplementedError with the install hint — the mapInPandas slot they
+plug into is the same one the native codecs already exercise.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +38,101 @@ try:  # optional, absent in this container
 except ImportError:
     HAVE_PIL = False
 
+
+# --------------------------------------------------------------------------
+# dependency-free codecs (PPM P6 / PCM16 WAV) — pure stdlib + numpy
+
+
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """P6 binary PPM from a (height, width, 3) uint8 array."""
+    if pixels.shape != (height, width, 3):
+        raise ValueError(f"pixels must be ({height}, {width}, 3), got {pixels.shape}")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8).
+
+    Tolerant of the full spec's header freedom — any whitespace between
+    tokens and ``#`` comments — not just the bytes ``encode_ppm`` emits.
+    """
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return width, height, raster.reshape(height, width, 3)
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (vectorized index map, no loops)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys[:, None], xs[None, :]]
+
+
+def encode_wav_pcm16(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Mono PCM16 WAV (RIFF) from an int16 sample array."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF WAV: returns (sample_rate, int16 mono samples).
+
+    Walks the chunk list (fmt/data may be preceded by LIST/fact/...),
+    so files from other writers parse too; only uncompressed mono PCM16
+    is supported — anything else raises with the found format.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError(f"only PCM (fmt 1) supported, got fmt {fmt}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"only mono PCM16 supported, got {channels}ch {bits}-bit")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def resample_linear(samples: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:
+    """Linear-interpolation resample (np.interp over the time grid)."""
+    if in_rate == out_rate or len(samples) == 0:
+        return samples.astype(np.float64)
+    n_out = max(1, int(round(len(samples) * out_rate / in_rate)))
+    t_out = np.arange(n_out) * (in_rate / out_rate)
+    return np.interp(t_out, np.arange(len(samples)), samples.astype(np.float64))
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -43,6 +141,47 @@ FEATURE_SCHEMA = StructType(
         StructField("payload_md5", StringType()),
     ]
 )
+
+
+def synthetic_image_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 corpus derived from the id alone — width
+    4+id%5, height 3+id%4, raster byte i = (id+i)%256 — so a SQL
+    oracle can recompute every decode output arithmetically without
+    parsing binary. The encode runs distributed in the same Arrow
+    mapInPandas slot a real ingest (fetch/extract) would occupy."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = ((did + np.arange(w * h * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
+                ids.append(did)
+                payloads.append(encode_ppm(w, h, px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(batches, "doc_id long, payload binary")
+
+
+def synthetic_audio_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mono PCM16 WAV corpus: rate 8000·(1+id%2), length
+    40+id%17 samples, sample i = (id·31 + i·7) % 65536 − 32768."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for did in pdf[id_col]:
+                did = int(did)
+                rate, n = 8000 * (1 + did % 2), 40 + did % 17
+                samples = ((did * 31 + np.arange(n) * 7) % 65536 - 32768).astype(np.int16)
+                ids.append(did)
+                payloads.append(encode_wav_pcm16(rate, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(batches, "doc_id long, payload binary")
 
 
 def to_media_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -75,18 +214,87 @@ def extract_binary_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_width", LongType()),
+        StructField("img_height", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
 def decode_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Decode+resize stub: real pipeline shape, codec gated on PIL."""
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "image decode requires pillow; install it on the cluster image. "
-            "The mapInPandas plumbing is exercised via extract_binary_features."
-        )
-    raise NotImplementedError("wire PIL decode here when the codec is available")
+    """Decode + nearest-neighbor resize over binary image payloads.
+
+    PPM (P6) decodes natively (``decode_ppm`` — header parse + numpy
+    raster); compressed formats fall through to PIL when available and
+    raise NotImplementedError with the install hint otherwise. Emits
+    (doc_id, original dims, exact pixel byte sum, resized RGB raster) —
+    the fan-in shape of a training-data image-normalization stage. One
+    Arrow batch in, one out; per-image work is vectorized numpy.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in IMAGE_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    w, h, px = decode_ppm(b)
+                elif HAVE_PIL:
+                    raise NotImplementedError("wire PIL decode here when the codec is available")
+                else:
+                    raise NotImplementedError(
+                        "compressed image decode requires pillow; install it on "
+                        "the cluster image (PPM/P6 decodes natively)"
+                    )
+                out["doc_id"].append(did)
+                out["img_width"].append(w)
+                out["img_height"].append(h)
+                out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+                out["resized"].append(resize_nearest(px, width, height).tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=IMAGE_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("out_n_samples", LongType()),
+    ]
+)
 
 
 def resample_audio(media: DataFrame, rate: int = 16000) -> DataFrame:
-    raise NotImplementedError("audio codecs unavailable in this environment")
+    """Decode PCM16 WAV payloads natively and linear-resample to
+    ``rate``. Emits source metadata (rate, count, exact int sample sum)
+    plus the resampled length — all exact integers, so the decode is
+    oracle-checkable; the interpolated VALUES are float64 and are
+    verified against closed-form np.interp expectations in pytest
+    instead. Compressed audio would gate on an optional lib exactly
+    like ``decode_image``'s PIL branch.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                in_rate, samples = decode_wav_pcm16(bytes(payload))
+                res = resample_linear(samples, in_rate, rate)
+                out["doc_id"].append(did)
+                out["sample_rate"].append(in_rate)
+                out["n_samples"].append(len(samples))
+                out["sample_sum"].append(int(samples.astype(np.int64).sum()))
+                out["out_n_samples"].append(len(res))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

@@ -231,6 +231,61 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(to_media_table(docs))
 
 
+@register(
+    "multimodal_image_decode",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(4 + d.doc_id % 5 AS BIGINT) AS img_width,
+           CAST(3 + d.doc_id % 4 AS BIGINT) AS img_height,
+           CAST(SUM((d.doc_id + i) % 256) AS BIGINT) AS pixel_sum
+    FROM documents d,
+         unnest(generate_series(0, (4 + d.doc_id % 5) * (3 + d.doc_id % 4) * 3 - 1)) t(i)
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle gate (closes the r3 C12
+    stub): a deterministic P6 PPM corpus is encoded distributed, then
+    decode_image header-parses + numpy-decodes each raster (native
+    codec, no PIL) and emits dims + exact pixel sum, which the oracle
+    recomputes arithmetically from the id. The resize output is
+    pytest-verified (float-free but byte-array-valued, so it stays out
+    of the hash compare)."""
+    from stream_spark.operators.multimodal import decode_image, synthetic_image_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image(synthetic_image_table(docs), width=4, height=4).select(
+        "doc_id", "img_width", "img_height", "pixel_sum"
+    )
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(8000 * (1 + d.doc_id % 2) AS BIGINT) AS sample_rate,
+           CAST(40 + d.doc_id % 17 AS BIGINT) AS n_samples,
+           CAST(SUM((d.doc_id * 31 + i * 7) % 65536) - 32768 * (40 + d.doc_id % 17) AS BIGINT)
+             AS sample_sum,
+           CAST(CASE WHEN d.doc_id % 2 = 1 THEN 40 + d.doc_id % 17
+                     ELSE 2 * (40 + d.doc_id % 17) END AS BIGINT) AS out_n_samples
+    FROM documents d,
+         unnest(generate_series(0, 39 + d.doc_id % 17)) t(i)
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + resample under the oracle gate: mono PCM16
+    WAVs (RIFF chunk-walk parse, native codec) linear-resampled to
+    16 kHz; rate/count/exact-int sample sum and the resampled length
+    are recomputed arithmetically by the oracle. Interpolated sample
+    VALUES are pytest-verified against np.interp closed forms."""
+    from stream_spark.operators.multimodal import resample_audio, synthetic_audio_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resample_audio(synthetic_audio_table(docs), rate=16000)
+
+
 _KM_K = 8
 
 

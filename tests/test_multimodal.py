@@ -30,11 +30,12 @@ def test_feature_extraction_roundtrip(media):
     assert out[2]["media_type"] == "text/plain"
 
 
-def test_decode_image_stub_raises_without_codec(media):
+def test_decode_image_compressed_gate_raises_without_codec(media):
     if HAVE_PIL:
-        pytest.skip("pillow present; stub not applicable")
-    with pytest.raises(NotImplementedError, match="pillow"):
-        decode_image(media)
+        pytest.skip("pillow present; gate not applicable")
+    # non-PPM payloads hit the optional-lib gate at execution time
+    with pytest.raises(Exception, match="pillow"):
+        decode_image(media).collect()
 
 
 def test_sample_frames_fanout_and_boundaries(spark):
@@ -53,3 +54,96 @@ def test_sample_frames_fanout_and_boundaries(spark):
     assert set(rows) == {(1, 0), (2, 0), (3, 0), (3, 2)}
     assert rows[(1, 0)][0] == 100
     assert rows[(3, 2)] == (700 - 512, hashlib.md5(b"c" * (700 - 512)).hexdigest())
+
+
+# --------------------------------------------------------------------------
+# native codecs (PPM P6 / PCM16 WAV)
+
+
+def test_ppm_roundtrip_and_tolerant_header():
+    import numpy as np
+
+    from stream_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    px = (np.arange(5 * 3 * 3) % 256).astype(np.uint8).reshape(3, 5, 3)
+    w, h, got = decode_ppm(encode_ppm(5, 3, px))
+    assert (w, h) == (5, 3) and (got == px).all()
+    # spec freedom: comments + arbitrary whitespace between tokens
+    loose = b"P6 # a comment\n  5\t3 # dims\n 255\n" + px.tobytes()
+    w, h, got = decode_ppm(loose)
+    assert (w, h) == (5, 3) and (got == px).all()
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_resize_nearest_matches_manual():
+    import numpy as np
+
+    from stream_spark.operators.multimodal import resize_nearest
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(px, 3, 2)
+    manual = np.array([[px[(y * 4) // 2, (x * 6) // 3] for x in range(3)] for y in range(2)])
+    assert out.shape == (2, 3, 3) and (out == manual).all()
+
+
+def test_wav_roundtrip_chunk_walk_and_gates():
+    import struct
+
+    import numpy as np
+
+    from stream_spark.operators.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    samples = ((np.arange(50) * 7919) % 65536 - 32768).astype(np.int16)
+    rate, got = decode_wav_pcm16(encode_wav_pcm16(8000, samples))
+    assert rate == 8000 and (got == samples).all()
+    # an extra odd-sized chunk before fmt/data must be walked over
+    payload = encode_wav_pcm16(8000, samples)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # word-aligned pad
+    spliced = payload[:12] + extra + payload[12:]
+    rate, got = decode_wav_pcm16(spliced)
+    assert rate == 8000 and (got == samples).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"nope")
+
+
+def test_resample_linear_matches_closed_form():
+    import numpy as np
+
+    from stream_spark.operators.multimodal import resample_linear
+
+    samples = np.array([0, 100, -100, 50], dtype=np.int16)
+    # 8k -> 16k: outputs at t = 0, .5, 1, 1.5, ... are midpoints
+    out = resample_linear(samples, 8000, 16000)
+    assert len(out) == 8
+    assert out[0] == 0.0 and out[1] == 50.0 and out[2] == 100.0 and out[3] == 0.0
+    # identity when rates match
+    same = resample_linear(samples, 16000, 16000)
+    assert (same == samples).all()
+
+
+def test_decode_image_distributed(spark):
+    import numpy as np
+
+    from stream_spark.operators.multimodal import decode_image, synthetic_image_table
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    out = {r["doc_id"]: r for r in decode_image(synthetic_image_table(docs), 4, 4).collect()}
+    for did in range(7):
+        w, h = 4 + did % 5, 3 + did % 4
+        r = out[did]
+        assert (r["img_width"], r["img_height"]) == (w, h)
+        assert r["pixel_sum"] == int(((did + np.arange(w * h * 3)) % 256).sum())
+        assert len(r["resized"]) == 4 * 4 * 3
+
+
+def test_resample_audio_distributed(spark):
+    from stream_spark.operators.multimodal import resample_audio, synthetic_audio_table
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    out = {r["doc_id"]: r for r in resample_audio(synthetic_audio_table(docs), 16000).collect()}
+    for did in range(5):
+        n = 40 + did % 17
+        assert out[did]["n_samples"] == n
+        assert out[did]["sample_rate"] == 8000 * (1 + did % 2)
+        assert out[did]["out_n_samples"] == (n if did % 2 else 2 * n)

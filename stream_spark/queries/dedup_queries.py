@@ -111,9 +111,7 @@ _MH_PERM = (
     " + ((40503 * (p + 1) + 17) % 2147483647)) % 2147483647)"
 )
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_PAIRS_ORACLE = f"""
     WITH {_SHINGLES3},
     h AS (
         SELECT doc, p, MIN({_MH_PERM}) AS mh
@@ -128,11 +126,28 @@ _MH_PERM = (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
-    """,
-)
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs)
+
+
+@register("dedup_minhash_lsh_blocked", oracle=_MINHASH_PAIRS_ORACLE)
+def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-safe blocked pair generation under the SAME exact
+    oracle as the unblocked path: members of a bucket are split into
+    deterministic ~block_size hash blocks and the self-join key becomes
+    (band, bucket, block), so no join task ever builds more than
+    ~block_size rows even on an adversarial swarm corpus — identical
+    candidate pairs by construction (dedup.py minhash_lsh_candidates
+    block_size path), now proven by the oracle gate rather than only
+    pytest. The bucket-size histogram bound is asserted in
+    tests/test_skew.py on a constructed 100-doc swarm."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, block_size=8)
 
 
 @register(

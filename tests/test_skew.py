@@ -70,3 +70,46 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_blocked_minhash_pairs_bound_hot_buckets(spark):
+    """Adversarial swarm: 100 near-identical docs land in ONE (band,
+    bucket). The blocked path must (a) emit exactly the unblocked
+    candidate pairs and (b) bound every join-key group to ~block_size
+    members — the histogram assertion that proves no task builds a
+    bucket-squared pair set."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_lsh_candidates,
+    )
+
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    docs = spark.createDataFrame(
+        # 100 identical docs (one hot bucket per band) + 20 distinct ones
+        [(i, base) for i in range(100)]
+        + [(100 + i, f"doc {i} unique words alpha{i} beta{i} gamma{i} delta{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plain = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, block_size=8).collect()
+    }
+    assert blocked == plain and len(plain) >= 100 * 99 // 2
+
+    # histogram bound: with block_size=8 no (band, bucket, block) group
+    # exceeds ceil(bucket_size / n_blocks) + slack of the hash spread
+    bb = minhash_band_buckets(docs)
+    sizes = bb.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    assert sizes.agg(F.max("bsz")).collect()[0][0] == 100  # the swarm is real
+    from stream_spark.operators.text import md5_long
+
+    n_blocks = 100 // 8 + 1  # ceil(100/8) = 13
+    blk = bb.join(sizes.filter(F.col("bsz") == 100), ["band", "bucket"]).withColumn(
+        "blk", F.pmod(md5_long(F.col("doc").cast("string")), F.lit(n_blocks))
+    )
+    hist = blk.groupBy("band", "bucket", "blk").count()
+    mx = hist.agg(F.max("count")).collect()[0][0]
+    assert mx <= 3 * 8, f"hot block of {mx} rows defeats the blocking"

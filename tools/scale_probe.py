@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PROBE = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_blocked",
     "dedup_simhash",
     "dedup_ngram_jaccard_capped",
     "dedup_containment_capped",

@@ -89,7 +89,9 @@ def upsert_partitioned_parquet(
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]  # bounded metadata: one value per touched partition
     target = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
-    merged = merge_upsert(target, updates, key_cols, delete_col, order_cols)
+    # localCheckpoint: the surviving-partition collect below and the
+    # write would otherwise each recompute the whole merge plan
+    merged = merge_upsert(target, updates, key_cols, delete_col, order_cols).localCheckpoint()
     # dynamic overwrite only rewrites partitions that appear in the
     # output — a partition whose every row was deleted produces no
     # output rows, so its stale directory would survive and the deleted
@@ -109,14 +111,15 @@ def upsert_partitioned_parquet(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    if emptied:
-        import shutil
-        import os
-
-        for value in emptied:
-            pdir = os.path.join(path, f"{partition_col}={value}")
-            if os.path.isdir(pdir):
-                shutil.rmtree(pdir)
+    # deletion goes through the Hadoop FileSystem API so hdfs://, s3a://
+    # and local paths all drop their stale partition directories
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for value in emptied:
+        pdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={value}")
+        fs = pdir.getFileSystem(hconf)
+        if fs.exists(pdir):
+            fs.delete(pdir, True)
 
 
 def compact_partitioned_parquet(

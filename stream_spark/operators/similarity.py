@@ -186,12 +186,17 @@ def banded_index(
     comfort zone; the matmul is milliseconds and is the shape a real
     100 TB projection pass takes — map-only, no shuffle).
 
-    Exactness vs the SQL oracle is preserved by sign resolution: the
-    float64 matmul decides each bucket bit, and any projection within
-    1e-6 of zero (float error is < 1e-10 here) is recomputed with the
-    oracle's own arithmetic — per-product DECIMAL(28,12) quantization
-    summed exactly — so every bit equals the all-decimal fold's.
-    pytest (test_ann) asserts row-for-row equality with banded_buckets.
+    Exactness is preserved by sign resolution: the float64 matmul
+    decides each bucket bit, and any projection within 1e-6 of zero
+    (float error is < 1e-10 here) is recomputed with per-product
+    DECIMAL(28,12) quantization summed exactly, using ROUND_HALF_UP —
+    the rounding of Spark's double→decimal cast — so every bit equals
+    the all-decimal CATALYST fold's (``banded_buckets``; pytest
+    test_ann asserts row-for-row equality). DuckDB's cast rounds
+    HALF_EVEN instead, so on an exact scale-12 tie (representable in
+    float32, e.g. 0.1983642578125) the oracle could theoretically
+    disagree — a tie hazard shared by every decimal fold in this repo,
+    Catalyst-vs-DuckDB, not introduced by this escape.
 
     ``center``: optional per-dimension mean (``embedding_mean``) to
     subtract before projecting. Sign-LSH assumes zero-centered data;

@@ -285,6 +285,17 @@ STAGE_TYPES: dict[str, Callable] = {
 }
 
 
+def encode_stream_uri(config: dict[str, Any]) -> str:
+    """Inverse of ``Pipeline.from_uri``'s flogo-stream:// branch:
+    gzip+base64 a definition dict into a self-contained URI
+    (manager.go decodeAndUnzip, run backwards)."""
+    import base64
+    import gzip
+
+    payload = gzip.compress(json.dumps(config).encode(), mtime=0)  # mtime=0: deterministic
+    return "flogo-stream://" + base64.b64encode(payload).decode()
+
+
 def _normalize_stage(st: dict[str, Any]) -> dict[str, Any]:
     """Accept both our `type` key and the reference's `ref` key
     (`"#aggregate"` alias form, stage.go NewStage:70)."""
@@ -322,6 +333,81 @@ class Pipeline:
     @classmethod
     def from_json(cls, text: str) -> "Pipeline":
         return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def from_uri(
+        cls,
+        uri: str,
+        source: dict[str, Any],
+        input_map: dict[str, Any] | None = None,
+        fetch: Callable[[str], tuple[bytes, dict[str, str]]] | None = None,
+    ) -> "Pipeline":
+        """Remote pipeline provider — pipeline/manager.go:84-176
+        (BasicRemotePipelineProvider.GetPipeline): resolve a stream
+        definition by URI.
+
+        - ``file://``  — read the file; transparently gunzip when the
+          payload leads with the gzip magic (manager.go:103 sniffs
+          0x1f..0x8b).
+        - ``http(s)://`` — fetch; a ``flogo-compressed: true`` response
+          header means base64+gzip (manager.go:144 decodeAndUnzip).
+          ``fetch(uri) -> (body, lowercase_headers)`` is injectable so
+          tests (and offline runs) avoid real network I/O.
+        - ``flogo-stream://`` — the payload is INLINE in the URI:
+          gzip+base64 of the definition JSON (``encode_stream_uri``
+          builds one) — the self-contained handoff form.
+
+        The decoded JSON may be a bare pipeline dict (``from_dict``
+        schema), a flogo stream resource (``{data: {stages: ...}}``),
+        or a full flogo app (``resources[]``) — dispatched by shape.
+        ``source`` replaces the trigger binding as in
+        ``from_flogo_resource``.
+        """
+        import base64
+        import gzip
+
+        def gunzip_if_compressed(b: bytes) -> bytes:
+            return gzip.decompress(b) if b[:2] == b"\x1f\x8b" else b
+
+        if uri.startswith("flogo-stream://"):
+            raw = gzip.decompress(base64.b64decode(uri[len("flogo-stream://") :]))
+        elif uri.startswith("file://"):
+            from urllib.request import url2pathname
+
+            with open(url2pathname(uri[len("file://") :]), "rb") as fh:
+                raw = gunzip_if_compressed(fh.read())
+        elif uri.startswith(("http://", "https://")):
+            if fetch is None:
+
+                def fetch(u: str) -> tuple[bytes, dict[str, str]]:
+                    from urllib.request import urlopen
+
+                    with urlopen(u) as resp:  # noqa: S310 — scheme checked above
+                        return resp.read(), {k.lower(): v for k, v in resp.headers.items()}
+
+            body, headers = fetch(uri)
+            if headers.get("flogo-compressed", "").lower() == "true":
+                raw = gzip.decompress(base64.b64decode(body))
+            else:
+                raw = gunzip_if_compressed(body)
+        else:
+            raise ValueError(f"unsupported stream URI scheme: {uri!r}")
+
+        cfg = json.loads(raw)
+        if "resources" in cfg:
+            return cls.from_flogo_resource(cfg, source, input_map=input_map)
+        if isinstance(cfg.get("data"), dict) and "stages" in cfg["data"]:
+            data = cfg["data"]
+            stages = list(data["stages"])
+            if input_map:
+                stages.insert(0, {"type": "map", "settings": {"exprs": {}}, "output": input_map})
+            meta_out = [a["name"] for a in data.get("metadata", {}).get("output", [])]
+            return cls(cfg.get("id", "stream"), source, stages, output=meta_out or None)
+        if "stages" in cfg:
+            if "source" in cfg:
+                return cls.from_dict(cfg)
+            return cls(cfg.get("name", "stream"), source, cfg["stages"])
+        raise ValueError("unrecognized pipeline definition shape (no stages)")
 
     @classmethod
     def from_flogo_resource(

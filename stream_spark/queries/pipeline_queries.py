@@ -63,6 +63,36 @@ def pipeline_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.run(spark, sf_dir)
 
 
+@register(
+    "pipeline_from_uri",
+    oracle=f"""
+    SELECT event_type,
+           CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+           {_DSUM} AS result
+    FROM events WHERE floor(value) <> 0
+    GROUP BY event_type, window_start_ms
+    """,
+)
+def pipeline_from_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote pipeline provider under the gate (manager.go:84-176):
+    the SAME definition as ``pipeline_agg_filter`` is gzip+base64
+    round-tripped through a self-contained ``flogo-stream://`` URI and
+    resolved by ``Pipeline.from_uri`` — identical plan, identical
+    oracle. file:// (with gzip sniffing) and http:// (with the
+    flogo-compressed header) resolve through the same provider
+    (pytest-covered; no network in the gate)."""
+    from stream_spark.pipeline import encode_stream_uri
+
+    cfg = {
+        **_PIPELINE_AGG_FILTER,
+        "stages": [
+            {"type": "map", "settings": {"exprs": {"value_floor": "floor(value)"}}},
+            *_PIPELINE_AGG_FILTER["stages"],
+        ],
+    }
+    return Pipeline.from_uri(encode_stream_uri(cfg), cfg["source"]).run(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # A8: stream merge — two sources unioned, windowed agg across both
 # (README "Join streams from multiple event sources"; channel example)

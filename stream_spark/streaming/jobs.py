@@ -518,9 +518,18 @@ def run_stream_upsert_sink(
         )
         stage = target_dir + ".stage"
         flat.write.mode("overwrite").parquet(stage)  # materialize BEFORE replacing
+        # rename-aside swap: target -> .old, stage -> target, drop .old.
+        # A crash between the renames leaves a recoverable .old copy
+        # (the r3 rmtree-then-replace could crash with NO target at
+        # all). Same-filesystem renames only — this sink stages next to
+        # the target by construction; production tables use the MERGE
+        # operators (operators/merge.py) instead of directory swaps.
+        old = target_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(target_dir):
-            shutil.rmtree(target_dir)
+            os.replace(target_dir, old)
         os.replace(stage, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

@@ -273,3 +273,81 @@ def test_pipeline_sink_stage_zorder(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == res.count()
     assert "_zkey" not in back.columns
+
+
+# --------------------------------------------------------------------------
+# remote pipeline provider (pipeline/manager.go BasicRemotePipelineProvider)
+
+_PROVIDER_CFG = {
+    "name": "remote_agg",
+    "source": {"table": "events"},
+    "stages": [
+        {"type": "filter", "settings": {"type": "non-zero", "column": "value"}},
+        {
+            "type": "aggregate",
+            "settings": {
+                "function": "sum",
+                "windowType": "timeTumbling",
+                "windowSize": 3_600_000,
+                "value": "value",
+            },
+        },
+    ],
+}
+
+
+def test_from_uri_flogo_stream_inline(spark, sf_dir):
+    from stream_spark.pipeline import Pipeline, encode_stream_uri
+
+    uri = encode_stream_uri(_PROVIDER_CFG)
+    assert uri.startswith("flogo-stream://")
+    out = Pipeline.from_uri(uri, {"table": "events"}).run(spark, sf_dir)
+    assert out.count() > 0 and "result" in out.columns
+
+
+def test_from_uri_file_plain_and_gzipped(spark, sf_dir, tmp_path):
+    import gzip
+    import json
+
+    from stream_spark.pipeline import Pipeline
+
+    plain = tmp_path / "pipe.json"
+    plain.write_text(json.dumps(_PROVIDER_CFG))
+    p1 = Pipeline.from_uri(f"file://{plain}", {"table": "events"})
+    gz = tmp_path / "pipe.json.gz"
+    gz.write_bytes(gzip.compress(json.dumps(_PROVIDER_CFG).encode()))
+    p2 = Pipeline.from_uri(f"file://{gz}", {"table": "events"})
+    assert p1.run(spark, sf_dir).count() == p2.run(spark, sf_dir).count()
+
+
+def test_from_uri_http_compressed_header(spark, sf_dir):
+    import base64
+    import gzip
+    import json
+
+    from stream_spark.pipeline import Pipeline
+
+    body = base64.b64encode(gzip.compress(json.dumps(_PROVIDER_CFG).encode()))
+
+    def fake_fetch(uri):
+        assert uri == "http://pipelines.example/agg"
+        return body, {"flogo-compressed": "true"}
+
+    out = Pipeline.from_uri(
+        "http://pipelines.example/agg", {"table": "events"}, fetch=fake_fetch
+    ).run(spark, sf_dir)
+    assert out.count() > 0
+
+
+def test_from_uri_resource_and_bad_scheme(spark, sf_dir):
+    from stream_spark.pipeline import Pipeline, encode_stream_uri
+
+    # a bare stream-resource shape ({data: {stages}}) resolves too
+    res_cfg = {
+        "id": "stream:remote",
+        "data": {"stages": _PROVIDER_CFG["stages"], "metadata": {}},
+    }
+    out = Pipeline.from_uri(encode_stream_uri(res_cfg), {"table": "events"}).run(spark, sf_dir)
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="scheme"):
+        Pipeline.from_uri("ftp://nope", {"table": "events"})

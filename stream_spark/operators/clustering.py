@@ -19,6 +19,7 @@ surfaces as DOUBLE; argmax ties resolve to the lowest cell index
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from stream_spark.operators.similarity import dot, norm
 
@@ -131,6 +132,134 @@ def kmeans_parallel_seeds(
                 best_i, best_gain = i, gain
         chosen.append(rest.pop(best_i))
     return [v for _c, v in chosen]
+
+
+def kmeans_assign_inplan(
+    emb: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means with the centroid table kept IN the plan — the
+    large-k path. ``kmeans_assign`` folds centroids into the expression
+    tree as literals, which is ideal for k ≲ 100 (no join at all) but
+    makes codegen quadratic in k; SemDeDup-style clustering wants
+    k ∝ corpus/target_cluster_size, so here centroids stay a k-row
+    DataFrame: assignment = broadcast hash join on a constant key
+    (k×dim is bounded — 100k×64 doubles ≈ 50 MB) + per-vector argmax
+    with map-side combine (the n×k scored rows collapse back to n
+    BEFORE the shuffle), and mean recomputation is one (cell, dim)
+    keyed aggregate rebuilt into arrays — no driver round trip at all.
+
+    Seeds are the k lowest-id vectors (LIMIT k — bounded rows through
+    the single-partition top-k, the same contract as every top-N).
+    Arithmetic is decimal-exact like ``kmeans_assign``; ties argmax to
+    the lowest cell. Returns (id, cluster, cos) after ``iters``
+    assignment rounds.
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (
+        emb.select(F.col(id_col).alias("_id"), vec_d.alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("_one", F.lit(1))
+    )
+
+    # seeds: k lowest ids, cell = dense 0..k-1 by id order (k-row frame)
+    seeds = (
+        base.select("_id", "v").orderBy("_id").limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_id")) - 1).cast("bigint").alias("cell"),
+            F.col("v").alias("cv"),
+        )
+    )
+
+    def one_round(cents: DataFrame) -> DataFrame:
+        c = cents.withColumn("cnrm", norm(F.col("cv"))).withColumn("_one", F.lit(1))
+        # broadcast-ok: centroid table is k rows by construction (bounded metadata scale)
+        scored = base.join(F.broadcast(c), "_one").withColumn(
+            "cos", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+        )
+        best = scored.groupBy("_id").agg(
+            F.max(F.struct(F.col("cos").alias("cos"), (-F.col("cell")).alias("negcell"))).alias("mx")
+        )
+        return best.select(
+            "_id",
+            (-F.col("mx.negcell")).cast("bigint").alias("cluster"),
+            F.col("mx.cos").alias("cos"),
+        )
+
+    assigned = one_round(seeds)
+    for _ in range(iters - 1):
+        means = (
+            assigned.join(base, "_id")
+            .select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+            .groupBy(F.col("cluster").alias("cell"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+        )
+        assigned = one_round(means)
+    return assigned.select(F.col("_id").alias(id_col), "cluster", "cos")
+
+
+def semantic_dedup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    members_per_cluster: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, compare pairs only WITHIN a cluster, chain
+    cosine≥threshold pairs into connected components, keep one doc per
+    component. Returns (keeper_id, cluster_size) per near-dup group
+    (singletons included, size 1).
+
+    The scale contract is k ∝ n/members_per_cluster: cluster size stays
+    bounded as the corpus grows, so within-cluster pair volume is
+    LINEAR in n (Σ (n/k)·n ≈ n·members_per_cluster), unlike the global
+    all-pairs quadratic. Assignment uses the in-plan centroid table
+    (``kmeans_assign_inplan``); pairs run the float-prefilter →
+    exact-decimal-rescore two-phase from similarity.cosine_pairs;
+    components use the O(log n) star scheme. The only driver-side value
+    is count() to size k — bounded metadata.
+    """
+    from stream_spark.operators.components import connected_components_star
+    from stream_spark.operators.similarity import _float_cosine, cosine
+
+    n = emb.count()
+    k = max(8, n // members_per_cluster)
+    assigned = kmeans_assign_inplan(emb, k, iters=iters, id_col=id_col, vec_col=vec_col)
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mem = emb.select(F.col(id_col).alias("_id"), vec_d.alias("v")).join(
+        assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+    )
+    a = mem.select(F.col("_id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = mem.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_float_cosine(F.col("va"), F.col("vb")) >= threshold - 1e-6)
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components_star(pairs, "id_a", "id_b")
+    groups = comps.groupBy(F.col("component").alias("keeper_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    singles = (
+        emb.select(F.col(id_col).alias("keeper_id"))
+        .join(comps.select(F.col("node").alias("keeper_id")), "keeper_id", "left_anti")
+        .withColumn("cluster_size", F.lit(1).cast("bigint"))
+    )
+    return groups.unionByName(singles)
 
 
 def kmeans_assign(

@@ -289,13 +289,16 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8
 
 
-@register(
-    "embeddings_kmeans",
-    oracle=f"""
-    WITH {_UNNEST_E},
+def _km_ctes(seed_limit: str) -> str:
+    """The 2-round Lloyd k-means CTE chain (seeds = lowest-id vectors,
+    decimal-exact, ties to lowest cell) shared by ``embeddings_kmeans``
+    and ``dedup_semantic_clusters``. ``seed_limit`` is the LIMIT
+    expression sizing k — a literal, or a scalar subquery for the
+    corpus-proportional SemDeDup sizing. Final assignment = cos2 argmax."""
+    return f"""
     seed AS (
         SELECT vec_id AS seed_vid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {seed_limit})
     ),
     c0 AS (SELECT s.cell, e.i, e.x FROM seed s JOIN e ON e.vec_id = s.seed_vid),
     c0n AS (SELECT cell, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
@@ -323,7 +326,14 @@ _KM_K = 8
         FROM e v JOIN c1 c ON c.i = v.i
         JOIN norms n ON n.vec_id = v.vec_id JOIN c1n cn ON cn.cell = c.cell
         GROUP BY v.vec_id, c.cell, n.nrm, cn.nrm
-    )
+    )"""
+
+
+@register(
+    "embeddings_kmeans",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_km_ctes(str(_KM_K))}
     SELECT vec_id, cell AS cluster, cos FROM (
         SELECT vec_id, cell, cos,
                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
@@ -337,6 +347,70 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the assignments + cosines must match bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=_KM_K, iters=2)
+
+
+_SEM_TAU = 0.4
+_SEM_MPC = 64
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_UNNEST_E},
+    {_km_ctes(f"(SELECT GREATEST(8, COUNT(*)//{_SEM_MPC}) FROM embeddings)")},
+    a2 AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM cos2) WHERE rn = 1),
+    cand AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        JOIN embeddings ea ON ea.vec_id = x.vec_id
+        JOIN embeddings eb ON eb.vec_id = y.vec_id
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= {_SEM_TAU} - 1e-6
+    ),
+    dots AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        FROM cand c JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b AND a.i = b.i
+        GROUP BY c.id_a, c.id_b
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM dots
+        JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+        WHERE dot / (na.nrm * nb.nrm) >= {_SEM_TAU}
+    ),
+    und AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach(node, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT component AS keeper_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    UNION ALL
+    SELECT vec_id AS keeper_id, CAST(1 AS BIGINT) AS cluster_size
+    FROM embeddings WHERE vec_id NOT IN (SELECT node FROM comp)
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means partitions the embedding
+    space with k ∝ corpus/{_SEM_MPC} (cluster size bounded as the
+    corpus grows ⇒ within-cluster pair volume LINEAR in n — the scale
+    contract the paper's FAISS clustering provides), then cosine≥τ
+    pairs are found only within a cluster and chained into components;
+    one keeper per semantic-dup group. Assignment keeps the centroid
+    table IN the plan (broadcast k-row join + map-side-combined
+    argmax — clustering.kmeans_assign_inplan), so the only driver value
+    is count() sizing k. The oracle replays both Lloyd rounds, the
+    float-prefilter→decimal-rescore pair phase, and the closure."""
+    from stream_spark.operators.clustering import semantic_dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_clusters(emb, threshold=_SEM_TAU, members_per_cluster=_SEM_MPC)
 
 
 @register(

@@ -779,6 +779,45 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from stream_spark.queries.dedup_queries import _HPB, _UNNEST_E  # noqa: E402
+
+
+@register(
+    "streaming_dedup_embedding",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HPB},
+    dups AS (SELECT DISTINCT id_b AS vid FROM cand)
+    SELECT em.vec_id,
+           CAST(CASE WHEN d.vid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM embeddings em LEFT JOIN dups d ON em.vec_id = d.vid
+    """,
+)
+def streaming_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online EMBEDDING near-dup detection on a live vector stream —
+    the semantic twin of streaming_dedup_minhash: stateless multi-table
+    hyperplane LSH bucket projection (decimal-exact Catalyst, the SAME
+    md5-derived family the batch banded index and its oracle use) into
+    the shared first-seen fold keyed by (table, bucket). State per live
+    bucket is one vec id; vectors never enter state. Replayed in vec_id
+    order over 4 micro-batches; the oracle replays every table's
+    buckets and flags any vector bucket-colliding with an earlier id."""
+    from stream_spark.streaming import ordered_replay_stream
+    from stream_spark.streaming.dedup import streaming_embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stage = f"{_SCRATCH}/dedup_embedding"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = ordered_replay_stream(spark, emb, stage, ["vec_id"], n_slices=4)
+    out = run_stream_to_memory(streaming_embedding_dedup(stream), output_mode="append")
+    flags = out.groupBy(F.col("doc").alias("_doc")).agg(F.max("hit").cast("long").alias("is_dup"))
+    return (
+        emb.select("vec_id")
+        .join(flags, emb.vec_id == flags._doc, "left")
+        .select("vec_id", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"))
+    )
+
+
 from stream_spark.queries.text_queries import TOKS as _TOKS, _STOP_IN  # noqa: E402
 
 

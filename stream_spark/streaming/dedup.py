@@ -73,15 +73,25 @@ def streaming_minhash_dedup(
     batch/SQL definition "is_dup(d) = ∃ d' < d sharing a bucket" —
     state per live bucket is one long, documents never enter state.
     """
+    from stream_spark.operators.dedup import minhash_band_rows_stateless
+
+    bands = minhash_band_rows_stateless(stream, text_col, id_col, n)
+    return first_seen_fold(bands)
+
+
+def first_seen_fold(bands: DataFrame) -> DataFrame:
+    """The ONE stateful stage shared by every online near-dup detector:
+    given (doc, band, bucket) rows, fold per (band, bucket) keeping the
+    smallest doc id ever seen for the bucket; a row hits when its bucket
+    was already claimed by a smaller id (earlier batch, or earlier in
+    this batch by id order). State per live bucket is a single long —
+    documents and signatures never enter state. Emits (doc, band, hit)
+    in append mode."""
     from collections.abc import Iterator
     from typing import Any
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from stream_spark.operators.dedup import minhash_band_rows_stateless
-
-    bands = minhash_band_rows_stateless(stream, text_col, id_col, n)
 
     def first_seen(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -103,3 +113,40 @@ def streaming_minhash_dedup(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_embedding_dedup(
+    stream: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Online EMBEDDING near-dup detection — the semantic twin of
+    ``streaming_minhash_dedup`` for vector ingest (e.g. a live
+    embedding service feeding a training corpus): flag each arriving
+    vector that shares ANY multi-table hyperplane LSH bucket with an
+    earlier-id vector already seen on the stream.
+
+    Stage 1 is STATELESS (pure Catalyst): ``banded_buckets`` projects
+    each vector onto the md5-derived hyperplane family — decimal-exact
+    sign bits, the SAME buckets the batch path
+    (similarity.cosine_pairs_lsh_banded) and its SQL oracle compute —
+    and explodes to one (doc, table, bucket) row per LSH table. No
+    Python, no aggregation, streaming-legal as-is.
+
+    Stage 2 is the shared ``first_seen_fold``: state = one vec id per
+    live (table, bucket). Candidate semantics match the batch banded
+    index exactly (OR across tables, AND within a table's planes); as
+    in batch, bucket collision is the candidate signal — callers
+    wanting cosine-confirmed dups rescore flagged pairs downstream.
+    Replay in id order for parity with "duplicates an EARLIER vector".
+    """
+    from stream_spark.operators.similarity import banded_buckets
+
+    bands = (
+        stream.select(
+            F.col(id_col).alias("doc"),
+            F.explode(banded_buckets(F.col(vec_col))).alias("tb"),
+        )
+        .select("doc", F.col("tb.t").alias("band"), F.col("tb.bucket").alias("bucket"))
+    )
+    return first_seen_fold(bands)

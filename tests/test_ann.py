@@ -144,6 +144,42 @@ def test_kmeans_deterministic_and_converging(spark, sf_dir):
     assert statistics.mean(two.values()) >= statistics.mean(one.values()) - 1e-12
 
 
+def test_kmeans_inplan_matches_literal_path(spark, sf_dir):
+    """The large-k in-plan assignment (broadcast centroid table +
+    map-side-combined argmax) must be BIT-IDENTICAL to the literal-
+    centroid path at any k where both run — same decimal arithmetic,
+    same lowest-cell tie-break, so divergence means a real bug."""
+    from stream_spark.operators.clustering import kmeans_assign, kmeans_assign_inplan
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lit = {r["vec_id"]: (r["cluster"], r["cos"]) for r in kmeans_assign(emb, k=6, iters=2).collect()}
+    inp = {r["vec_id"]: (r["cluster"], r["cos"]) for r in kmeans_assign_inplan(emb, k=6, iters=2).collect()}
+    assert lit == inp
+
+
+def test_semantic_dedup_groups_identical_vectors(spark):
+    """SemDeDup on a constructed corpus: three copies of one vector and
+    two of another collapse to keepers with the right sizes; distinct
+    vectors stay singletons; every id appears exactly once in the
+    partition (keeper multiplicity Σ sizes == corpus size)."""
+    from stream_spark.operators.clustering import semantic_dedup_clusters
+
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    v3 = [0.0, 0.0, 1.0, 0.0]
+    rows = [(1, v1), (2, v2), (3, v1), (4, v3), (5, v1), (6, v2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["keeper_id"]: r["cluster_size"]
+        for r in semantic_dedup_clusters(emb, threshold=0.95, members_per_cluster=64).collect()
+    }
+    assert out[1] == 3  # {1,3,5}
+    assert out[2] == 2  # {2,6}
+    assert out[4] == 1
+    assert sum(out.values()) == 6
+
+
 def test_ivf_refined_recall_and_exact_scores(spark, sf_dir):
     """One Lloyd refinement round: scores still exact, recall at least
     as usable as the seeded variant's floor."""

@@ -694,6 +694,52 @@ def test_streaming_minhash_dedup_flags_only_later_neardups(spark, tmp_path):
     assert flags.get(2, 0) == 0 and flags.get(3, 0) == 0 and flags.get(6, 0) == 0
 
 
+def test_streaming_embedding_dedup_flags_only_later_dups(spark, tmp_path):
+    """Online embedding near-dup: a vector is flagged iff it shares an
+    LSH (table, bucket) with an EARLIER-id vector — across micro-batch
+    boundaries; an identical vector always collides in every table, a
+    far-apart one in none (probabilistically, checked via the batch
+    banded index the stream must agree with)."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.similarity import banded_buckets
+    from stream_spark.streaming import ordered_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.dedup import streaming_embedding_dedup
+
+    va = [float((i * 7) % 13 - 6) for i in range(64)]
+    vb = [float((i * 11) % 17 - 8) for i in range(64)]
+    rows = [(1, va), (2, vb), (3, va), (4, [-x for x in va]), (5, va)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # ground truth from the BATCH banded index: later id sharing any bucket
+    bk = emb.select(
+        "vec_id", F.explode(banded_buckets(F.col("embedding"))).alias("tb")
+    ).select("vec_id", "tb.t", "tb.bucket")
+    expected = {
+        r["vec_id"]
+        for r in bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .collect()
+    }
+    assert {3, 5} <= expected and 1 not in expected
+
+    stage = str(tmp_path / "stream_emb")
+    stream = ordered_replay_stream(spark, emb, stage, ["vec_id"], n_slices=3)
+    out = run_stream_to_memory(streaming_embedding_dedup(stream), output_mode="append")
+    flags = {
+        r["_doc"]: r["dup"]
+        for r in out.groupBy(F.col("doc").alias("_doc")).agg(F.max("hit").alias("dup")).collect()
+    }
+    assert {d for d, h in flags.items() if h == 1} == expected
+
+
 def test_stream_upsert_sink_idempotent_and_order_free(spark, tmp_path):
     """The CDC-apply sink must converge to the per-key max order tuple
     regardless of batch slicing, and re-processing the same data into

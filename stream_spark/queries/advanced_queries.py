@@ -1010,7 +1010,7 @@ def parts_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parts_name_entity_clusters",
     oracle=f"""
     WITH RECURSIVE {_NAMES_BLOCKED},
-    und AS (SELECT name_a AS src, name_b AS dst FROM fpairs
+    und AS MATERIALIZED (SELECT name_a AS src, name_b AS dst FROM fpairs
             UNION ALL SELECT name_b, name_a FROM fpairs),
     reach(node, label) AS (
         SELECT src, src FROM und

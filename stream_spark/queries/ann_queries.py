@@ -381,7 +381,7 @@ _SEM_MPC = 64
         JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
         WHERE dot / (na.nrm * nb.nrm) >= {_SEM_TAU}
     ),
-    und AS (SELECT id_a AS src, id_b AS dst FROM edges
+    und AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
             UNION ALL SELECT id_b, id_a FROM edges),
     reach(node, label) AS (
         SELECT src, src FROM und

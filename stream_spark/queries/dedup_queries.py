@@ -323,7 +323,7 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
         WHERE common / (sa.sz + sb.sz - common) >= 0.8
     ),
-    und AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+    und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM edges
             UNION ALL SELECT doc_b, doc_a FROM edges),
     reach(node, label) AS (
         SELECT src, src FROM und
@@ -443,7 +443,7 @@ def training_data_prep_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
         WHERE dot / (na.nrm * nb.nrm) >= 0.4
     ),
-    und AS (SELECT id_a AS src, id_b AS dst FROM edges
+    und AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edges
             UNION ALL SELECT id_b, id_a FROM edges),
     reach(node, label) AS (
         SELECT src, src FROM und

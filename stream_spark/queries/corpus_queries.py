@@ -38,6 +38,88 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("g").agg(F.count("*").alias("df")).orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
+_DRIFT_V = 128
+
+
+@register(
+    "corpus_token_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, t.tok
+        FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+        WHERE length(t.tok) > 0
+    ),
+    tot AS (SELECT tok, COUNT(*) AS ct FROM tok GROUP BY tok),
+    vocab AS (SELECT tok, ct FROM tot ORDER BY ct DESC, tok LIMIT {_DRIFT_V}),
+    sc AS (
+        SELECT tok.source, tok.tok, COUNT(*) AS cs
+        FROM tok JOIN vocab ON tok.tok = vocab.tok
+        GROUP BY tok.source, tok.tok
+    ),
+    grid AS (
+        SELECT s.source, v.tok, v.ct, COALESCE(sc.cs, 0) AS cs
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN vocab v
+        LEFT JOIN sc ON sc.source = s.source AND sc.tok = v.tok
+    ),
+    ns AS (SELECT source, SUM(cs) AS nsv FROM grid GROUP BY source),
+    nt AS (SELECT SUM(ct) AS ntv FROM vocab)
+    SELECT g.source,
+           CAST(n.nsv AS BIGINT) AS src_vocab_tokens,
+           CAST(SUM(ABS(g.cs * 1000000 // NULLIF(n.nsv, 0)
+                 - (g.ct - g.cs) * 1000000 // NULLIF(t.ntv - n.nsv, 0))) AS BIGINT)
+               AS drift_ppm_sum
+    FROM grid g JOIN ns n ON g.source = n.source CROSS JOIN nt t
+    GROUP BY g.source, n.nsv
+    """,
+)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift diagnostic for corpus curation: for each
+    source, total variation of its token-rate vector vs the REST of
+    the corpus over the shared top-{_DRIFT_V} vocabulary — the "which
+    source is out of distribution" number a crawl-snapshot comparison
+    needs. Rates are exact integer parts-per-million (cs·1e6 DIV ns):
+    bounded ≤ 1e6 at ANY corpus size, so no overflow and no float — the
+    portable DIV arithmetic (== DuckDB //). One token shuffle builds
+    counts; vocabulary and the source grid are bounded broadcasts;
+    zero-fill comes from the grid so absent tokens still contribute
+    their full rest-rate drift."""
+    from stream_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    tot = tok.groupBy("tok").agg(F.count("*").alias("ct"))
+    vocab = tot.orderBy(F.col("ct").desc(), "tok").limit(_DRIFT_V)
+    # broadcast-ok: vocabulary is LIMIT {_DRIFT_V} rows by construction
+    sc = (
+        tok.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cs"))
+    )
+    sources = docs.select("source").distinct().withColumn("_one", F.lit(1))
+    # broadcast-ok: vocabulary is LIMIT {_DRIFT_V} rows by construction
+    grid = (
+        sources.join(F.broadcast(vocab.withColumn("_one", F.lit(1))), "_one")
+        .select("source", "tok", "ct")
+        .join(sc, ["source", "tok"], "left")
+        .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)))
+    )
+    ns = grid.groupBy("source").agg(F.sum("cs").alias("nsv"))
+    nt = vocab.agg(F.sum("ct").alias("ntv")).withColumn("_one", F.lit(1))
+    # broadcast-ok: global-aggregate scalar, one row by construction
+    cells = grid.join(ns, "source").withColumn("_one", F.lit(1)).join(F.broadcast(nt), "_one")
+    drift = F.expr(
+        "abs(cs * 1000000 DIV nullif(nsv, 0) - (ct - cs) * 1000000 DIV nullif(ntv - nsv, 0))"
+    )
+    return cells.groupBy("source", "nsv").agg(
+        F.sum(drift).cast("bigint").alias("drift_ppm_sum")
+    ).select(
+        "source", F.col("nsv").cast("bigint").alias("src_vocab_tokens"), "drift_ppm_sum"
+    )
+
+
 @register(
     "text_redact_patterns",
     oracle="""

@@ -123,3 +123,34 @@ def test_boilerplate_share_dedupes_intra_doc_repeats(spark):
     # n_grams = distinct grams: "alpha beta gamma filler alpha beta gamma"
     # has 5 positional 3-grams but only 4 distinct (rep occurs twice)
     assert got[1].n_grams == 4
+
+
+def test_corpus_token_drift_zero_for_identical_sources(spark, tmp_path):
+    """A source whose token multiset equals the rest of the corpus has
+    EXACTLY zero drift (equal exact ppm rates); a disjoint-vocabulary
+    source maxes out near 2e6 per token row. Exercises the zero-filled
+    grid (absent tokens still drift) and the integer DIV arithmetic."""
+    import os
+
+    from stream_spark.queries import QUERIES
+
+    rows = [
+        (1, "aa bb cc dd", "en", "s1", 11),
+        (2, "aa bb cc dd", "en", "s2", 11),  # s2 identical to s1
+        (3, "xx yy zz ww", "en", "s3", 11),  # s3 disjoint vocabulary
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "drift_sf")
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in QUERIES["corpus_token_drift"](spark, d).collect()}
+    assert set(out) == {"s1", "s2", "s3"}
+    # s1's rest = {s2 (identical), s3}; s1 vs rest differs only via s3's
+    # half-share of the rest -> strictly positive but below the max
+    assert out["s1"]["drift_ppm_sum"] == out["s2"]["drift_ppm_sum"] > 0
+    # s3 shares no tokens with its rest: every vocab token drifts fully
+    # (8 tokens x ~250000 ppm each side)
+    assert out["s3"]["drift_ppm_sum"] > out["s1"]["drift_ppm_sum"]
+    assert out["s3"]["src_vocab_tokens"] == 4

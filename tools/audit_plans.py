@@ -36,6 +36,11 @@ SCALAR_SUBQUERY_OK = {
     "tpch_q15_top_supplier",
     "tpch_q11_important_stock",
     "events_value_histogram",
+    # bounded-grid joins: fixed-V vocabulary × source dimension for
+    # zero-filled cells, plus a 1-row total-tokens scalar — both sides
+    # bounded by construction (LIMIT / global aggregate), so the
+    # nested loop is a constant-size fan-out, not a pair blowup.
+    "corpus_token_drift",
 }
 
 

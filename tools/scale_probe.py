@@ -44,6 +44,11 @@ PROBE = [
     "events_out_of_order_rate",
     "orders_snapshot_diff",
     "streaming_dedup_minhash",
+    # round-4 additions: SemDeDup's pair volume is linear only because
+    # k tracks corpus size (bounded cluster occupancy); the streaming
+    # embedding fold is bounded-state like its minhash twin
+    "dedup_semantic_clusters",
+    "streaming_dedup_embedding",
 ]
 
 

@@ -1,0 +1,103 @@
+"""BPE-style merge-rule induction over a tokenized corpus —
+distributed tokenizer training (Sennrich et al. 2016, word-level
+variant: the merged unit is the space-joined phrase).
+
+Each round is two corpus-linear steps, both JVM-side:
+
+1. COUNT: explode adjacent token pairs (one generated row per
+   position), one (a, b) keyed aggregate with map-side combine, global
+   top-1 with a deterministic (count DESC, a, b) tie-break — the
+   single bounded top-N exchange.
+2. APPLY: the winning pair joins back as a 1-row broadcast (the
+   DataFrame realization of a scalar subquery) and every document
+   re-tokenizes via one Catalyst ``aggregate`` fold — greedy
+   left-to-right, exactly BPE's application order: a just-merged unit
+   cannot be the left side of another merge in the same pass unless it
+   literally equals the rule's left token.
+
+No driver round trip anywhere: the learned rules stay 1-row frames in
+the plan. Scale: pair counting shuffles (a, b) keys — linear in corpus
+tokens; the fold is O(tokens) per document with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def adjacent_pair_counts(toked: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """(a, b, pair_count) for every adjacent token pair occurrence."""
+    toks = F.col(toks_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i.cast("int")).alias("a"),
+            F.element_at(toks, (i + 1).cast("int")).alias("b"),
+        ),
+    )
+    return (
+        toked.select(F.explode(F.when(F.size(toks) >= 2, pairs).otherwise(F.array())).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("pair_count"))
+    )
+
+
+def top_merge(pair_counts: DataFrame) -> DataFrame:
+    """The round's merge rule: 1-row frame (a, b, merged, pair_count),
+    ties broken on (a, b) so every engine picks the same rule."""
+    return (
+        pair_counts.orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(1)
+        .select("a", "b", F.concat_ws(" ", "a", "b").alias("merged"), "pair_count")
+    )
+
+
+def apply_merge(toked: DataFrame, rule: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """Greedy left-to-right merge application as a Catalyst fold.
+
+    The fold's init is the first token (slice 1,1 — empty array stays
+    empty), so a just-created merged unit sits at acc[-1] and only
+    re-merges if it equals the rule's left side — BPE pass semantics.
+    """
+    toks = F.col(toks_col)
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (F.element_at(acc, -1) == F.col("a")) & (x == F.col("b"))
+        return F.when(
+            hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("merged")))
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    # broadcast-ok: rule is a 1-row top-1 aggregate by construction
+    out = toked.withColumn("_one", F.lit(1)).join(
+        F.broadcast(rule.withColumn("_one", F.lit(1))), "_one"
+    )
+    folded = F.aggregate(F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                         F.slice(toks, 1, 1), step)
+    return out.withColumn(toks_col, folded).drop("a", "b", "merged", "pair_count", "_one")
+
+
+def bpe_merge_rounds(
+    toked: DataFrame, rounds: int = 3, toks_col: str = "toks"
+) -> DataFrame:
+    """Learn ``rounds`` merge rules, applying each before counting the
+    next. Returns (round, tok_a, tok_b, pair_count) — the merge table
+    IS the induced tokenizer."""
+    outs = []
+    cur = toked
+    for r in range(1, rounds + 1):
+        rule = top_merge(adjacent_pair_counts(cur, toks_col))
+        outs.append(
+            rule.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                F.col("pair_count").cast("bigint").alias("pair_count"),
+            )
+        )
+        if r < rounds:
+            cur = apply_merge(cur, rule, toks_col)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -38,6 +38,66 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("g").agg(F.count("*").alias("df")).orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
+def _bpe_oracle(rounds: int) -> str:
+    """Replay BPE merge induction: per round, adjacent-pair count →
+    deterministic top-1 → greedy left-to-right list_reduce application
+    (wrapped elements keep the accumulator VARCHAR[]; ≤1-token docs
+    skip the fold — list_reduce rejects empty input)."""
+    ctes = [
+        """t0 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), tk -> length(tk) > 0) AS toks
+        FROM documents
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b, COUNT(*) AS c
+        FROM t{r - 1}, unnest(generate_series(1, len(toks) - 1)) s(i)
+        GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT a, b, a || ' ' || b AS mm, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)""")
+        if r < rounds:
+            ctes.append(f"""t{r} AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) <= 1 THEN toks
+                    ELSE list_reduce(list_transform(toks, x -> [x]),
+                         (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                                          THEN list_append(acc[:len(acc) - 1], m.mm)
+                                          ELSE list_append(acc, x[1]) END)
+               END AS toks
+        FROM t{r - 1}, m{r} m
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS tok_a, b AS tok_b, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+_BPE_ROUNDS = 3
+
+
+@register("corpus_bpe_merges", oracle=_bpe_oracle(_BPE_ROUNDS))
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-style tokenizer induction (Sennrich et al.
+    2016): {_BPE_ROUNDS} rounds of most-frequent-adjacent-pair merge,
+    each applied corpus-wide (greedy left-to-right Catalyst fold)
+    before the next count — the iterative-algorithm shape under the
+    exact oracle gate, like PageRank and k-means. The learned merge
+    table is the output. Per round: one pair-keyed shuffle + one
+    bounded top-1; rule application is a map-only fold, rules stay
+    1-row broadcast frames (no driver round trip)."""
+    from stream_spark.operators.bpe import bpe_merge_rounds
+    from stream_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0).alias("toks")
+    )
+    return bpe_merge_rounds(toked, rounds=_BPE_ROUNDS)
+
+
 _DRIFT_V = 128
 
 

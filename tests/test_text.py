@@ -154,3 +154,36 @@ def test_corpus_token_drift_zero_for_identical_sources(spark, tmp_path):
     # (8 tokens x ~250000 ppm each side)
     assert out["s3"]["drift_ppm_sum"] > out["s1"]["drift_ppm_sum"]
     assert out["s3"]["src_vocab_tokens"] == 4
+
+
+def test_bpe_merge_rounds_greedy_and_iterative(spark):
+    """BPE induction on a constructed corpus: round 1 picks the most
+    frequent adjacent pair with the deterministic tie-break; the greedy
+    left-to-right application means "a a a" yields ONE merge (the fresh
+    unit can't be the left side again); round 2 counts pairs over the
+    MERGED tokens, so a phrase unit can extend."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.bpe import apply_merge, bpe_merge_rounds, top_merge, adjacent_pair_counts
+
+    rows = [
+        (1, ["a", "a", "a"]),
+        (2, ["a", "a", "b"]),
+        (3, ["a", "a", "b"]),
+        (4, ["c"]),
+        (5, []),
+    ]
+    toked = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+
+    out = {r["round"]: (r["tok_a"], r["tok_b"], r["pair_count"]) for r in bpe_merge_rounds(toked, rounds=2).collect()}
+    # round 1: (a,a) appears 4 times (2 in doc1, 1 each in docs 2-3) vs (a,b) 2
+    assert out[1] == ("a", "a", 4)
+    # after merging: doc1 -> ["a a", "a"], docs 2-3 -> ["a a", "b"]
+    # round 2 pairs: ("a a","a") x1, ("a a","b") x2 -> winner ("a a","b")
+    assert out[2] == ("a a", "b", 2)
+
+    rule = top_merge(adjacent_pair_counts(toked))
+    merged = {r["doc_id"]: r["toks"] for r in apply_merge(toked, rule).collect()}
+    assert merged[1] == ["a a", "a"]
+    assert merged[2] == ["a a", "b"]
+    assert merged[4] == ["c"] and merged[5] == []

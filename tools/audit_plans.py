@@ -41,6 +41,10 @@ SCALAR_SUBQUERY_OK = {
     # bounded by construction (LIMIT / global aggregate), so the
     # nested loop is a constant-size fan-out, not a pair blowup.
     "corpus_token_drift",
+    # each BPE merge rule is a 1-row top-1 aggregate broadcast back
+    # onto the corpus for the application fold — a scalar subquery
+    # per round by construction.
+    "corpus_bpe_merges",
 }
 
 

@@ -344,6 +344,53 @@ def topk_bruteforce(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually move an embedding model (high-similarity,
+    wrong class), mined corpus-wide instead of in-batch.
+
+    Same shape as ``topk_bruteforce`` (broadcast bounded query set over
+    one corpus scan, float prerank → exact decimal rescore on a
+    2k margin); the label-inequality filter runs before ranking so the
+    k slots are all negatives. Scale path for unbounded query sets:
+    bucket both sides with the banded LSH first, then rank within
+    buckets — same composition as ann_topk_lsh."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col(label_col).alias("ql")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col(label_col).alias("cl")
+    )
+    # broadcast-ok: q is the contract-bounded query set, not the corpus
+    pre = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("ql") != F.col("cl"))
+        .withColumn("fcos", _float_cosine(F.col("qv"), F.col("cv")))
+    )
+    wpre = Window.partitionBy("query_id").orderBy(F.col("fcos").desc(), F.col("neighbor_id"))
+    survivors = pre.withColumn("prerank", F.row_number().over(wpre)).filter(
+        F.col("prerank") <= max(2 * k, k + 10)
+    )
+    scored = survivors.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def range_search(
     queries: DataFrame,
     corpus: DataFrame,

@@ -157,6 +157,39 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "embeddings_hard_negatives",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+        JOIN embeddings eq ON eq.vec_id = q.vec_id
+        JOIN embeddings ec ON ec.vec_id = c.vec_id AND eq.label <> ec.label
+        JOIN norms nq ON q.vec_id = nq.vec_id
+        JOIN norms nc ON c.vec_id = nc.vec_id
+        GROUP BY query_id, neighbor_id, nq.nrm, nc.nrm
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide hard-negative mining for contrastive training: per
+    query, the top-{_K} highest-cosine corpus vectors whose LABEL
+    differs — the high-similarity wrong-class negatives in-batch
+    sampling never finds. Broadcast bounded query set over one corpus
+    scan (similarity.hard_negatives); exact decimal rescore decides."""
+    from stream_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _RERANK_N = 20
 
 

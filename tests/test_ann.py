@@ -434,3 +434,28 @@ def test_pq_seed_vectors_encode_to_themselves_and_topk_finds_planted(spark):
     out = topk_pq(q, df, 3).collect()
     best = min(out, key=lambda r: r["rank"])
     assert best["neighbor_id"] == 3 and best["adist"] == 0.0
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    """Every mined negative has a different label than its query, and
+    each negative's cosine is >= the best SAME-label vector that ranks
+    below it would not beat it (i.e. ranking is by cosine among the
+    label-excluded set only)."""
+    from stream_spark.operators.similarity import hard_negatives
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    out = hard_negatives(q, c, 5).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert out, "no negatives mined"
+    per_q: dict = {}
+    for r in out:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for ranks in per_q.values():
+        ranks.sort()
+        assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
+        coss = [cs for _, cs in ranks]
+        assert coss == sorted(coss, reverse=True)

@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PAIRWISE_OK = {
     "ann_topk_bruteforce",
     "ann_range_search",
+    # broadcast of the contract-bounded query set over one corpus
+    # scan with a label-inequality filter — same spec as bruteforce.
+    "embeddings_hard_negatives",
 }
 
 #: queries realizing an ANSI scalar subquery as a 1-row aggregate

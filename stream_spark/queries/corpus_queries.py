@@ -38,6 +38,110 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("g").agg(F.count("*").alias("df")).orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
+from stream_spark.queries.text_queries import TOKS as _Q_TOKS, _STOP_IN as _Q_STOP  # noqa: E402
+
+_QS = f"""
+    feat AS (
+        SELECT doc_id,
+               CAST(len({_Q_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter({_Q_TOKS}, w -> w IN ({_Q_STOP}))) AS BIGINT) AS n_stopwords,
+               length(text) AS n_char,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4 ELSE 0.0 END
+                + CASE WHEN n_stopwords / n_tokens >= 0.05 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN n_digit / n_char <= 0.2 THEN 0.2 ELSE 0.0 END
+                + CASE WHEN n_punct / n_char <= 0.1 THEN 0.1 ELSE 0.0 END) AS qs
+        FROM feat
+    )
+"""
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES3},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    co AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM co
+        JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+        WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    ),
+    und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(node, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    {_QS},
+    mem AS (SELECT c.component, c.node AS doc_id, q.qs
+            FROM comp c JOIN q ON q.doc_id = c.node),
+    r AS (SELECT component, doc_id, qs,
+                 COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+                 row_number() OVER (PARTITION BY component ORDER BY qs DESC, doc_id) AS rn
+          FROM mem)
+    SELECT doc_id AS keeper_doc_id, qs AS keeper_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM r WHERE rn = 1
+    UNION ALL
+    SELECT d.doc_id, q.qs, CAST(1 AS BIGINT)
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT node FROM comp)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-grade dedup: near-dup clusters keep their HIGHEST-
+    quality member, not the lowest id — what a production corpus
+    actually wants (the canonical page, not the first-crawled copy).
+    Composes the Jaccard pair graph → star components → one keyed
+    max(struct(quality, -id)) argmax per component (deterministic:
+    quality desc, id asc); singletons keep themselves. Same shuffle
+    profile as dedup_clusters plus one map-side-combinable argmax."""
+    from stream_spark.operators.components import connected_components_star
+    from stream_spark.operators.dedup import ngram_jaccard_pairs
+    from stream_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    comps = connected_components_star(pairs)
+    q = quality_features(docs).select("doc_id", F.col("quality_score").alias("qs"))
+    mem = comps.join(q, comps.node == q.doc_id)
+    grouped = (
+        mem.groupBy("component")
+        .agg(
+            F.max(F.struct(F.col("qs").alias("qs"), (-F.col("doc_id")).alias("negid"))).alias("mx"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(
+            (-F.col("mx.negid")).cast("long").alias("keeper_doc_id"),
+            F.col("mx.qs").alias("keeper_quality"),
+            F.col("cluster_size").cast("long"),
+        )
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(comps.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+        .join(q, "doc_id")
+        .select(
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("qs").alias("keeper_quality"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return grouped.unionByName(singles)
+
+
 def _bpe_oracle(rounds: int) -> str:
     """Replay BPE merge induction: per round, adjacent-pair count →
     deterministic top-1 → greedy left-to-right list_reduce application

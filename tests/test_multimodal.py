@@ -147,3 +147,29 @@ def test_resample_audio_distributed(spark):
         assert out[did]["n_samples"] == n
         assert out[did]["sample_rate"] == 8000 * (1 + did % 2)
         assert out[did]["out_n_samples"] == (n if did % 2 else 2 * n)
+
+
+def test_ahash_brightness_invariant_and_dup_collision(spark):
+    """aHash is mean-relative: a uniformly brightness-shifted copy
+    hashes IDENTICALLY (gray+c)·16 ≥ total+16c ⟺ gray·16 ≥ total —
+    the perceptual property that catches re-encoded/brightened dups
+    exact byte hashing misses. Identical rasters collide trivially;
+    an inverted raster must not."""
+    import numpy as np
+
+    from stream_spark.operators.multimodal import ahash_image, encode_ppm
+
+    base = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    bright = np.clip(base.astype(np.int64) + 50, 0, 255).astype(np.uint8)
+    assert (base <= 205).all()  # no clipping -> exact +50 shift
+    inverted = (255 - base).astype(np.uint8)
+    rows = [
+        (1, encode_ppm(8, 6, base)),
+        (2, encode_ppm(8, 6, base)),      # byte-identical dup
+        (3, encode_ppm(8, 6, bright)),    # brightness-shifted dup
+        (4, encode_ppm(8, 6, inverted)),  # perceptual opposite
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["ahash"] for r in ahash_image(media).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]

@@ -177,3 +177,37 @@ def test_round3_operators_on_empty(spark):
     one = spark.createDataFrame([(1, 1.0)], "k long, v double")
     assert [r["change_type"] for r in table_diff(empty_tbl, one, ["k"]).collect()] == ["added"]
     assert [r["change_type"] for r in table_diff(one, empty_tbl, ["k"]).collect()] == ["removed"]
+
+
+def test_round4_operators_on_empty(spark):
+    """Round-4 additions: SemDeDup, in-plan kmeans, BPE induction,
+    hard negatives, incremental embedding flags, aHash — all return
+    empty (correct-schema) results on empty input, no crash."""
+    from stream_spark.operators.bpe import bpe_merge_rounds
+    from stream_spark.operators.clustering import kmeans_assign_inplan, semantic_dedup_clusters
+    from stream_spark.operators.multimodal import ahash_image
+    from stream_spark.operators.similarity import hard_negatives, incremental_embedding_flags
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup_clusters(empty_vecs).count() == 0
+    assert kmeans_assign_inplan(empty_vecs, k=4).count() == 0
+
+    empty_toked = spark.createDataFrame([], "doc_id long, toks array<string>")
+    out = bpe_merge_rounds(empty_toked, rounds=2)
+    assert out.count() == 0
+    assert set(out.columns) == {"round", "tok_a", "tok_b", "pair_count"}
+
+    labeled = "vec_id long, embedding array<float>, label int"
+    empty_lab = spark.createDataFrame([], labeled)
+    one_lab = spark.createDataFrame([(1, [1.0, 0.0], 0)], labeled)
+    assert hard_negatives(empty_lab, one_lab, 3).count() == 0
+    assert hard_negatives(one_lab, empty_lab, 3).count() == 0
+
+    assert incremental_embedding_flags(empty_vecs, empty_vecs).count() == 0
+    one_vec = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    # empty corpus -> nothing to collide with: batch rows all is_dup=0
+    flags = incremental_embedding_flags(one_vec, empty_vecs).collect()
+    assert [(r["vec_id"], r["is_dup"]) for r in flags] == [(1, 0)]
+
+    empty_media = spark.createDataFrame([], "doc_id long, payload binary")
+    assert ahash_image(empty_media).count() == 0

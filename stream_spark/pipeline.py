@@ -244,6 +244,43 @@ def _stage_sample(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     return deterministic_sample(df, s.get("id", "doc_id"), float(s["rate"]))
 
 
+def _stage_quality_gate(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
+    """Gopher quality gate as a declarative pipeline stage: keep rows
+    passing all rules (thresholds from settings; defaults = the
+    operator's paper values). With ``emit_flags: true`` the per-rule
+    0/1 columns stay on the frame for rejection-rate reporting."""
+    from stream_spark.operators.text import gopher_rules
+
+    gated = gopher_rules(
+        df,
+        text_col=s.get("column", "text"),
+        min_words=int(s.get("minWords", 50)),
+        max_words=int(s.get("maxWords", 100_000)),
+        min_mean_len=float(s.get("minMeanLen", 3.0)),
+        max_mean_len=float(s.get("maxMeanLen", 10.0)),
+        min_alpha_frac=float(s.get("minAlphaFrac", 0.8)),
+        min_stop_hits=int(s.get("minStopHits", 2)),
+    )
+    kept = gated.filter(F.col("gopher_keep") == 1)
+    if s.get("emit_flags"):
+        return kept
+    added = [c for c in kept.columns if c not in df.columns]
+    return kept.drop(*added)
+
+
+def _stage_langid(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
+    """Language-ID stage: adds ``predicted_lang`` (stopword-hit
+    heuristic, deterministic tie-break); ``keep: [langs]`` filters to
+    the allowed set — the corpus-curation language gate."""
+    from stream_spark.operators.text import STOPWORDS, langid
+
+    out = langid(df, text_col=s.get("column", "text"))
+    out = out.drop(*[f"hits_{lang}" for lang in STOPWORDS])
+    if s.get("keep"):
+        out = out.filter(F.col("predicted_lang").isin(*s["keep"]))
+    return out
+
+
 def _stage_sink(df, s, pipe, spark, sf_dir):
     """Terminal write stage: persist the pipeline's current frame to
     parquet/csv/json, optionally hive-partitioned or z-order
@@ -281,6 +318,8 @@ STAGE_TYPES: dict[str, Callable] = {
     "log": _stage_log,
     "dedup": _stage_dedup,
     "sample": _stage_sample,
+    "quality_gate": _stage_quality_gate,
+    "langid": _stage_langid,
     "sink": _stage_sink,
 }
 

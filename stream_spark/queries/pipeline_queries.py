@@ -339,3 +339,73 @@ def pipeline_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return pipe.run(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Curation pipeline: langid -> quality gate -> dedup -> sample, all DSL
+
+from stream_spark.operators.text import STOPWORDS as _LID_STOP  # noqa: E402
+from stream_spark.queries.text_queries import TOKS as _P_TOKS, _STOP_IN as _P_STOP  # noqa: E402
+
+
+def _curation_oracle() -> str:
+    hit_cols = ",\n               ".join(
+        f"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"w -> w IN ({', '.join(repr(w) for w in words)}))) AS BIGINT) AS hits_{lang}"
+        for lang, words in _LID_STOP.items()
+    )
+    pred = "'unknown'"
+    hits = "0"
+    for lang in _LID_STOP:  # fixed order + strict > = the operator's tie-break
+        pred = f"CASE WHEN hits_{lang} > ({hits}) THEN '{lang}' ELSE ({pred}) END"
+        hits = f"CASE WHEN hits_{lang} > ({hits}) THEN hits_{lang} ELSE ({hits}) END"
+    return f"""
+    WITH lid AS (
+        SELECT doc_id, text,
+               {hit_cols}
+        FROM documents
+    ),
+    lpred AS (SELECT doc_id, text, {pred} AS predicted_lang FROM lid),
+    en AS (SELECT doc_id, text, predicted_lang FROM lpred WHERE predicted_lang IN ('en', 'fr')),
+    feat AS (SELECT doc_id, text, predicted_lang, {_P_TOKS} AS ws FROM en),
+    gated AS (
+        SELECT doc_id, text, predicted_lang FROM feat
+        WHERE len(ws) BETWEEN 20 AND 100000
+          AND list_aggregate(list_transform(ws, w -> length(w)), 'sum') / len(ws)
+              BETWEEN 3.0 AND 10.0
+          AND len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) / len(ws) >= 0.8
+          AND len(list_filter(ws, w -> w IN ({_P_STOP}))) >= 2
+    ),
+    keyed AS (
+        SELECT doc_id, predicted_lang,
+               CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS ck
+        FROM gated
+    ),
+    keep AS (SELECT ck, MIN(doc_id) AS doc_id FROM keyed GROUP BY ck)
+    SELECT k.doc_id, k.predicted_lang
+    FROM keyed k JOIN keep USING (ck, doc_id)
+    WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000
+    """
+
+
+@register("pipeline_curation", oracle=_curation_oracle())
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation recipe as DECLARATIVE JSON — language
+    gate (stopword-hit langid, keep en/fr) → Gopher quality gate
+    (relaxed word floor for the short test docs) → exact dedup →
+    reproducible 80% sample → projection. One composed Catalyst plan
+    from five DSL stages; the oracle replays every stage in SQL."""
+    pipe = Pipeline.from_dict(
+        {
+            "name": "curation",
+            "source": {"table": "documents"},
+            "stages": [
+                {"type": "langid", "settings": {"column": "text", "keep": ["en", "fr"]}},
+                {"type": "quality_gate", "settings": {"column": "text", "minWords": 20}},
+                {"type": "dedup", "settings": {"column": "text", "id": "doc_id"}},
+                {"type": "sample", "settings": {"rate": 0.8, "id": "doc_id"}},
+                {"type": "select", "settings": {"columns": ["doc_id", "predicted_lang"]}},
+            ],
+        }
+    )
+    return pipe.run(spark, sf_dir)

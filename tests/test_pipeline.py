@@ -351,3 +351,47 @@ def test_from_uri_resource_and_bad_scheme(spark, sf_dir):
     assert out.count() > 0
     with pytest.raises(ValueError, match="scheme"):
         Pipeline.from_uri("ftp://nope", {"table": "events"})
+
+
+def test_quality_gate_and_langid_stages(spark, sf_dir):
+    """The curation stage types: quality_gate drops failing docs and
+    (default) leaves the schema unchanged; emit_flags keeps the rule
+    columns; langid adds predicted_lang and keep filters to the set."""
+    from stream_spark.pipeline import Pipeline
+
+    base = Pipeline.from_dict(
+        {"name": "p", "source": {"table": "documents"}, "stages": []}
+    ).run(spark, sf_dir)
+
+    gated = Pipeline.from_dict(
+        {
+            "name": "p",
+            "source": {"table": "documents"},
+            "stages": [{"type": "quality_gate", "settings": {"minWords": 20}}],
+        }
+    ).run(spark, sf_dir)
+    assert gated.columns == base.columns           # flags dropped by default
+    assert 0 < gated.count() < base.count()        # gate actually rejects
+
+    flagged = Pipeline.from_dict(
+        {
+            "name": "p",
+            "source": {"table": "documents"},
+            "stages": [
+                {"type": "quality_gate", "settings": {"minWords": 20, "emit_flags": True}}
+            ],
+        }
+    ).run(spark, sf_dir)
+    assert "gopher_keep" in flagged.columns and "rule_n_words" in flagged.columns
+    assert flagged.filter("gopher_keep != 1").count() == 0
+
+    lid = Pipeline.from_dict(
+        {
+            "name": "p",
+            "source": {"table": "documents"},
+            "stages": [{"type": "langid", "settings": {"keep": ["en"]}}],
+        }
+    ).run(spark, sf_dir)
+    assert "predicted_lang" in lid.columns
+    assert lid.filter("predicted_lang != 'en'").count() == 0
+    assert lid.count() > 0

@@ -348,7 +348,10 @@ from stream_spark.operators.text import STOPWORDS as _LID_STOP  # noqa: E402
 from stream_spark.queries.text_queries import TOKS as _P_TOKS, _STOP_IN as _P_STOP  # noqa: E402
 
 
-def _curation_oracle() -> str:
+def curation_gate_ctes(keep: tuple[str, ...] | None = ("en", "fr"), min_stop_hits: int = 2) -> str:
+    """CTE chain replaying the langid (keep-set filter; None = all) +
+    Gopher gate stages — shared by the batch and streaming curation
+    oracles. Ends with ``gated(doc_id, text, predicted_lang)``."""
     hit_cols = ",\n               ".join(
         f"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
         f"w -> w IN ({', '.join(repr(w) for w in words)}))) AS BIGINT) AS hits_{lang}"
@@ -359,14 +362,14 @@ def _curation_oracle() -> str:
     for lang in _LID_STOP:  # fixed order + strict > = the operator's tie-break
         pred = f"CASE WHEN hits_{lang} > ({hits}) THEN '{lang}' ELSE ({pred}) END"
         hits = f"CASE WHEN hits_{lang} > ({hits}) THEN hits_{lang} ELSE ({hits}) END"
-    return f"""
-    WITH lid AS (
+    return f"""lid AS (
         SELECT doc_id, text,
                {hit_cols}
         FROM documents
     ),
     lpred AS (SELECT doc_id, text, {pred} AS predicted_lang FROM lid),
-    en AS (SELECT doc_id, text, predicted_lang FROM lpred WHERE predicted_lang IN ('en', 'fr')),
+    en AS (SELECT doc_id, text, predicted_lang FROM lpred
+           {"WHERE predicted_lang IN (" + ", ".join(repr(k) for k in keep) + ")" if keep else ""}),
     feat AS (SELECT doc_id, text, predicted_lang, {_P_TOKS} AS ws FROM en),
     gated AS (
         SELECT doc_id, text, predicted_lang FROM feat
@@ -374,8 +377,13 @@ def _curation_oracle() -> str:
           AND list_aggregate(list_transform(ws, w -> length(w)), 'sum') / len(ws)
               BETWEEN 3.0 AND 10.0
           AND len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) / len(ws) >= 0.8
-          AND len(list_filter(ws, w -> w IN ({_P_STOP}))) >= 2
-    ),
+          AND len(list_filter(ws, w -> w IN ({_P_STOP}))) >= {min_stop_hits}
+    )"""
+
+
+def _curation_oracle() -> str:
+    return f"""
+    WITH {curation_gate_ctes()},
     keyed AS (
         SELECT doc_id, predicted_lang,
                CAST(('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS ck

@@ -308,6 +308,52 @@ def streaming_pipeline_flogo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from stream_spark.queries.pipeline_queries import curation_gate_ctes as _cur_ctes  # noqa: E402
+
+
+@register(
+    "streaming_pipeline_curation",
+    oracle=f"""
+    WITH {_cur_ctes(keep=None, min_stop_hits=0)}
+    SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM gated GROUP BY predicted_lang
+    """,
+)
+def streaming_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DSL stages on a LIVE document stream: langid and
+    quality_gate are stateless Catalyst projections (streaming-legal
+    as-is), so the same JSON pipeline compiles onto a readStream frame
+    via Pipeline.run_on; the per-language accept counts aggregate in
+    complete mode across 4 replayed micro-batches — an online ingest
+    gate with its language-mix dashboard."""
+    from stream_spark.pipeline import Pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = f"{_SCRATCH}/pipeline_curation"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, docs, stage, n_slices=4)
+    pipe = Pipeline.from_dict(
+        {
+            "name": "stream_curation",
+            "source": {"table": "documents"},
+            "stages": [
+                {"type": "langid", "settings": {"column": "text"}},
+                {
+                    "type": "quality_gate",
+                    "settings": {"column": "text", "minWords": 20, "minStopHits": 0},
+                },
+            ],
+        }
+    )
+    gated = pipe.run_on(stream, spark)
+    out = run_stream_to_memory(
+        gated.groupBy("predicted_lang").agg(F.count("*").cast("long").alias("n_docs")),
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return out
+
+
 @register(
     "streaming_merge_sources",
     oracle=f"""

@@ -86,6 +86,108 @@ def pq_codes(
     ).select("id", F.col("sc.sub").alias("sub"), F.col("sc.code").cast("long").alias("code"))
 
 
+def topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    topk: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = N_SUB,
+    k: int = K_CODES,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ — the composition production ANN systems actually run
+    (FAISS IVFPQ; Jégou et al. §V): a coarse quantizer prunes the
+    corpus to ``n_probe`` of ``n_cells`` inverted lists, and asymmetric
+    PQ distance ranks only the codes in the probed cells. Per query the
+    work is (corpus/n_cells)·n_probe code rows × n_sub LUT lookups —
+    both the scan volume (IVF) and the per-vector cost (PQ) drop,
+    which is why this shape scales to billions of vectors.
+
+    Deterministic like its parts: cells seed from the n_cells
+    lowest-id corpus vectors (cosine argmax, ties to lowest cell),
+    codebooks from the k lowest-id vectors, distances exact-decimal —
+    the SQL oracle replays coarse assignment, encoding, probing, and
+    the LUT sum bit-for-bit. Scale shape: cell assignment + encoding
+    are one map-only corpus scan; the probe is an equi-join on cell;
+    the LUT is bounded (queries × n_sub × k) and broadcast."""
+    from pyspark.sql import Window
+
+    from stream_spark.operators.similarity import cosine
+
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_cells)
+        .collect()  # bounded metadata collect: n_cells rows by contract
+    )
+    cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
+
+    def cell_scores(vec):
+        entries = []
+        for j, cw in enumerate(cent_vecs):
+            lit = F.array(*[F.lit(w) for w in cw])
+            entries.append(F.struct(cosine(vec, lit).alias("c"), F.lit(-j).alias("nj")))
+        return F.array(*entries)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        (-F.array_max(cell_scores(F.col(vec_col))).getField("nj")).alias("cell"),
+    )
+    codes = pq_codes(corpus, id_col, vec_col, n_sub, k, dim).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    cell_codes = codes.join(assigned, "neighbor_id")
+
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe).alias("tc"),
+        )
+        .select("query_id", F.explode("tc").alias("t"))
+        .select("query_id", (-F.col("t.nj")).alias("cell"))
+    )
+
+    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    sub = dim // n_sub
+    lut_entries = []
+    for s in range(n_sub):
+        part = F.slice(F.col(vec_col), s * sub + 1, sub)
+        for c in range(k):
+            lut_entries.append(
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.lit(c).cast("long").alias("code"),
+                    _sq_dist_dec(part, F.array(*[F.lit(w) for w in books[s][c]])).alias("d"),
+                )
+            )
+    lut = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(F.array(*lut_entries)).alias("e")
+    ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"), F.col("e.d").alias("d"))
+
+    scored = (
+        # broadcast-ok: probes is the contract-bounded query set × n_probe
+        cell_codes.join(F.broadcast(probes), "cell")
+        # broadcast-ok: lut is the contract-bounded query set × n_sub × k
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("decimal(30,12)").alias("_ad"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_ad"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_ad").cast("double").alias("adist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def topk_pq(
     queries: DataFrame,
     corpus: DataFrame,

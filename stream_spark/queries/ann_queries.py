@@ -851,3 +851,72 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_pq(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)
+
+
+@register(
+    "ann_topk_ivfpq",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    ivfc AS (
+        SELECT vec_id AS cent_vid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT {N_CELLS})
+    ),
+    ivf0 AS (SELECT ct.cell, e.i, e.x FROM ivfc ct JOIN e ON e.vec_id = ct.cent_vid),
+    ivf0n AS (SELECT cell, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+              FROM ivf0 GROUP BY cell),
+    icos AS (
+        SELECT v.vec_id, c.cell,
+               CAST(SUM(CAST(v.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (n.nrm * cn.nrm) AS cos
+        FROM e v JOIN ivf0 c ON c.i = v.i
+        JOIN norms n ON n.vec_id = v.vec_id JOIN ivf0n cn ON cn.cell = c.cell
+        GROUP BY v.vec_id, c.cell, n.nrm, cn.nrm
+    ),
+    iassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM icos WHERE vec_id >= 10
+        ) WHERE rn = 1
+    ),
+    iprobe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM icos WHERE vec_id < 10
+        ) WHERE rn <= {N_PROBE}
+    ),
+    {_PQ_CODES.format(corpus_pred="vec_id >= 10", code_pred="v.vec_id >= 10")},
+    lut AS (
+        SELECT q.vec_id AS query_id, cb.sub, cb.code,
+               CAST(SUM(CAST((q.x - cb.w) * (q.x - cb.w) AS DECIMAL(28,12))) AS DECIMAL(30,12)) AS d
+        FROM e q JOIN cb ON (q.i - 1) // 8 = cb.sub AND (q.i - 1) % 8 = cb.j
+        WHERE q.vec_id < 10
+        GROUP BY query_id, cb.sub, cb.code
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(l.d) AS DECIMAL(30,12)) AS adist
+        FROM iprobe p
+        JOIN iassign a ON a.cell = p.cell
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+        GROUP BY p.query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(adist AS DOUBLE) AS adist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the composition production ANN runs (FAISS
+    IVFPQ): coarse cosine cells prune the corpus to {N_PROBE}/{N_CELLS}
+    inverted lists, asymmetric PQ distance ranks only the probed
+    codes. Per query: (corpus/{N_CELLS})·{N_PROBE} code rows × {N_SUB}
+    LUT lookups — scan volume AND per-vector cost both drop, the
+    billion-vector scale shape. The oracle replays coarse assignment,
+    encoding, probing, and the LUT sum bit-for-bit."""
+    from stream_spark.operators.pq import topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_ivfpq(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)

@@ -459,3 +459,26 @@ def test_hard_negatives_exclude_query_label(spark, sf_dir):
         assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
         coss = [cs for _, cs in ranks]
         assert coss == sorted(coss, reverse=True)
+
+
+def test_ivfpq_agrees_with_pq_on_overlap(spark, sf_dir):
+    """IVF-PQ = PQ restricted to probed cells: every (query, neighbor)
+    it returns must carry the IDENTICAL asymmetric distance the
+    full-scan PQ computes, and per-query ranks are contiguous."""
+    from stream_spark.operators.pq import topk_ivfpq, topk_pq
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    full = {(r["query_id"], r["neighbor_id"]): r["adist"] for r in topk_pq(q, c, 50).collect()}
+    ivf = topk_ivfpq(q, c, 5).collect()
+    assert ivf, "no ivfpq results"
+    per_q: dict = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        key = (r["query_id"], r["neighbor_id"])
+        if key in full:
+            assert abs(r["adist"] - full[key]) < 1e-12
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -51,6 +51,13 @@ TIER2 = [
     "documents_boilerplate_share",
     "dedup_ngram_jaccard_capped",
     "corpus_tfidf_top_terms",
+    # round-4 flagships
+    "dedup_semantic_clusters",
+    "corpus_bpe_merges",
+    "corpus_token_drift",
+    "ann_topk_ivfpq",
+    "dedup_keep_best_quality",
+    "pipeline_curation",
 ]
 
 

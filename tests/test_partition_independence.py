@@ -15,6 +15,10 @@ SENSITIVE = [
     "dedup_minhash_lsh",           # banded bucket join
     "embeddings_kmeans",           # iterative w/ driver state
     "corpus_mix_sources",          # hash-threshold sampling
+    "dedup_semantic_clusters",     # in-plan kmeans + components (r4)
+    "corpus_bpe_merges",           # global top-1 + greedy fold (r4)
+    "corpus_token_drift",          # top-V vocab + integer rates (r4)
+    "ann_topk_ivfpq",              # coarse cells + LUT ranks (r4)
 ]
 
 

@@ -38,6 +38,62 @@ def _sq_dist_dec(a: Column, b: Column) -> Column:
     )
 
 
+def _sq_dist_float(a: Column, b: Column) -> Column:
+    """Fast double-fold squared L2 — prefilter only (error ~1e-13 rel)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_code(part: Column, books_lit: Column, k: int) -> Column:
+    """Two-phase exact argmin over ``k`` codebook entries: float
+    distances rank all codes (cheap double folds), the exact DECIMAL
+    distance re-resolves only codes within 1e-9 of the float minimum
+    (float error ≪ 1e-9, so the true decimal argmin is always among
+    them — usually exactly one). Ties go to the smaller code via the
+    (d, c) struct min, identical to the all-decimal formulation the
+    SQL oracle replays — but ~k× less decimal work per row.
+
+    Every stage is let-bound (``_bind_once``): HOF lambdas are
+    interpreted and re-inline shared subexpressions at each use site,
+    so without the bindings the float pass re-evaluates per filter
+    element (measured slower than the all-decimal original)."""
+    from stream_spark.operators.dedup import _bind_once
+
+    def inner(p: Column) -> Column:
+        fentries = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda c: F.struct(
+                _sq_dist_float(p, F.element_at(books_lit, (c + 1).cast("int"))).alias("fd"),
+                c.cast("long").alias("c"),
+            ),
+        )
+
+        def with_fe(fe: Column) -> Column:
+            def with_fmin(fm: Column) -> Column:
+                cands = F.filter(fe, lambda e: e.getField("fd") <= fm + F.lit(1e-9))
+                best = F.array_min(
+                    F.transform(
+                        cands,
+                        lambda e: F.struct(
+                            _sq_dist_dec(
+                                p, F.element_at(books_lit, (e.getField("c") + 1).cast("int"))
+                            ).alias("d"),
+                            e.getField("c").alias("c"),
+                        ),
+                    )
+                )
+                return best.getField("c")
+
+            return _bind_once(F.array_min(fe).getField("fd"), with_fmin)
+
+        return _bind_once(fentries, with_fe)
+
+    return _bind_once(part, inner)
+
+
 def _codebooks(corpus: DataFrame, id_col: str, vec_col: str, n_sub: int, k: int, dim: int):
     """n_sub × k × (dim/n_sub) centroid floats from the k lowest-id
     corpus vectors (bounded metadata collect)."""
@@ -69,17 +125,9 @@ def pq_codes(
     entries = []
     for s in range(n_sub):
         part = F.slice(F.col(vec_col), s * sub + 1, sub)
-        best = F.array(
-            *[
-                F.struct(
-                    _sq_dist_dec(part, F.array(*[F.lit(w) for w in books[s][c]])).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(k)
-            ]
-        )
+        books_lit = F.array(*[F.array(*[F.lit(w) for w in books[s][c]]) for c in range(k)])
         entries.append(
-            F.struct(F.lit(s).alias("sub"), F.array_min(best).getField("c").alias("code"))
+            F.struct(F.lit(s).alias("sub"), _argmin_code(part, books_lit, k).alias("code"))
         )
     return corpus.select(
         F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("sc")
@@ -115,7 +163,7 @@ def topk_ivfpq(
     the LUT is bounded (queries × n_sub × k) and broadcast."""
     from pyspark.sql import Window
 
-    from stream_spark.operators.similarity import cosine
+    from stream_spark.operators.similarity import assign_cell_two_phase, cosine
 
     cents = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -134,7 +182,7 @@ def topk_ivfpq(
 
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        (-F.array_max(cell_scores(F.col(vec_col))).getField("nj")).alias("cell"),
+        assign_cell_two_phase(F.col(vec_col), cent_vecs).alias("cell"),
     )
     codes = pq_codes(corpus, id_col, vec_col, n_sub, k, dim).withColumnRenamed(
         "id", "neighbor_id"

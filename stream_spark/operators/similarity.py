@@ -479,6 +479,97 @@ N_CELLS = 16
 N_PROBE = 4
 
 
+def assign_cell_two_phase(vec: Column, cent_vecs: list[list[float]]) -> Column:
+    """Exact nearest-cell argmax with k× less decimal work: float
+    cosines rank all cells (cheap double folds over an indexed literal
+    centroid matrix), the exact DECIMAL cosine re-resolves only cells
+    within 1e-6 of the float maximum (float error ≪ 1e-6 ⇒ the true
+    decimal argmax is always among them). Ties to the lowest cell via
+    the (cos, -cell) struct max — identical to the all-decimal
+    formulation the SQL oracles replay. This is the corpus-side
+    assignment path of the IVF family; query-side probing stays
+    all-decimal (query sets are contract-bounded)."""
+    from stream_spark.operators.dedup import _bind_once
+
+    n = len(cent_vecs)
+    cents_lit = F.array(*[F.array(*[F.lit(w) for w in cv]) for cv in cent_vecs])
+    # centroid float norms precomputed driver-side (same IEEE double
+    # ops the JVM fold would run; prefilter-only so the 1e-6 margin
+    # absorbs any ordering difference anyway)
+    fnorms = [sum(w * w for w in cv) ** 0.5 for cv in cent_vecs]
+    fnorms_lit = F.array(*[F.lit(x) for x in fnorms])
+
+    def _fdot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def inner(v: Column) -> Column:
+        fnv = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+        def with_fnv(fn_v: Column) -> Column:
+            fentries = F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda j: F.struct(
+                    (
+                        _fdot(v, F.element_at(cents_lit, (j + 1).cast("int")))
+                        / (fn_v * F.element_at(fnorms_lit, (j + 1).cast("int")))
+                    ).alias("fc"),
+                    (-j).cast("int").alias("nj"),
+                ),
+            )
+
+            def with_fe(fe: Column) -> Column:
+                def with_fmax(fm: Column) -> Column:
+                    cands = F.filter(fe, lambda e: e.getField("fc") >= fm - F.lit(1e-6))
+
+                    def with_dnorm(dn_v: Column) -> Column:
+                        best = F.array_max(
+                            F.transform(
+                                cands,
+                                lambda e: F.struct(
+                                    (
+                                        dot(
+                                            v,
+                                            F.element_at(
+                                                cents_lit, (-e.getField("nj") + 1).cast("int")
+                                            ),
+                                        )
+                                        / (
+                                            dn_v
+                                            * norm(
+                                                F.element_at(
+                                                    cents_lit,
+                                                    (-e.getField("nj") + 1).cast("int"),
+                                                )
+                                            )
+                                        )
+                                    ).alias("c"),
+                                    e.getField("nj").alias("nj"),
+                                ),
+                            )
+                        )
+                        return (-best.getField("nj")).cast("int")
+
+                    return _bind_once(norm(v), with_dnorm)
+
+                return _bind_once(F.array_max(fe).getField("fc"), with_fmax)
+
+            return _bind_once(fentries, with_fe)
+
+        return _bind_once(fnv, with_fnv)
+
+    return _bind_once(vec, inner)
+
+
 def topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -529,7 +620,7 @@ def topk_ivf(
     for _ in range(refine_iters):
         assigned_r = corpus.select(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-            (-F.array_max(cell_scores(F.col(vec_col))).getField("nj")).alias("cell"),
+            assign_cell_two_phase(F.col(vec_col), cent_vecs).alias("cell"),
         )
         rows = (
             assigned_r.select("cell", F.posexplode("v").alias("i", "x"))
@@ -548,7 +639,7 @@ def topk_ivf(
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        (-F.array_max(cell_scores(F.col(vec_col))).getField("nj")).alias("cell"),
+        assign_cell_two_phase(F.col(vec_col), cent_vecs).alias("cell"),
     )
     probes = (
         queries.select(

@@ -216,6 +216,44 @@ def boilerplate_share(
     )
 
 
+def langid_pred(text_col: Column) -> Column:
+    """``predicted_lang`` as ONE column expression: tokenization is
+    let-bound and evaluated once, per-language stopword hits come from
+    a single transform over an indexed literal stoplist matrix, and the
+    argmax folds with the same fixed-order strict-> tie-break as
+    ``langid``. The projection-collapse-proof path for pipelines that
+    only need the prediction — ``langid``'s five hit columns each
+    re-inline the tokenization when collapsed into one Project."""
+    from stream_spark.operators.dedup import _bind_once
+
+    langs = list(STOPWORDS)
+    stop_lits = F.array(*[F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs])
+
+    def inner(toks: Column) -> Column:
+        hits = F.transform(
+            F.sequence(F.lit(0), F.lit(len(langs) - 1)),
+            lambda i: F.size(
+                F.filter(
+                    toks,
+                    lambda w: F.array_contains(F.element_at(stop_lits, (i + 1).cast("int")), w),
+                )
+            ),
+        )
+
+        def with_hits(h: Column) -> Column:
+            best = F.lit("unknown")
+            best_hits = F.lit(0)
+            for i, lang in enumerate(langs):  # fixed order = deterministic tie-break
+                cond = F.element_at(h, i + 1) > best_hits
+                best = F.when(cond, F.lit(lang)).otherwise(best)
+                best_hits = F.when(cond, F.element_at(h, i + 1)).otherwise(best_hits)
+            return best
+
+        return _bind_once(hits, with_hits)
+
+    return _bind_once(tokens(F.lower(text_col)), inner)
+
+
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic with deterministic tie-break
     (langs checked in fixed order, strict > to switch)."""

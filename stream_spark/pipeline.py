@@ -226,14 +226,25 @@ def _stage_join(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
 def _stage_dedup(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     """Exact dedup as a pipeline stage: keep the min-``id`` row per
     normalized content key — deterministic under any partitioning
-    (dropDuplicates keeps an arbitrary row; min-id join does not)."""
+    (dropDuplicates keeps an arbitrary row; min-id does not). A
+    whole-partition window min (no orderBy — plain per-key aggregate,
+    no sort) replaces the earlier groupBy + semi-join: one shuffle on
+    the content key and ONE evaluation of the upstream plan, where the
+    join recomputed everything above it (the expensive langid/gate
+    stages of a curation pipeline) on both branches."""
+    from pyspark.sql.window import Window
+
     from stream_spark.operators.text import md5_long, normalize_text
 
     text_col = s.get("column", "text")
     id_col = s.get("id", "doc_id")
     keyed = df.withColumn("_ck", md5_long(normalize_text(F.col(text_col))))
-    keepers = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
-    return keyed.join(keepers, ["_ck", id_col], "left_semi").drop("_ck")
+    w = Window.partitionBy("_ck")
+    return (
+        keyed.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_ck", "_min_id")
+    )
 
 
 def _stage_sample(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
@@ -271,11 +282,12 @@ def _stage_quality_gate(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame
 def _stage_langid(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     """Language-ID stage: adds ``predicted_lang`` (stopword-hit
     heuristic, deterministic tie-break); ``keep: [langs]`` filters to
-    the allowed set — the corpus-curation language gate."""
-    from stream_spark.operators.text import STOPWORDS, langid
+    the allowed set — the corpus-curation language gate. Uses the
+    single-expression ``langid_pred`` (one tokenization per row; the
+    column-per-language variant re-inlines the split five times)."""
+    from stream_spark.operators.text import langid_pred
 
-    out = langid(df, text_col=s.get("column", "text"))
-    out = out.drop(*[f"hits_{lang}" for lang in STOPWORDS])
+    out = df.withColumn("predicted_lang", langid_pred(F.col(s.get("column", "text"))))
     if s.get("keep"):
         out = out.filter(F.col("predicted_lang").isin(*s["keep"]))
     return out

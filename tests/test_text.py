@@ -187,3 +187,21 @@ def test_bpe_merge_rounds_greedy_and_iterative(spark):
     assert merged[1] == ["a a", "a"]
     assert merged[2] == ["a a", "b"]
     assert merged[4] == ["c"] and merged[5] == []
+
+
+def test_langid_pred_matches_column_variant(spark, sf_dir):
+    """The single-expression langid_pred must agree row-for-row with
+    langid()'s predicted_lang (same stoplists, same fixed-order
+    strict-> tie-break)."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.text import langid, langid_pred
+    from stream_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["predicted_lang"] for r in langid(docs).select("doc_id", "predicted_lang").collect()}
+    b = {
+        r["doc_id"]: r["p"]
+        for r in docs.select("doc_id", langid_pred(F.col("text")).alias("p")).collect()
+    }
+    assert a == b

@@ -96,7 +96,11 @@ def bpe_merge_rounds(
             )
         )
         if r < rounds:
-            cur = apply_merge(cur, rule, toks_col)
+            # checkpoint per round (same discipline as components /
+            # pagerank): truncates the growing fold lineage so round r
+            # never re-runs rounds < r, and each pair-count shuffle
+            # reads materialized token arrays instead of a re-derivation
+            cur = apply_merge(cur, rule, toks_col).localCheckpoint()
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

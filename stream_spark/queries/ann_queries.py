@@ -319,10 +319,7 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_audio(synthetic_audio_table(docs), rate=16000)
 
 
-@register(
-    "multimodal_image_ahash",
-    oracle="""
-    WITH pos AS (
+_AHASH_CTES = """pos AS (
         SELECT d.doc_id,
                4 + d.doc_id % 5 AS w, 3 + d.doc_id % 4 AS h,
                y.y, x.x
@@ -337,14 +334,23 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
               + ((doc_id + ((y * h // 4) * w + (x * w // 4)) * 3 + 2) % 256)) // 3 AS gray
         FROM pos
     ),
-    t AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id)
-    SELECT g.doc_id,
-           CAST(MAX(g.w) AS BIGINT) AS img_width,
-           CAST(MAX(g.h) AS BIGINT) AS img_height,
-           CAST(SUM(CASE WHEN g.gray * 16 >= t.total
-                         THEN 1 << (g.y * 4 + g.x) ELSE 0 END) AS BIGINT) AS ahash
-    FROM g JOIN t USING (doc_id)
-    GROUP BY g.doc_id
+    t AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id),
+    ahashes AS (
+        SELECT g.doc_id,
+               CAST(MAX(g.w) AS BIGINT) AS img_width,
+               CAST(MAX(g.h) AS BIGINT) AS img_height,
+               CAST(SUM(CASE WHEN g.gray * 16 >= t.total
+                             THEN 1 << (g.y * 4 + g.x) ELSE 0 END) AS BIGINT) AS ahash
+        FROM g JOIN t USING (doc_id)
+        GROUP BY g.doc_id
+    )"""
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle=f"""
+    WITH {_AHASH_CTES}
+    SELECT doc_id, img_width, img_height, ahash FROM ahashes
     """,
 )
 def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -869,6 +869,50 @@ def streaming_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from stream_spark.queries.ann_queries import _AHASH_CTES  # noqa: E402
+
+
+@register(
+    "streaming_dedup_ahash",
+    oracle=f"""
+    WITH {_AHASH_CTES},
+    dups AS (
+        SELECT DISTINCT b.doc_id FROM ahashes a
+        JOIN ahashes b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM documents d LEFT JOIN dups dup ON d.doc_id = dup.doc_id
+    """,
+)
+def streaming_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online IMAGE near-dup on a live media stream: synthetic PPM
+    encode and the perceptual aHash both run as stateless Arrow
+    mapInPandas stages on the stream (codec work is the honest Python
+    cost), feeding the shared first-seen fold keyed by the 16-bit
+    hash — one long of state per live hash. Replayed in doc-id order;
+    the oracle recomputes every hash arithmetically and flags later
+    ids whose hash an earlier image already claimed."""
+    from stream_spark.operators.multimodal import synthetic_image_table
+    from stream_spark.streaming import ordered_replay_stream
+    from stream_spark.streaming.dedup import streaming_ahash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = f"{_SCRATCH}/dedup_ahash"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = ordered_replay_stream(spark, docs.select("doc_id"), stage, ["doc_id"], n_slices=4)
+    media = synthetic_image_table(stream)
+    out = run_stream_to_memory(
+        streaming_ahash_dedup(media), output_mode="append", state_partitions=16
+    )
+    flags = out.groupBy(F.col("doc").alias("_doc")).agg(F.max("hit").cast("long").alias("is_dup"))
+    return (
+        docs.select("doc_id")
+        .join(flags, docs.doc_id == flags._doc, "left")
+        .select("doc_id", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"))
+    )
+
+
 from stream_spark.queries.text_queries import TOKS as _TOKS, _STOP_IN  # noqa: E402
 
 

@@ -115,6 +115,27 @@ def first_seen_fold(bands: DataFrame) -> DataFrame:
     )
 
 
+def streaming_ahash_dedup(
+    stream: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Online IMAGE near-dup detection: perceptual average-hash per
+    arriving image (stateless mapInPandas — Python is the honest cost
+    of codec work, Arrow-batched, no state) into the shared first-seen
+    fold keyed by the 16-bit hash. Flags every image whose aHash was
+    already claimed by an earlier id — catches re-encoded /
+    brightness-shifted duplicates byte hashing misses, at one long of
+    state per live hash."""
+    from stream_spark.operators.multimodal import ahash_image
+
+    hashed = ahash_image(stream.select(F.col(id_col), F.col(payload_col)))
+    bands = hashed.select(
+        F.col("doc_id").alias("doc"), F.lit(0).alias("band"), F.col("ahash").alias("bucket")
+    )
+    return first_seen_fold(bands)
+
+
 def streaming_embedding_dedup(
     stream: DataFrame,
     vec_col: str = "embedding",

@@ -70,7 +70,7 @@ def apply_merge(toked: DataFrame, rule: DataFrame, toks_col: str = "toks") -> Da
 
     # broadcast-ok: rule is a 1-row top-1 aggregate by construction
     out = toked.withColumn("_one", F.lit(1)).join(
-        F.broadcast(rule.withColumn("_one", F.lit(1))), "_one"
+        F.broadcast(rule.withColumn("_one", F.lit(1))), "_one"  # broadcast-ok: 1-row top-1 aggregate
     )
     folded = F.aggregate(F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
                          F.slice(toks, 1, 1), step)

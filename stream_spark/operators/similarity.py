@@ -404,6 +404,7 @@ def hard_negatives(
     )
     # broadcast-ok: q is the contract-bounded query set, not the corpus
     pre = (
+        # broadcast-ok: q is the contract-bounded query set, not the corpus
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("ql") != F.col("cl"))

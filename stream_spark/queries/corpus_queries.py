@@ -258,14 +258,14 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tot.orderBy(F.col("ct").desc(), "tok").limit(_DRIFT_V)
     # broadcast-ok: vocabulary is LIMIT {_DRIFT_V} rows by construction
     sc = (
-        tok.join(F.broadcast(vocab.select("tok")), "tok")
+        tok.join(F.broadcast(vocab.select("tok")), "tok")  # broadcast-ok: LIMIT-bounded vocabulary
         .groupBy("source", "tok")
         .agg(F.count("*").alias("cs"))
     )
     sources = docs.select("source").distinct().withColumn("_one", F.lit(1))
     # broadcast-ok: vocabulary is LIMIT {_DRIFT_V} rows by construction
     grid = (
-        sources.join(F.broadcast(vocab.withColumn("_one", F.lit(1))), "_one")
+        sources.join(F.broadcast(vocab.withColumn("_one", F.lit(1))), "_one")  # broadcast-ok: LIMIT-bounded vocabulary
         .select("source", "tok", "ct")
         .join(sc, ["source", "tok"], "left")
         .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)))

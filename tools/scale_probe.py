@@ -49,6 +49,10 @@ PROBE = [
     # embedding fold is bounded-state like its minhash twin
     "dedup_semantic_clusters",
     "streaming_dedup_embedding",
+    "corpus_bpe_merges",
+    "dedup_keep_best_quality",
+    "ann_topk_ivfpq",
+    "pipeline_curation",
 ]
 
 

@@ -11,6 +11,8 @@ order-free; the count-window state fold sorts by (ts, event_id)).
 
 from __future__ import annotations
 
+import atexit
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,7 +29,13 @@ from stream_spark.streaming import (
     streaming_tumbling_time_window,
 )
 
-_SCRATCH = "/root/repo/.scratch/queries"
+# staging is PER-PROCESS: two gate/probe/bench processes running the
+# same streaming query used to rmtree each other's staged replay files
+# mid-job (observed as a FILE_NOT_EXIST flake when the full gate and
+# the scale probe overlapped). Best-effort cleanup at interpreter exit;
+# a crash leaves a stale dir under .scratch, which is disposable.
+_SCRATCH = f"/root/repo/.scratch/queries-{os.getpid()}"
+atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
 _HOUR = 3_600_000
 _DSUM = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
 

@@ -482,3 +482,36 @@ def test_ivfpq_agrees_with_pq_on_overlap(spark, sf_dir):
             assert abs(r["adist"] - full[key]) < 1e-12
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_two_phase_tie_resolves_to_lowest_code_and_cell(spark):
+    """Identical seed vectors make codebook entries 0 and 1 exactly
+    equidistant from every row — the float prefilter keeps BOTH and
+    the decimal phase must re-resolve to the LOWER code/cell, proving
+    the two-phase path's tie contract (not just its fast path)."""
+    from stream_spark.operators.clustering import kmeans_assign_inplan
+    from stream_spark.operators.pq import pq_codes
+    from stream_spark.operators.similarity import assign_cell_two_phase
+    from pyspark.sql import functions as F
+
+    base = [float((i * 3) % 7 - 3) for i in range(64)]
+    other = [float((i * 5) % 11 - 5) for i in range(64)]
+    rows = [(0, base), (1, base), (2, other), (3, [x + 0.25 for x in base])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    codes = pq_codes(emb, k=2).collect()
+    assert codes, "no codes"
+    # seeds 0 and 1 identical -> both codebook entries equal -> every
+    # (id, sub) must carry code 0
+    assert all(r["code"] == 0 for r in codes)
+
+    cents = [base, base, other]
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", assign_cell_two_phase(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    # cells 0 and 1 are identical centroids: ties must go to cell 0
+    assert got[0] == 0 and got[1] == 0 and got[3] == 0
+    assert got[2] == 2

@@ -77,6 +77,23 @@ def apply_merge(toked: DataFrame, rule: DataFrame, toks_col: str = "toks") -> Da
     return out.withColumn(toks_col, folded).drop("a", "b", "merged", "pair_count", "_one")
 
 
+def bpe_apply_rounds(
+    toked: DataFrame, rounds: int = 3, toks_col: str = "toks"
+) -> DataFrame:
+    """ENCODE with the induced tokenizer: learn ``rounds`` merge rules
+    exactly as ``bpe_merge_rounds`` does and return the corpus with
+    every rule applied (the train→apply pair). Same per-round
+    checkpoint discipline; the output frame carries the final
+    ``toks_col``."""
+    cur = toked
+    for r in range(1, rounds + 1):
+        rule = top_merge(adjacent_pair_counts(cur, toks_col))
+        cur = apply_merge(cur, rule, toks_col)
+        if r < rounds:
+            cur = cur.localCheckpoint()
+    return cur
+
+
 def bpe_merge_rounds(
     toked: DataFrame, rounds: int = 3, toks_col: str = "toks"
 ) -> DataFrame:

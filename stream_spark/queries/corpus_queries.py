@@ -617,3 +617,62 @@ def corpus_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFram
             F.countDistinct("doc_b").alias("n_dup_docs"),
         )
     )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Like _bpe_oracle but applies EVERY learned rule (t{rounds}) and
+    emits per-doc raw vs encoded token counts."""
+    ctes = [
+        """t0 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), tk -> length(tk) > 0) AS toks
+        FROM documents
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b, COUNT(*) AS c
+        FROM t{r - 1}, unnest(generate_series(1, len(toks) - 1)) s(i)
+        GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT a, b, a || ' ' || b AS mm, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    t{r} AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) <= 1 THEN toks
+                    ELSE list_reduce(list_transform(toks, x -> [x]),
+                         (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                                          THEN list_append(acc[:len(acc) - 1], m.mm)
+                                          ELSE list_append(acc, x[1]) END)
+               END AS toks
+        FROM t{r - 1}, m{r} m
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT t0.doc_id,
+           CAST(len(t0.toks) AS BIGINT) AS n_tokens_raw,
+           CAST(len(tf.toks) AS BIGINT) AS n_tokens_bpe
+    FROM t0 JOIN t{rounds} tf USING (doc_id)"""
+    )
+
+
+@register("corpus_bpe_encode", oracle=_bpe_encode_oracle(_BPE_ROUNDS))
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer train→APPLY pair: induce the merge table exactly
+    as corpus_bpe_merges does, then encode the whole corpus with it and
+    account the compression per document (raw vs post-merge token
+    counts — the number a context-length budget planner needs). Encode
+    is rounds× map-only greedy folds; the oracle replays training and
+    application for every document."""
+    from stream_spark.operators.bpe import bpe_apply_rounds
+    from stream_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0).alias("toks")
+    )
+    raw = toked.select("doc_id", F.size("toks").cast("long").alias("n_tokens_raw"))
+    enc = bpe_apply_rounds(toked, rounds=_BPE_ROUNDS).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens_bpe")
+    )
+    return raw.join(enc, "doc_id")

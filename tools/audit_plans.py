@@ -48,6 +48,7 @@ SCALAR_SUBQUERY_OK = {
     # onto the corpus for the application fold — a scalar subquery
     # per round by construction.
     "corpus_bpe_merges",
+    "corpus_bpe_encode",
 }
 
 

@@ -79,37 +79,66 @@ def streaming_minhash_dedup(
     return first_seen_fold(bands)
 
 
-def first_seen_fold(bands: DataFrame) -> DataFrame:
+def first_seen_fold(
+    bands: DataFrame, ttl_ms: int | None = None, ts_col: str = "ts"
+) -> DataFrame:
     """The ONE stateful stage shared by every online near-dup detector:
     given (doc, band, bucket) rows, fold per (band, bucket) keeping the
     smallest doc id ever seen for the bucket; a row hits when its bucket
     was already claimed by a smaller id (earlier batch, or earlier in
     this batch by id order). State per live bucket is a single long —
     documents and signatures never enter state. Emits (doc, band, hit)
-    in append mode."""
+    in append mode.
+
+    ``ttl_ms`` bounds state for ENDLESS streams (at crawl scale a
+    NoTimeout bucket set grows forever): rows must then carry an
+    epoch-ms ``ts_col``, state keeps the claim's last-seen event time,
+    and a claim older than ``ttl_ms`` relative to the arriving batch's
+    max event time is forgotten before the fold — "duplicates a doc
+    seen within the TTL horizon". Expiry is EVENT-time arithmetic
+    inside the fold (deterministic under replay — wall-clock
+    ProcessingTimeTimeout would make results run-dependent), so the
+    gate/pytest semantics are exact; a production deployment layers
+    GroupStateTimeout eviction on top to reclaim buckets that stop
+    receiving rows entirely."""
     from collections.abc import Iterator
     from typing import Any
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    with_ttl = ttl_ms is not None
+
     def first_seen(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = state.get[0] if state.exists else None
+        seen_ts = state.get[1] if (with_ttl and state.exists) else None
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc")
         out = []
-        for doc in batch["doc"]:
+        rows = zip(batch["doc"], batch[ts_col]) if with_ttl else ((d, None) for d in batch["doc"])
+        for doc, ts in rows:
             doc = int(doc)
+            if with_ttl and seen_ts is not None and seen_ts < int(ts) - ttl_ms:
+                # expiry is PER-ROW against that row's event time (a
+                # batch-level horizon would retro-expire claims before
+                # earlier rows of the same batch were judged), so
+                # results are micro-batch-slicing independent under
+                # id-ordered replay with id-monotone event times
+                seen = None
+                seen_ts = None
             out.append((doc, key[0], 1 if seen is not None and seen < doc else 0))
-            seen = doc if seen is None else min(seen, doc)
-        state.update((seen,))
+            if seen is None or doc < seen:
+                seen = doc
+            if with_ttl:
+                seen_ts = int(ts) if seen_ts is None else max(seen_ts, int(ts))
+        state.update((seen, seen_ts) if with_ttl else (seen,))
         yield pd.DataFrame(out, columns=["doc", "band", "hit"])
 
     return bands.groupBy("band", "bucket").applyInPandasWithState(
         first_seen,
         "doc long, band int, hit int",
-        "seen long",
+        "seen long, seen_ts long" if with_ttl else "seen long",
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -772,3 +772,39 @@ def test_stream_upsert_sink_idempotent_and_order_free(spark, tmp_path):
     )
     got = {r["k"]: (r["ver"], r["payload"]) for r in spark.read.parquet(target).collect()}
     assert got == want
+
+
+def test_first_seen_fold_event_time_ttl(spark, tmp_path):
+    """TTL-bounded first-seen: a bucket claim older than ttl_ms
+    relative to the arriving batch's max event time is forgotten, so a
+    late re-occurrence is NOT flagged (it becomes the new claim) while
+    within-horizon dups still are. Event-time arithmetic keeps it
+    deterministic under replay."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.streaming import ordered_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.dedup import first_seen_fold
+
+    rows = [
+        # (doc, band, bucket, ts_ms) — one bucket "X", one bucket "Y"
+        (1, 0, "X", 1_000),
+        (2, 0, "Y", 2_000),
+        (3, 0, "X", 3_000),      # X claimed at 1s, within 5s TTL -> dup
+        (4, 0, "X", 20_000),     # X claim last refreshed at 3s; 20s - 5s horizon -> expired -> NOT dup
+        (5, 0, "X", 21_000),     # X re-claimed by 4 at 20s -> dup again
+        (6, 0, "Y", 30_000),     # Y claim from 2s long expired -> NOT dup
+    ]
+    df = spark.createDataFrame(rows, "doc long, band int, bucket string, ts long")
+    stage = str(tmp_path / "ttl_fold")
+    stream = ordered_replay_stream(spark, df, stage, ["doc"], n_slices=3)
+    out = run_stream_to_memory(
+        first_seen_fold(stream, ttl_ms=5_000), output_mode="append"
+    )
+    flags = {r["doc"]: r["hit"] for r in out.collect()}
+    assert flags == {1: 0, 2: 0, 3: 1, 4: 0, 5: 1, 6: 0}
+
+    # without TTL the late re-occurrences ARE dups of the original ids
+    stream2 = ordered_replay_stream(spark, df, str(tmp_path / "nottl"), ["doc"], n_slices=3)
+    out2 = run_stream_to_memory(first_seen_fold(stream2.drop("ts")), output_mode="append")
+    flags2 = {r["doc"]: r["hit"] for r in out2.collect()}
+    assert flags2 == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 1}

@@ -926,3 +926,81 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_ivfpq(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), _K)
+
+
+@register(
+    "embeddings_split_drift",
+    oracle="""
+    WITH el AS (
+        SELECT em.label, em.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings em, unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    ma AS (
+        SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM el WHERE vec_id % 2 = 0 GROUP BY label, i
+    ),
+    mb AS (
+        SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM el WHERE vec_id % 2 = 1 GROUP BY label, i
+    ),
+    stats AS (
+        SELECT a.label,
+               CAST(SUM(CAST(a.m * b.m AS DECIMAL(28,12))) AS DOUBLE) AS d,
+               sqrt(CAST(SUM(CAST(a.m * a.m AS DECIMAL(28,12))) AS DOUBLE)) AS na,
+               sqrt(CAST(SUM(CAST(b.m * b.m AS DECIMAL(28,12))) AS DOUBLE)) AS nb
+        FROM ma a JOIN mb b ON a.label = b.label AND a.i = b.i
+        GROUP BY a.label
+    ),
+    cnts AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+               CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+        FROM embeddings GROUP BY label
+    )
+    SELECT CAST(s.label AS BIGINT) AS label, c.n_even, c.n_odd,
+           s.d / (s.na * s.nb) AS centroid_cosine
+    FROM stats s JOIN cnts c ON s.label = c.label
+    """,
+)
+def embeddings_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between the
+    even-id-half and odd-id-half centroids — split-half consistency.
+    A healthy homogeneous class sits near 1.0; a drop flags a shifted
+    or contaminated slice (the embedding twin of corpus_token_drift's
+    token-rate test). Two keyed (label, dim) aggregates with exact
+    decimal means, a dim-bounded join, decimal cosine — no per-vector
+    pairwork anywhere, linear at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select("label", "vec_id", F.posexplode("embedding").alias("i0", "xf")).select(
+        "label", "vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+
+    def half_means(parity: int):
+        return (
+            el.filter(F.col("vec_id") % 2 == parity)
+            .groupBy("label", "i")
+            .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+        )
+
+    ma = half_means(0).withColumnRenamed("m", "ma")
+    mb = half_means(1).withColumnRenamed("m", "mb")
+    dec = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    stats = (
+        ma.join(mb, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            dec(F.col("ma") * F.col("mb")).alias("d"),
+            F.sqrt(dec(F.col("ma") * F.col("ma"))).alias("na"),
+            F.sqrt(dec(F.col("mb") * F.col("mb"))).alias("nb"),
+        )
+    )
+    cnts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).cast("bigint").alias("n_even"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).cast("bigint").alias("n_odd"),
+    )
+    return stats.join(cnts, "label").select(
+        F.col("label").cast("bigint"),
+        "n_even",
+        "n_odd",
+        (F.col("d") / (F.col("na") * F.col("nb"))).alias("centroid_cosine"),
+    )

@@ -1102,3 +1102,65 @@ def streaming_count_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_id",
         (F.col("result").cast("decimal(18,4)").cast("double") / 50).alias("result"),
     )
+
+
+@register(
+    "streaming_count_window_count",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_type, CAST(floor((rn - 1) / 50) AS BIGINT) AS window_id,
+           CAST(COUNT(value) AS DOUBLE) AS result
+    FROM o GROUP BY event_type, window_id HAVING COUNT(*) = 50
+    """,
+)
+def streaming_count_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count over the stateful count-window fold — the last cell of the
+    streaming function × count-window matrix (aggregators.go:31-90
+    registers count for every window kind). Trivially always == size
+    for full windows, exactly as the reference emits it."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = f"{_SCRATCH}/count_window_count"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, ev, stage, n_slices=1, max_files_per_trigger=None)
+    out = run_stream_to_memory(
+        streaming_tumbling_count(stream, "event_type", "value", "count", 50), output_mode="append"
+    )
+    return out.select("event_type", "window_id", "result")
+
+
+def _streaming_time_tumbling_minmax(function: str, sql_agg: str):
+    """min/max over LIVE time-tumbling windows — with sum/avg this puts
+    every scalar reference function on the streaming time-window row of
+    the dispatch matrix (aggregators.go:31-90)."""
+
+    @register(
+        f"streaming_time_tumbling_{function}",
+        oracle=f"""
+        SELECT CAST((epoch_ms(ts) // {_HOUR}) * {_HOUR} AS BIGINT) AS window_start_ms,
+               {sql_agg} AS result
+        FROM events GROUP BY window_start_ms
+        """,
+    )
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        stage = f"{_SCRATCH}/time_tumbling_{function}"
+        shutil.rmtree(stage, ignore_errors=True)
+        stream = file_replay_stream(spark, ev, stage, n_slices=4)
+        out = run_stream_to_memory(
+            streaming_tumbling_time_window(stream, "ts", "value", function, _HOUR),
+            output_mode="complete",
+        )
+        return out.select(
+            F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
+            "result",
+        )
+
+    q.__name__ = f"streaming_time_tumbling_{function}"
+    return q
+
+
+streaming_time_tumbling_min = _streaming_time_tumbling_minmax("min", "MIN(value)")
+streaming_time_tumbling_max = _streaming_time_tumbling_minmax("max", "MAX(value)")

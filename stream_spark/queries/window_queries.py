@@ -123,7 +123,12 @@ def _sliding_count_oracle(agg: str, size: int, res: int) -> str:
     """
 
 
-for _fn, _agg in [("sum", _DSUM), ("avg", _DAVG), ("max", "MAX(value)")]:
+for _fn, _agg in [
+    ("sum", _DSUM),
+    ("avg", _DAVG),
+    ("max", "MAX(value)"),
+    ("min", "MIN(value)"),
+]:
     register(f"agg_sliding_count_{_fn}", oracle=_sliding_count_oracle(_agg, 50, 10))(
         _sliding_count(_fn, 50, 10)
     )
@@ -152,7 +157,13 @@ def _tumbling_time_oracle(agg: str, size_ms: int, keys: str = "") -> str:
     """
 
 
-for _fn, _agg in [("sum", _DSUM), ("avg", _DAVG), ("min", "MIN(value)"), ("count", "COUNT(value)")]:
+for _fn, _agg in [
+    ("sum", _DSUM),
+    ("avg", _DAVG),
+    ("min", "MIN(value)"),
+    ("max", "MAX(value)"),
+    ("count", "COUNT(value)"),
+]:
     register(f"agg_time_tumbling_{_fn}", oracle=_tumbling_time_oracle(_agg, _HOUR))(
         _tumbling_time(_fn, _HOUR)
     )
@@ -212,8 +223,19 @@ def _sliding_time_oracle(agg: str) -> str:
     """
 
 
-register("agg_time_sliding_avg", oracle=_sliding_time_oracle(_DAVG))(_sliding_time("avg"))
-register("agg_time_sliding_sum", oracle=_sliding_time_oracle(_DSUM))(_sliding_time("sum"))
+for _fn, _agg in [
+    ("avg", _DAVG),
+    ("sum", _DSUM),
+    ("min", "MIN(value)"),
+    ("max", "MAX(value)"),
+    ("count", "COUNT(value)"),
+]:
+    # min/max/count close the function × sliding-time row of the
+    # reference dispatch matrix (aggregators.go:31-90 registers every
+    # function for every window kind; behavior: windows_test.go:155).
+    register(f"agg_time_sliding_{_fn}", oracle=_sliding_time_oracle(_agg))(
+        _sliding_time(_fn)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -485,6 +507,77 @@ def agg_time_tumbling_dense_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("k") * _HOUR).cast("bigint").alias("window_start_ms"))
     return (
         buckets.join(agg, buckets.window_start_ms == agg.w, "left")
+        .select(
+            "window_start_ms",
+            F.coalesce(F.col("s"), F.lit(0.0)).alias("result"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_samples"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A-extra: DENSE sliding (hopping) time windows — the reference's
+# ExternalTimer (windows.go:342) ticks every resolution interval and
+# NextBlock emits unconditionally, so hopping windows with no samples
+# still produce a (zero) result. Mirrors agg_time_tumbling_dense_sum:
+# tick grid = every hop index from the first window containing the
+# earliest event through the last window containing the latest event.
+
+
+@register(
+    "agg_time_sliding_dense_sum",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(floor((epoch_ms(MIN(ts)) - {_HOUR}) / {_HOP}.0) AS BIGINT) + 1 AS kmin,
+               epoch_ms(MAX(ts)) // {_HOP} AS kmax
+        FROM events
+    ),
+    ticks AS (
+        SELECT CAST(unnest(generate_series(kmin, kmax)) * {_HOP} AS BIGINT) AS window_start_ms
+        FROM bounds
+    ),
+    fanout AS (
+        SELECT value, unnest(generate_series(
+            CAST(floor((epoch_ms(ts) - {_HOUR}) / {_HOP}.0) AS BIGINT) + 1,
+            epoch_ms(ts) // {_HOP})) AS k
+        FROM events
+    ),
+    agg AS (
+        SELECT CAST(k * {_HOP} AS BIGINT) AS w, {_DSUM} AS s, COUNT(*) AS c
+        FROM fanout GROUP BY k
+    )
+    SELECT t.window_start_ms,
+           COALESCE(a.s, 0.0) AS result,
+           COALESCE(a.c, 0) AS n_samples
+    FROM ticks t LEFT JOIN agg a ON t.window_start_ms = a.w
+    """,
+)
+def agg_time_sliding_dense_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1h/15min windows on the timer-tick grid; empty hops emit
+    (0.0, 0 samples). The tick grid is bounded metadata (two epoch-ms
+    scalars → sequence); the heavy side stays the keyed F.window agg."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", f"{_HOUR} milliseconds", f"{_HOP} milliseconds").alias("w")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+            F.count("*").alias("c"),
+        )
+        .select(F.unix_millis(F.col("w.start").cast("timestamp")).alias("w"), "s", "c")
+    )
+    bounds = ev.agg(
+        (F.floor((F.unix_millis(F.min("ts").cast("timestamp")) - _HOUR) / _HOP) + 1)
+        .cast("long")
+        .alias("kmin"),
+        F.floor(F.unix_millis(F.max("ts").cast("timestamp")) / _HOP).cast("long").alias("kmax"),
+    )
+    ticks = bounds.select(F.explode(F.sequence("kmin", "kmax")).alias("k")).select(
+        (F.col("k") * _HOP).cast("bigint").alias("window_start_ms")
+    )
+    return (
+        ticks.join(agg, ticks.window_start_ms == agg.w, "left")
         .select(
             "window_start_ms",
             F.coalesce(F.col("s"), F.lit(0.0)).alias("result"),

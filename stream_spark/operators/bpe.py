@@ -68,9 +68,12 @@ def apply_merge(toked: DataFrame, rule: DataFrame, toks_col: str = "toks") -> Da
             hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("merged")))
         ).otherwise(F.concat(acc, F.array(x)))
 
-    # broadcast-ok: rule is a 1-row top-1 aggregate by construction
+    # LEFT join against the ≤1-row rule: an EMPTY rule frame (corpus
+    # with no 2-token document) leaves a/b/merged NULL, the fold's hit
+    # predicate evaluates NULL → otherwise-branch, and every document
+    # passes through unchanged instead of being dropped by an inner join
     out = toked.withColumn("_one", F.lit(1)).join(
-        F.broadcast(rule.withColumn("_one", F.lit(1))), "_one"  # broadcast-ok: 1-row top-1 aggregate
+        F.broadcast(rule.withColumn("_one", F.lit(1))), "_one", "left"  # broadcast-ok: 1-row top-1 aggregate
     )
     folded = F.aggregate(F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
                          F.slice(toks, 1, 1), step)

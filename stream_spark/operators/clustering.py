@@ -214,6 +214,7 @@ def semantic_dedup_clusters(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_k: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, compare pairs only WITHIN a cluster, chain
@@ -221,10 +222,18 @@ def semantic_dedup_clusters(
     component. Returns (keeper_id, cluster_size) per near-dup group
     (singletons included, size 1).
 
-    The scale contract is k ∝ n/members_per_cluster: cluster size stays
-    bounded as the corpus grows, so within-cluster pair volume is
-    LINEAR in n (Σ (n/k)·n ≈ n·members_per_cluster), unlike the global
-    all-pairs quadratic. Assignment uses the in-plan centroid table
+    The scale contract is two-sided. k ∝ n/members_per_cluster keeps
+    cluster size bounded so within-cluster pair volume stays LINEAR in
+    n (Σ (n/k)·n ≈ n·members_per_cluster) — but assignment scores n·k
+    candidate rows per Lloyd round, so UNcapped k makes assignment
+    itself quadratic (n²/64). ``max_k`` bounds that: assignment work is
+    O(n·max_k) — at the default 4096 that's the fixed-k regime the
+    SemDeDup paper actually runs (110k clusters for LAION-scale; k
+    stops tracking n long before that). Past n = members_per_cluster ×
+    max_k, cluster sizes grow as n/max_k and the within-cluster pair
+    bound degrades to n²/max_k — at that corpus size, raise max_k with
+    centroids trained on a sample, or pre-partition with the banded-LSH
+    coarse path. Assignment uses the in-plan centroid table
     (``kmeans_assign_inplan``); pairs run the float-prefilter →
     exact-decimal-rescore two-phase from similarity.cosine_pairs;
     components use the O(log n) star scheme. The only driver-side value
@@ -234,7 +243,7 @@ def semantic_dedup_clusters(
     from stream_spark.operators.similarity import _float_cosine, cosine
 
     n = emb.count()
-    k = max(8, n // members_per_cluster)
+    k = min(max(8, n // members_per_cluster), max_k)
     assigned = kmeans_assign_inplan(emb, k, iters=iters, id_col=id_col, vec_col=vec_col)
 
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -272,6 +272,10 @@ def ahash_image(media: DataFrame, hash_size: int = 4) -> DataFrame:
     every hash arithmetically on the synthetic corpus."""
 
     n = hash_size * hash_size
+    if n >= 64:
+        # 1 << 63 overflows the signed ahash long (and numpy int64
+        # shifts wrap silently) — 64+ bits needs a multi-long packing
+        raise ValueError(f"hash_size {hash_size} needs {n} bits; ahash packs into one signed long (max 63)")
     weights = 1 << np.arange(n).astype(np.int64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

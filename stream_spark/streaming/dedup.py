@@ -158,7 +158,11 @@ def streaming_ahash_dedup(
     state per live hash."""
     from stream_spark.operators.multimodal import ahash_image
 
-    hashed = ahash_image(stream.select(F.col(id_col), F.col(payload_col)))
+    # ahash_image reads fixed doc_id/payload columns inside its Arrow
+    # batches — rename here so non-default id_col/payload_col work
+    hashed = ahash_image(
+        stream.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
     bands = hashed.select(
         F.col("doc_id").alias("doc"), F.lit(0).alias("band"), F.col("ahash").alias("bucket")
     )

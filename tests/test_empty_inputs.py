@@ -211,3 +211,34 @@ def test_round4_operators_on_empty(spark):
 
     empty_media = spark.createDataFrame([], "doc_id long, payload binary")
     assert ahash_image(empty_media).count() == 0
+
+
+def test_bpe_apply_passes_through_on_empty_rule(spark):
+    """apply_merge with NO learnable rule (every document < 2 tokens)
+    must pass the corpus through unchanged — regression for the inner
+    join that dropped every row when the 1-row rule frame was empty."""
+    from stream_spark.operators.bpe import bpe_apply_rounds
+
+    docs = spark.createDataFrame(
+        [(1, ["a"]), (2, ["b"]), (3, [])], "doc_id long, toks array<string>"
+    )
+    got = {r["doc_id"]: r["toks"] for r in bpe_apply_rounds(docs, rounds=2).collect()}
+    assert got == {1: ["a"], 2: ["b"], 3: []}
+
+
+def test_semantic_dedup_k_cap(spark):
+    """semantic_dedup_clusters caps k at max_k so Lloyd assignment work
+    is O(n·max_k), not n²/members: with max_k=2 on 12 vectors the run
+    completes and still groups the identical-vector pairs."""
+    from stream_spark.operators.clustering import semantic_dedup_clusters
+
+    rows = [(i, [float(i % 6), 1.0, float((i * 7) % 5)]) for i in range(12)]
+    rows += [(100, [9.0, 9.0, 9.0]), (101, [9.0, 9.0, 9.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_clusters(
+        emb, threshold=0.9999, members_per_cluster=1, max_k=2
+    )
+    sizes = {r["keeper_id"]: r["cluster_size"] for r in out.collect()}
+    # identical 9s collapse to one keeper (the min id) of size 2
+    assert sizes[100] == 2 and 101 not in sizes
+    assert sum(sizes.values()) == 14

@@ -173,3 +173,42 @@ def test_ahash_brightness_invariant_and_dup_collision(spark):
     got = {r["doc_id"]: r["ahash"] for r in ahash_image(media).collect()}
     assert got[1] == got[2] == got[3]
     assert got[4] != got[1]
+
+
+def test_ahash_rejects_overflowing_hash_size(spark):
+    """hash_size ≥ 8 needs ≥64 weight bits — 1<<63 wraps negative in
+    int64 and silently corrupts hashes, so the operator must refuse."""
+    import pytest
+
+    from stream_spark.operators.multimodal import ahash_image
+
+    media = spark.createDataFrame([], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="signed long"):
+        ahash_image(media, hash_size=8)
+    # 7x7 = 49 bits still packs fine
+    assert ahash_image(media, hash_size=7).count() == 0
+
+
+def test_streaming_ahash_dedup_custom_columns(spark, tmp_path):
+    """streaming_ahash_dedup's id_col/payload_col parameters must reach
+    the Arrow batch (regression: ahash_image hardcodes doc_id/payload,
+    so un-renamed custom columns raised KeyError inside the UDF)."""
+    import numpy as np
+
+    from stream_spark.operators.multimodal import encode_ppm
+    from stream_spark.streaming import file_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.dedup import streaming_ahash_dedup
+
+    base = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [(10, encode_ppm(4, 4, base)), (11, encode_ppm(4, 4, base))]
+    df = spark.createDataFrame(rows, "image_id long, blob binary")
+    stream = file_replay_stream(
+        spark, df.repartition(1), str(tmp_path / "ahash_cols"), n_slices=1,
+        max_files_per_trigger=None,
+    )
+    out = run_stream_to_memory(
+        streaming_ahash_dedup(stream, payload_col="blob", id_col="image_id"),
+        output_mode="append",
+    )
+    got = {r["doc"]: r["hit"] for r in out.collect()}
+    assert got == {10: 0, 11: 1}

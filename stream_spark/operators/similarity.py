@@ -321,21 +321,69 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query (queries broadcast)."""
+    """Exact top-k cosine neighbors per query.
+
+    Two-phase since r5: a BLAS float prerank (one numpy matmul per
+    Arrow batch, LOCAL top-m per query within each batch — so the
+    exchange carries n_batches·n_queries·m candidate rows, never the
+    corpus) feeds a global top-m cut, and the exact decimal cosine
+    rescored on that 2k-deep margin decides the final order (float
+    error ~1e-13 cannot reorder across the margin; the r1-r4 Catalyst
+    double-fold prerank spent ~0.9 s on 60k 64-element `aggregate`
+    folds plus a corpus-sized window exchange for the same answer).
+    Survivor rows carry their corpus vector out of the matmul stage, so
+    the corpus is scanned exactly once. Queries are bounded metadata by
+    the operator's contract (the ANN serving shape: few queries, huge
+    corpus) — collected once and broadcast to executors.
+    """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    # cheap double-fold pass ranks candidates; the exact decimal cosine
-    # rescored on a 2k-margin decides the final order (float error
-    # ~1e-13 cannot reorder across a 2k-deep margin in practice)
-    # broadcast-ok: q is the contract-bounded query set, not the corpus
-    pre = F.broadcast(q).crossJoin(c).withColumn("fcos", _float_cosine(F.col("qv"), F.col("cv")))
-    wpre = Window.partitionBy("query_id").orderBy(F.col("fcos").desc(), F.col("neighbor_id"))
-    survivors = pre.withColumn("prerank", F.row_number().over(wpre)).filter(
-        F.col("prerank") <= max(2 * k, k + 10)
+    m = max(2 * k, k + 10)
+    spark = queries.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()  # bounded metadata: query set
+    if not qrows:
+        empty = "query_id long, neighbor_id long, cosine double, rank int"
+        return spark.createDataFrame([], empty)
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def prerank(it):
+        ids, qm, qn = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (qm @ cmat.T) / (qn[:, None] * cnorm[None, :])  # (n_q, batch)
+            nb = pdf[id_col].to_numpy(dtype=np.int64)
+            top = min(m, sims.shape[1])
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            flat = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, top),
+                    "neighbor_id": nb[flat],
+                    "fcos": np.take_along_axis(sims, part, axis=1).ravel(),
+                    "cv": list(cmat[flat]),
+                }
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        prerank, schema="query_id long, neighbor_id long, fcos double, cv array<double>"
     )
-    scored = survivors.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    wpre = Window.partitionBy("query_id").orderBy(F.col("fcos").desc(), F.col("neighbor_id"))
+    survivors = local.withColumn("prerank", F.row_number().over(wpre)).filter(
+        F.col("prerank") <= m
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # broadcast-ok: q is the contract-bounded query set, not the corpus
+    scored = survivors.join(F.broadcast(q), "query_id").withColumn(
+        "cosine", cosine(F.col("qv"), F.col("cv"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -240,7 +240,7 @@ def semantic_dedup_clusters(
     is count() to size k — bounded metadata.
     """
     from stream_spark.operators.components import connected_components_star
-    from stream_spark.operators.similarity import _float_cosine, cosine
+    from stream_spark.operators.similarity import _guarded_cosine
 
     n = emb.count()
     k = min(max(8, n // members_per_cluster), max_k)
@@ -255,8 +255,8 @@ def semantic_dedup_clusters(
     pairs = (
         a.join(b, ["cluster"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_float_cosine(F.col("va"), F.col("vb")) >= threshold - 1e-6)
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .withColumn("_gcos", _guarded_cosine(F.col("va"), F.col("vb"), threshold))
+        .filter(F.col("_gcos") >= threshold)
         .select("id_a", "id_b")
     )
     comps = connected_components_star(pairs, "id_a", "id_b")

@@ -68,18 +68,53 @@ def connected_components_star(
     propagation at graph scale: a path of length 2^k collapses in ~k
     alternations instead of 2^k propagation rounds.
 
-    Each round is two keyed shuffles (groupBy node → neighborhood min,
-    join back); state is only the shrinking edge list, checkpointed
-    per round to truncate lineage. Returns (node, component) with
-    component = min reachable node id, same contract as
-    ``connected_components``.
+    A single min-neighborhood CONTRACTION runs first (r5): every node
+    maps to min(itself ∪ neighbors), edges rewrite through that partial
+    label, self-loops drop. Near-dup graphs are clique-heavy (an
+    identical-document swarm is an all-pairs clique), and one
+    contraction collapses every clique to nothing — the sf1 probe's
+    92.8k-edge swarm graph enters the star loop as ~2k edges — while
+    chains halve. Cost: one keyed min + one self-join, once; star
+    rounds then run on the contracted representatives and the final
+    labels compose node → partial → component.
+
+    Each star round is two keyed shuffles (groupBy node → neighborhood
+    min, join back); state is only the shrinking edge list,
+    checkpointed per round to truncate lineage. Raises RuntimeError if
+    ``max_iter`` rounds pass without the convergence predicate holding
+    (depth bound: rounds grow with log(diameter), so 20 covers any
+    graph these pipelines produce; a non-converged result would be a
+    silently WRONG clustering, hence the hard assertion).
+    ``connected_components_star.last_rounds`` records the round count
+    of the most recent call — the hook the depth-bound tests read.
+    Returns (node, component) with component = min reachable node id,
+    same contract as ``connected_components``.
     """
     spark = edges.sparkSession
 
-    e = (
+    raw = (
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym0 = raw.select("u", "v").union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    partial = (
+        sym0.union(raw.select("u", "u").union(raw.select(F.col("v").alias("u"), F.col("v"))))
+        .groupBy("u")
+        .agg(F.min("v").alias("p"))
+        .localCheckpoint()  # (node, partial-label) — reused for contraction and final compose
+    )
+    pu = partial.select(F.col("u").alias("_cu"), F.col("p").alias("_pu"))
+    pv = partial.select(F.col("u").alias("_cv"), F.col("p").alias("_pv"))
+    e = (
+        raw.join(pu, raw["u"] == pu["_cu"])
+        .join(pv, raw["v"] == pv["_cv"])
+        .select(
+            F.greatest("_pu", "_pv").alias("u"), F.least("_pu", "_pv").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -93,7 +128,12 @@ def connected_components_star(
             .agg(F.min("v").alias("m"))
         )
 
+    converged = e.count() == 0
+    rounds = 0
     for _ in range(max_iter):
+        if converged:
+            break
+        rounds += 1
         # large-star: for every directed edge (u,v) with v > u … here e
         # keeps u > v, so the "larger" endpoints hang off u's min
         sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -127,14 +167,31 @@ def connected_components_star(
         # every edge in `small` equals an edge in `e` (and counts match)
         if small.count() == e.count() and small.exceptAll(e).count() == 0:
             e = small
+            converged = True
             break
         e = small
 
-    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    connected_components_star.last_rounds = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds — "
+            "the result would be a wrong clustering; raise max_iter"
+        )
+    star_labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = (
         e.select(F.col("v").alias("node")).distinct().withColumn("component", F.col("node"))
     )
-    return labels.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+    comp = star_labels.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+    # compose the contraction back out: node → partial p → component(p)
+    # (a representative that vanished in contraction IS its component)
+    cp = comp.select(F.col("node").alias("_r"), "component")
+    return (
+        partial.join(cp, partial["p"] == cp["_r"], "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce(F.col("component"), F.col("p")).alias("component"),
+        )
+    )
 
 
 def triangle_counts(

@@ -63,6 +63,19 @@ def _float_cosine(a: Column, b: Column) -> Column:
     return fdot / (fn(a) * fn(b))
 
 
+def _guarded_cosine(a: Column, b: Column, threshold: float) -> Column:
+    """Two-phase cosine with the float prefilter INSIDE the expression:
+    the exact decimal fold evaluates only where the cheap float cosine
+    clears threshold−1e-6, NULL otherwise (any ``>= threshold`` filter
+    drops NULL). The former two-chained-``.filter()`` spelling let
+    Catalyst's CombineFilters + pushdown REORDER the conjunction — a
+    downstream ``u != v`` filter pushing through put the decimal fold
+    in front of the float prefilter and every candidate paid the
+    decimal price (3-4× slower at sf1). A conditional inside one
+    expression is reorder-proof: no optimizer rule splits a WHEN."""
+    return F.when(_float_cosine(a, b) >= threshold - 1e-6, cosine(a, b))
+
+
 def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All-pairs cosine ≥ threshold (brute; LSH-bucket at scale).
 
@@ -75,8 +88,7 @@ def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_co
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(_float_cosine(F.col("va"), F.col("vb")) >= threshold - 1e-6)
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine", _guarded_cosine(F.col("va"), F.col("vb"), threshold))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -112,8 +124,7 @@ def cosine_pairs_lsh(
     )
     return (
         a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(_float_cosine(F.col("va"), F.col("vb")) >= threshold - 1e-6)
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine", _guarded_cosine(F.col("va"), F.col("vb"), threshold))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -307,8 +318,7 @@ def cosine_pairs_lsh_banded(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(_float_cosine(F.col("va"), F.col("vb")) >= threshold - 1e-6)
-        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine", _guarded_cosine(F.col("va"), F.col("vb"), threshold))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -493,8 +503,7 @@ def range_search(
         # broadcast-ok: q is the contract-bounded query set, not the corpus
         F.broadcast(q)
         .crossJoin(c)
-        .filter(_float_cosine(F.col("qv"), F.col("cv")) >= threshold - 1e-6)
-        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", _guarded_cosine(F.col("qv"), F.col("cv"), threshold))
         .filter(F.col("cosine") >= threshold)
         .select("query_id", "neighbor_id", "cosine")
     )

@@ -345,3 +345,34 @@ def test_fuzzy_name_pairs_blocking_and_bound(spark):
     wide = {(r["name_a"], r["name_b"]) for r in fuzzy_name_pairs(df, "name", 4).collect()}
     assert ("blue bolt", "red bolt") in wide       # dist 4 within block
     assert not any("gear" in a and "bolt" in b or "bolt" in a and "gear" in b for a, b in wide)
+
+
+def test_star_components_depth_bound_on_adversarial_graphs(spark):
+    """Depth bound: a 256-node path (diameter 255) must converge in
+    O(log n) star rounds, and a clique swarm must collapse in the
+    pre-contraction (0-1 star rounds) — the adversarial shapes behind
+    the sf1 probe's component-closure ratio. Also pins the convergence
+    assertion: max_iter=1 on the deep path raises instead of returning
+    a silently wrong clustering."""
+    import pytest
+
+    from stream_spark.operators.components import connected_components_star
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components_star(path).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 256
+    assert connected_components_star.last_rounds <= 10  # ~log2(256) + slack
+
+    # two 40-node cliques: contraction alone collapses them
+    cliques = spark.createDataFrame(
+        [(base + i, base + j) for base in (0, 1000) for i in range(40) for j in range(i + 1, 40)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components_star(cliques).collect()}
+    assert set(comp.values()) == {0, 1000} and len(comp) == 80
+    assert connected_components_star.last_rounds <= 1
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(path, max_iter=1)

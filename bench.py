@@ -145,8 +145,16 @@ def _streaming_minhash_throughput(spark, sf_dir: str) -> float:
         stream = ordered_replay_stream(spark, docs, stage, ["doc_id"], n_slices=4)
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
+        # r5 tuning: sharded first-seen fold (few large vectorized pandas
+        # groups instead of one per bucket), hashing tasks sized to the
+        # ~1.2k-doc trigger, 2 state partitions (state rows are tiny).
+        # 662 -> ~1.8k docs/s at sf0.1; the residual floor is the 4
+        # triggers' fixed cost (~0.7 s each) — the same job at sf1
+        # amortizes it to ~7.6k docs/s (see BASELINE.md).
         out = run_stream_to_memory(
-            streaming_minhash_dedup(stream), output_mode="append", state_partitions=16
+            streaming_minhash_dedup(stream, parallelism=16, shards=8),
+            output_mode="append",
+            state_partitions=2,
         )
         out.count()
         dt = time.time() - t0

@@ -214,7 +214,11 @@ def _bind_once(expr, f):
 
 
 def minhash_band_rows_stateless(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Same (doc, band, bucket) rows as ``minhash_band_buckets``, but as
     PURE per-row projections — no explode/groupBy — so it is
@@ -274,7 +278,12 @@ def minhash_band_rows_stateless(
             ),
         ),
     )
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # parallelism: task count of the CPU-bound hashing stage. The
+    # default (every core) is right for batch corpora; a streaming
+    # micro-batch of ~1k docs over-splits at 32 tasks (scheduling
+    # overhead rivals the hash work) — callers with small triggers pass
+    # their state-partition count instead.
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
     toks = df.select(
         F.col(id_col).cast("long").alias("doc"),
         tokens(normalize_text(F.col(text_col))).alias("ws"),

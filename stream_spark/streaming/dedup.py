@@ -46,6 +46,8 @@ def streaming_minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    parallelism: int | None = None,
+    shards: int = 64,
 ) -> DataFrame:
     """Online near-dup detection — the crawl-pipeline shape: flag each
     arriving document that shares ANY minhash band bucket with an
@@ -75,12 +77,12 @@ def streaming_minhash_dedup(
     """
     from stream_spark.operators.dedup import minhash_band_rows_stateless
 
-    bands = minhash_band_rows_stateless(stream, text_col, id_col, n)
-    return first_seen_fold(bands)
+    bands = minhash_band_rows_stateless(stream, text_col, id_col, n, parallelism=parallelism)
+    return first_seen_fold(bands, shards=shards)
 
 
 def first_seen_fold(
-    bands: DataFrame, ttl_ms: int | None = None, ts_col: str = "ts"
+    bands: DataFrame, ttl_ms: int | None = None, ts_col: str = "ts", shards: int = 64
 ) -> DataFrame:
     """The ONE stateful stage shared by every online near-dup detector:
     given (doc, band, bucket) rows, fold per (band, bucket) keeping the
@@ -100,7 +102,20 @@ def first_seen_fold(
     ProcessingTimeTimeout would make results run-dependent), so the
     gate/pytest semantics are exact; a production deployment layers
     GroupStateTimeout eviction on top to reclaim buckets that stop
-    receiving rows entirely."""
+    receiving rows entirely.
+
+    The no-TTL path is SHARDED (r5): keying the stateful operator by
+    (band, bucket) directly made every pandas group ~1 row, and the
+    per-group Python dispatch (one pd.concat + DataFrame build per
+    bucket) dominated wall time — 662 docs/s at sf0.1. Keying by
+    hash(band,bucket) % ``shards`` instead gives a few large groups
+    per micro-batch whose fold vectorizes (one groupby-transform per
+    shard), with state = the shard's (bucket-key, seen-id) arrays —
+    the same one long per live bucket, just stored per shard. The
+    shard hash only ROUTES rows (it never reaches results), so an
+    engine-specific hash is fine. Row-for-row identical output to the
+    per-bucket fold (pytest-pinned); the TTL path keeps the per-bucket
+    loop, whose per-row expiry semantics don't vectorize."""
     from collections.abc import Iterator
     from typing import Any
 
@@ -108,6 +123,49 @@ def first_seen_fold(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     with_ttl = ttl_ms is not None
+
+    if not with_ttl:
+        def first_seen_sharded(
+            key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                ks, vs = state.get
+                smap = dict(zip(ks, vs))
+            else:
+                smap = {}
+            batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+                "doc", kind="mergesort"
+            )
+            grp = batch.groupby("_bk", sort=False)
+            first_doc = grp["doc"].transform("first")
+            seen = batch["_bk"].map(smap)
+            hit = (
+                (batch["doc"] > first_doc) | (seen.notna() & (seen < batch["doc"]))
+            ).astype("int32")
+            out = pd.DataFrame(
+                {"doc": batch["doc"], "band": batch["band"], "hit": hit}
+            )
+            for k, v in grp["doc"].min().items():
+                prev = smap.get(k)
+                if prev is None or v < prev:
+                    smap[k] = int(v)
+            state.update((list(smap.keys()), [int(x) for x in smap.values()]))
+            yield out
+
+        keyed = bands.select(
+            "doc",
+            "band",
+            F.concat_ws(
+                "|", F.col("band").cast("string"), F.col("bucket").cast("string")
+            ).alias("_bk"),
+        ).withColumn("_shard", F.pmod(F.xxhash64("_bk"), F.lit(shards)).cast("int"))
+        return keyed.groupBy("_shard").applyInPandasWithState(
+            first_seen_sharded,
+            "doc long, band int, hit int",
+            "ks array<string>, vs array<long>",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
 
     def first_seen(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState

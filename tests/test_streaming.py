@@ -808,3 +808,39 @@ def test_first_seen_fold_event_time_ttl(spark, tmp_path):
     out2 = run_stream_to_memory(first_seen_fold(stream2.drop("ts")), output_mode="append")
     flags2 = {r["doc"]: r["hit"] for r in out2.collect()}
     assert flags2 == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_first_seen_fold_sharded_parity(spark, tmp_path):
+    """The r5 sharded no-TTL fold must be row-for-row identical to the
+    per-bucket loop fold (still reachable via a never-expiring TTL) on
+    an adversarial frame: multi-band docs, colliding buckets across
+    bands, a long-typed bucket caller shape, cross-batch claims, and
+    shards ∈ {1, 3, 64} (keys >> shards and keys << shards)."""
+    from stream_spark.streaming import ordered_replay_stream, run_stream_to_memory
+    from stream_spark.streaming.dedup import first_seen_fold
+
+    rows = [
+        (10, 0, "7", 1), (10, 1, "9", 1),
+        (11, 0, "7", 2),              # dup of 10 in band 0
+        (12, 1, "9", 3), (12, 0, "8", 3),  # dup of 10 in band 1 only
+        (13, 2, "7", 4),              # bucket "7" but band 2 -> fresh
+        (14, 0, "8", 5),              # dup of 12 in band 0
+    ]
+    df = spark.createDataFrame(rows, "doc long, band int, bucket string, ts long")
+    expected = {
+        (10, 0): 0, (10, 1): 0, (11, 0): 1, (12, 1): 1, (12, 0): 0,
+        (13, 2): 0, (14, 0): 1,
+    }
+    loop_stream = ordered_replay_stream(spark, df, str(tmp_path / "loop"), ["doc"], n_slices=3)
+    loop = run_stream_to_memory(
+        first_seen_fold(loop_stream, ttl_ms=10**15), output_mode="append"
+    )
+    assert {(r["doc"], r["band"]): r["hit"] for r in loop.collect()} == expected
+    for shards in (1, 3, 64):
+        stream = ordered_replay_stream(
+            spark, df.drop("ts"), str(tmp_path / f"sh{shards}"), ["doc"], n_slices=3
+        )
+        out = run_stream_to_memory(
+            first_seen_fold(stream, shards=shards), output_mode="append"
+        )
+        assert {(r["doc"], r["band"]): r["hit"] for r in out.collect()} == expected, shards

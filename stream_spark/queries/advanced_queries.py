@@ -354,22 +354,33 @@ def events_range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def orders_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing revenue average. The row-scale work is ONE keyed
-    daily aggregation; the ordered window then runs over the bounded
-    daily grid (#days rows — metadata scale), which is the sanctioned
-    use of a global frame (audit allows ≤1 single-partition exchange).
-    The trailing sum accumulates in DECIMAL so frame-evaluation order
-    can't perturb the double result."""
-    from pyspark.sql import Window
+    daily aggregation; the trailing ROWS frame then runs over the
+    bounded daily grid WITHOUT a global WindowExec (r5): the two-pass
+    partition-offset primitive assigns each day its global row number,
+    every day fans out to the 7 row numbers whose frame contains it,
+    and one keyed aggregate per target row rebuilds SUM/COUNT OVER
+    (ROWS 6 PRECEDING) exactly — zero single-partition exchanges, so
+    the audit's former ≤1 allowance is now unused. The trailing sum
+    accumulates in DECIMAL so evaluation order can't perturb the
+    double result."""
+    from stream_spark.operators.rownum import with_global_row_number
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.unix_millis(F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))).alias("day_ms")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
-    w = Window.orderBy("day_ms").rowsBetween(-6, 0)
-    return daily.select(
+    d = with_global_row_number(daily, ["day_ms"], out="rn")
+    contrib = d.select(
+        F.col("total").alias("c_total"),
+        F.explode(F.sequence(F.col("rn"), F.col("rn") + 6)).alias("t_rn"),
+    )
+    win = contrib.groupBy("t_rn").agg(
+        F.sum("c_total").alias("w_total"), F.count("*").alias("w_n")
+    )
+    return d.join(win, d.rn == win.t_rn).select(
         "day_ms",
         F.col("total").cast("double").alias("day_total"),
-        (F.sum("total").over(w).cast("double") / F.count("*").over(w)).cast("double").alias(
+        (F.col("w_total").cast("double") / F.col("w_n")).cast("double").alias(
             "trailing_avg_7d"
         ),
     )

@@ -65,6 +65,14 @@ def audit(name: str, plan: str) -> list[str]:
     # more than one means an operator pipeline collapses repeatedly
     if n_single > 1:
         flags.append(f"{n_single}x Exchange SinglePartition")
+    # a single-partition exchange FEEDING a WindowExec is the anti-scale
+    # global-ordered-window pattern (all rows through one task) — never
+    # legal, even once: global aggregates/top-N emit bounded rows, a
+    # window emits every input row. r5: the last sanctioned use
+    # (orders_daily_moving_avg) now runs the two-pass rownum primitive,
+    # so this is a hard zero across the registry.
+    if re.search(r"Window .*\n(?:[^\n]*\n)?\s*[+:]- Exchange SinglePartition", plan):
+        flags.append("global-ordered WindowExec (Exchange SinglePartition under Window)")
     return flags
 
 

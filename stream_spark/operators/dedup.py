@@ -282,12 +282,19 @@ def minhash_band_rows_stateless(
     # default (every core) is right for batch corpora; a streaming
     # micro-batch of ~1k docs over-splits at 32 tasks (scheduling
     # overhead rivals the hash work) — callers with small triggers pass
-    # their state-partition count instead.
-    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    # their state-partition count instead. parallelism=0 skips the
+    # repartition entirely: the hashing then runs INSIDE the scan
+    # stage, pipelined into the downstream shuffle — the right shape
+    # when the source is already split-parallel (many files, or
+    # row-group-splittable parquet under a small maxPartitionBytes),
+    # saving one whole exchange per micro-batch.
     toks = df.select(
         F.col(id_col).cast("long").alias("doc"),
         tokens(normalize_text(F.col(text_col))).alias("ws"),
-    ).repartition(par, F.col("doc"))
+    )
+    if parallelism != 0:
+        par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+        toks = toks.repartition(par, F.col("doc"))
     return (
         toks.filter(F.size(F.col("ws")) >= n)  # word_ngrams empty iff < n tokens
         .select("doc", F.explode(bands).alias("bb"))

@@ -337,6 +337,7 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     timeout_s: int = 300,
     state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run a streaming plan to completion (availableNow) into a memory
     sink and return the final table as a batch DataFrame.
@@ -368,6 +369,12 @@ def run_stream_to_memory(
         .outputMode(output_mode)
         .trigger(availableNow=True)
     )
+    if checkpoint_dir is not None:
+        # explicit offset/commit-log + state location. Production points
+        # this at durable fast storage; the bench points it at a RAM-fs
+        # scratch dir — the offset-log fsyncs are ~100 ms of the ~650 ms
+        # per-trigger floor on small triggers, pure housekeeping I/O.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

@@ -45,6 +45,7 @@ def ordered_replay_stream(
     stage_dir: str,
     order_cols: list[str],
     n_slices: int = 4,
+    writer_options: dict | None = None,
 ) -> DataFrame:
     """Stage ``df`` as ``n_slices`` parquet files, each a CONTIGUOUS
     range of ``order_cols``, replayed one file per micro-batch in key
@@ -57,16 +58,24 @@ def ordered_replay_stream(
     distributed write — nothing is collected); file mtimes are then set
     strictly increasing by partition index because the file source
     processes oldest-first under ``maxFilesPerTrigger=1``.
+
+    ``writer_options``: extra parquet writer options for the staged
+    files — e.g. a small ``parquet.block.size`` makes each slice
+    row-group-splittable, so a CPU-heavy per-row projection downstream
+    (minhash signatures) parallelizes inside the SCAN stage of each
+    micro-batch instead of needing its own repartition exchange.
     """
     import glob
     import time
 
-    (
+    writer = (
         df.repartitionByRange(n_slices, *order_cols)
         .sortWithinPartitions(*order_cols)
         .write.mode("overwrite")
-        .parquet(stage_dir)
     )
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(stage_dir)
     files = sorted(glob.glob(f"{stage_dir}/part-*.parquet"))
     base = time.time() - len(files) - 60
     for i, f in enumerate(files):

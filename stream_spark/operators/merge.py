@@ -138,21 +138,33 @@ def compact_partitioned_parquet(
     data size. Returns the partition values rewritten.
 
     File listing happens driver-side but is bounded metadata (one stat
-    per file of the TOUCHED partitions' directories, not data).
+    per file of the TOUCHED partitions' directories, not data), and
+    goes through the Hadoop FileSystem API — same as the emptied-
+    partition cleanup above — so hdfs:// and s3a:// tables compact the
+    same as local ones (r5; the os.listdir version silently saw zero
+    partitions on any non-local filesystem).
     """
     import math
-    import os
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
 
     to_fix: list = []
     plans: dict = {}
-    for entry in os.listdir(path):
-        if not entry.startswith(f"{partition_col}="):
+    for st in fs.listStatus(root):
+        entry = st.getPath().getName()
+        if not (st.isDirectory() and entry.startswith(f"{partition_col}=")):
             continue
-        pdir = os.path.join(path, entry)
-        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        files = [
+            f
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and f.getPath().getName().endswith(".parquet")
+        ]
         if len(files) <= min_files:
             continue
-        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        nbytes = sum(f.getLen() for f in files)
         value = entry.split("=", 1)[1]
         to_fix.append(value)
         plans[value] = max(1, math.ceil(nbytes / target_file_bytes))

@@ -49,7 +49,28 @@ COPY = ["nation", "region"]
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    # defaults replicate sf0.1 -> sf1; the stretch probe rebases with
+    #   python tools/make_sf1.py .scratch/sf3 --src=.scratch/sf1 \
+    #       --replicas=3 --tag=s --stride-mult=10
+    # (stride-mult keeps offset ranges disjoint when the source is
+    # itself a replicated decade; tag keeps replica suffix tokens
+    # distinct from the source's so clique structure is the designed
+    # one, not accidental exact-dups).
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else "/root/repo/.scratch/sf1"
+    src = SRC
+    replicas = REPLICAS
+    tag = "rep"
+    stride_mult = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--src="):
+            src = a.split("=", 1)[1]
+        elif a.startswith("--replicas="):
+            replicas = int(a.split("=", 1)[1])
+        elif a.startswith("--tag="):
+            tag = a.split("=", 1)[1]
+        elif a.startswith("--stride-mult="):
+            stride_mult = int(a.split("=", 1)[1])
     from stream_spark.session import get_spark
 
     spark = get_spark("make-sf1")
@@ -57,28 +78,30 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     for table in COPY:
-        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        df = spark.read.parquet(f"{src}/{table}.parquet")
         df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
         print(f"{table}: copied {df.count()} rows")
 
     for table, offs in OFFSETS.items():
-        base = spark.read.parquet(f"{SRC}/{table}.parquet")
+        base = spark.read.parquet(f"{src}/{table}.parquet")
         parts = []
-        for k in range(REPLICAS):
+        for k in range(replicas):
             d = base
             for col, stride in offs.items():
-                d = d.withColumn(col, (F.col(col) + F.lit(k * stride)).cast("long"))
+                d = d.withColumn(
+                    col, (F.col(col) + F.lit(k * stride * stride_mult)).cast("long")
+                )
             if table == "documents" and k > 0:
                 # replica token -> near-dup (not exact-dup) clusters
-                d = d.withColumn("text", F.concat(F.col("text"), F.lit(f" rep{k}")))
+                d = d.withColumn("text", F.concat(F.col("text"), F.lit(f" {tag}{k}")))
                 d = d.withColumn("n_chars", F.length("text").cast("long"))
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        n_files = max(4, min(32, REPLICAS * 2))
+        n_files = max(4, min(32, replicas * 2))
         out.repartition(n_files).write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
-        print(f"{table}: {out.count()} rows ({REPLICAS}x)")
+        print(f"{table}: {out.count()} rows ({replicas}x)")
 
 
 if __name__ == "__main__":

@@ -145,6 +145,94 @@ def containment_pairs(
     )
 
 
+def _gram_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc, fp) rows: one 60-bit md5 fingerprint per DISTINCT k-token
+    gram of the normalized text. The join/aggregation key for the
+    exact-substring family — joining on the BIGINT instead of the gram
+    string keeps shuffle rows fixed-width at crawl scale, and md5_long
+    is the repo's only oracle-replayable hash (CLAUDE.md rule 2)."""
+    from stream_spark.operators.text import md5_long, normalize_text, tokens, word_ngrams
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        tokens(normalize_text(F.col(text_col))).alias("ws"),
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # same exchange rationale as shingle_docs: materialize the token
+    # array once behind a hash repartition, spread the explode+hash
+    return toks.repartition(par, F.col("doc")).select(
+        "doc", F.explode(word_ngrams(F.col("ws"), k)).alias("g")
+    ).select("doc", md5_long(F.col("g")).alias("fp"))
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    k: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate pairs: (doc_a < doc_b) sharing at
+    least ``min_shared`` verbatim ``k``-token spans — the
+    suffix-array-style "train-set contains a verbatim copy" notion
+    (ExactSubstr), realized Spark-first as a rolling k-gram
+    fingerprint inverted-index equi-join instead of a monolithic
+    suffix array (which would serialize the corpus through one
+    machine). A shared k-gram IS a shared k-token substring, so the
+    predicate is exact for span length k; longer shared spans simply
+    contribute more grams (surfaced as ``shared_grams``).
+
+    ``max_doc_freq`` is the same df-cut as the Jaccard family: a
+    boilerplate k-gram in 10⁶ docs costs 10¹² join pairs, so the
+    crawl-scale path drops grams above the cap before the self-join
+    (pairs are then "share a RARE k-token span" — the cut is replayed
+    in the oracle's HAVING so the gate stays exact).
+    """
+    sh = _gram_fingerprints(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        rare = sh.groupBy("fp").count().filter(F.col("count") <= max_doc_freq).select("fp")
+        sh = sh.join(rare, "fp")
+    return (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
+def substring_dup_coverage(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document exact-substring duplication stats: of a document's
+    distinct k-token grams, how many also appear in ANY other document
+    (``dup_grams``) and the fraction (``dup_fraction``) — the "what
+    would ExactSubstr delete" targeting measure. No self-join anywhere:
+    one groupBy computes each gram's doc-frequency, one join back and
+    one keyed aggregate do the rest, so the operator is linear in
+    corpus gram volume and needs no df-cut at 100 TB.
+    """
+    sh = _gram_fingerprints(df, text_col, id_col, k)
+    freq = sh.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(freq, "fp")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("total_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("bigint").alias("dup_grams"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "total_grams",
+            "dup_grams",
+            (F.col("dup_grams") / F.col("total_grams")).cast("double").alias("dup_fraction"),
+        )
+    )
+
+
 MERSENNE31 = 2_147_483_647
 
 

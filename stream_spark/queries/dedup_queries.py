@@ -106,6 +106,78 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=MAX_DOC_FREQ)
 
 
+# distinct 5-token gram fingerprints per doc — the exact-substring
+# family's CTE (distinct on the GRAM first, fp second, mirroring the
+# Spark side so a 60-bit collision would collapse identically in both
+# engines)
+_GRAM5 = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+_GRAMS5 = f"""
+    n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    toks AS (SELECT doc_id, string_split_regex(norm, '\\s+') AS ws FROM n),
+    g5 AS (
+        SELECT DISTINCT doc_id AS doc, {_GRAM5} AS g
+        FROM toks, unnest(generate_series(1, len(ws) - 4)) t(i)
+    ),
+    fp5 AS (SELECT doc, {MD5_60.format(x='g')} AS fp FROM g5)
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH {_GRAMS5},
+    keep AS (SELECT fp FROM fp5 GROUP BY fp HAVING COUNT(*) <= {MAX_DOC_FREQ}),
+    fpc AS (SELECT fp5.doc, fp5.fp FROM fp5 JOIN keep USING (fp)),
+    co AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared_grams
+        FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, shared_grams FROM co WHERE shared_grams >= 2
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs (ExactSubstr / suffix-array
+    dedup re-expressed Spark-first — reference scope: the dedup stage
+    family, cf. pipeline.go curation stages): docs sharing ≥2 verbatim
+    5-token spans after the df-cut. The rolling-gram fingerprint
+    inverted index is the distributed stand-in for a suffix array —
+    equi-join on a 60-bit BIGINT, never all-pairs, candidate volume
+    bounded by Σ freq² after the HAVING cut exactly like the Jaccard
+    family (operators/dedup.exact_substring_pairs)."""
+    from stream_spark.operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(docs, k=5, min_shared=2, max_doc_freq=MAX_DOC_FREQ)
+
+
+@register(
+    "documents_substring_dup_coverage",
+    oracle=f"""
+    WITH {_GRAMS5},
+    freq AS (SELECT fp, COUNT(*) AS n_docs FROM fp5 GROUP BY fp)
+    SELECT doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS dup_fraction
+    FROM fp5 JOIN freq USING (fp)
+    GROUP BY doc
+    """,
+)
+def documents_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication coverage — the span
+    targeting stat ExactSubstr removal runs on: the fraction of a doc's
+    distinct 5-token grams that appear verbatim in any other document.
+    Linear everywhere (one doc-frequency groupBy + one join back); the
+    crawl-scale companion to dedup_exact_substring that needs no cap
+    because it never self-joins (operators/dedup.substring_dup_coverage)."""
+    from stream_spark.operators.dedup import substring_dup_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_coverage(docs, k=5)
+
+
 _MH_PERM = (
     f"((((2654435761 * (p + 1)) % 2147483647) * ({MD5_60.format(x='g')} % 2147483647)"
     " + ((40503 * (p + 1) + 17) % 2147483647)) % 2147483647)"

@@ -176,3 +176,57 @@ def test_jaccard_df_cut_bounds_candidate_volume_adversarially(spark):
     }
     assert got.get((500, 501)) == 1.0  # pruned sets identical → Jaccard 1
     assert not any(a < 500 for a, _b in got)  # boilerplate-only overlap gone
+
+
+SUBSTR_DOCS = [
+    # A and B share the verbatim 7-token span "alpha beta gamma delta
+    # epsilon zeta eta" -> 3 distinct shared 5-grams; C is disjoint.
+    (1, "intro words alpha beta gamma delta epsilon zeta eta closing remark one"),
+    (2, "other opening alpha beta gamma delta epsilon zeta eta and a tail"),
+    (3, "nothing here matches the shared span from the first two documents at all"),
+]
+
+
+@pytest.fixture()
+def substr_docs(spark):
+    return spark.createDataFrame(SUBSTR_DOCS, "doc_id long, text string")
+
+
+def test_exact_substring_pairs_span_sharing(substr_docs):
+    from stream_spark.operators.dedup import exact_substring_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_grams"]
+        for r in exact_substring_pairs(substr_docs, k=5, min_shared=1).collect()
+    }
+    # a shared 7-token span contains exactly 7-5+1 = 3 distinct 5-grams
+    assert pairs == {(1, 2): 3}
+
+
+def test_exact_substring_min_shared_threshold(substr_docs):
+    from stream_spark.operators.dedup import exact_substring_pairs
+
+    assert exact_substring_pairs(substr_docs, k=5, min_shared=4).count() == 0
+
+
+def test_exact_substring_df_cut_drops_boilerplate(spark):
+    from stream_spark.operators.dedup import exact_substring_pairs
+
+    # the same 5-token boilerplate sentence in every doc; unique tails.
+    rows = [(i, f"all rights reserved by publisher unique tail {i} a b c") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = exact_substring_pairs(docs, k=5, min_shared=1).count()
+    capped = exact_substring_pairs(docs, k=5, min_shared=1, max_doc_freq=3).count()
+    assert uncapped == 15  # 6-doc boilerplate clique = C(6,2)
+    assert capped == 0  # df-cut removes the swarm gram before the join
+
+
+def test_substring_dup_coverage_fractions(substr_docs):
+    from stream_spark.operators.dedup import substring_dup_coverage
+
+    cov = {r["doc_id"]: r for r in substring_dup_coverage(substr_docs, k=5).collect()}
+    # 12-token docs -> 8 distinct 5-grams each; 3 shared between 1 and 2
+    assert cov[1]["total_grams"] == 8 and cov[1]["dup_grams"] == 3
+    assert cov[2]["dup_grams"] == 3
+    assert cov[3]["dup_grams"] == 0 and cov[3]["dup_fraction"] == 0.0
+    assert abs(cov[1]["dup_fraction"] - 3 / 8) < 1e-12

@@ -1,0 +1,89 @@
+"""Ranked keyword retrieval over a document corpus (BM25).
+
+The corpus-search primitive a training-data deployment runs for
+quality inspection and eval-set mining (reference scope: the
+filter/aggregate pipeline family, pipeline.go stages, generalized to
+ranked retrieval).
+
+Deterministic-by-construction scoring (oracle rule 1 — no float
+accumulation): IDF is the log-free Robertson odds ratio
+``(N - df + 0.5)/(df + 0.5)`` (the inside of the standard BM25 log —
+the classic pre-log Robertson–Spärck-Jones weight: monotone in df, so
+single-term rankings are identical; multi-term sums weight rare terms
+more steeply than the log form), and the tf saturation
+(k1=1.2, b=0.75) is multiplied through by ``10·T`` into pure BIGINT
+arithmetic::
+
+    tf_sat = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)
+
+Each per-term score is two exact BIGINT→DOUBLE divisions and one
+multiply (IEEE-754 correctly-rounded — bit-identical across engines),
+floored at scale 12 to a BIGINT; per-doc totals are then integer sums.
+
+Scale shape: the term filter prunes the exploded token stream to the
+query vocabulary BEFORE any shuffle; df and the 1-row corpus stats
+are broadcast; the only single-partition exchange is the sanctioned
+global stats aggregate; top-k uses the two-pass partition-offset row
+number (operators/rownum) — no global-ordered window.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_spark.operators.rownum import with_global_row_number
+from stream_spark.operators.text import normalize_text, tokens
+
+
+def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 10) -> DataFrame:
+    """Top-``k`` documents for the keyword query ``terms`` by the exact
+    log-free BM25 surrogate. ``docs`` needs (doc_id, text). Output:
+    (doc_id, matched_terms, score_scaled, bm25, rank), rank 1-based,
+    ties broken by doc_id.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    g = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # broadcast-ok: dfq is ≤ |query terms| rows; g is exactly 1 row
+    dfq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tf_sat = (22 * F.col("total_toks") * F.col("tf")).cast("double") / (
+        10 * F.col("total_toks") * F.col("tf")
+        + 3 * F.col("total_toks")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .withColumn("term_scaled", F.floor((idf * tf_sat) * F.lit(1e12)).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_scaled").cast("long").alias("score_scaled"),
+            F.count("*").cast("long").alias("matched_terms"),
+        )
+        .withColumn("neg_score", -F.col("score_scaled"))
+    )
+    ranked = with_global_row_number(scored, ["neg_score", "doc_id"], out="rank")
+    return ranked.filter(F.col("rank") <= k).select(
+        "doc_id",
+        "matched_terms",
+        "score_scaled",
+        (F.col("score_scaled").cast("double") / F.lit(1e12)).alias("bm25"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -676,3 +676,50 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("toks").cast("long").alias("n_tokens_bpe")
     )
     return raw.join(enc, "doc_id")
+
+
+#: fixed keyword query for the BM25 retrieval demo (terms chosen from
+#: the synthetic vocabulary so every SF matches a non-trivial doc set)
+_BM25_TERMS = ("spark", "stream", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "documents_bm25_search",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS term FROM n),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(floor(
+                   ((CAST(2*n_docs - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+                    * (CAST(22*total_toks*tf AS DOUBLE)
+                       / CAST(10*total_toks*tf + 3*total_toks + 9*dl.dl*n_docs AS DOUBLE)))
+                   * 1e12) AS BIGINT)) AS BIGINT) AS score_scaled,
+               CAST(COUNT(*) AS BIGINT) AS matched_terms
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+        GROUP BY doc_id
+    )
+    SELECT doc_id, matched_terms, score_scaled,
+           CAST(score_scaled AS DOUBLE) / 1e12 AS bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def documents_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed keyword query — see
+    operators/retrieval.bm25_topk for the exact log-free scoring and
+    the scale shape (term-filter-before-shuffle, broadcast stats,
+    two-pass top-k)."""
+    from stream_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=10)

@@ -205,3 +205,83 @@ def test_langid_pred_matches_column_variant(spark, sf_dir):
         for r in docs.select("doc_id", langid_pred(F.col("text")).alias("p")).collect()
     }
     assert a == b
+
+
+def test_bm25_tf_monotone_and_length_penalty(spark):
+    """BM25 core semantics on a constructed corpus: (1) with equal doc
+    length, more occurrences of a query term rank higher; (2) with
+    equal tf, the shorter document ranks higher (b=0.75 length
+    normalization); (3) matching more query terms beats matching one."""
+    from stream_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark spark pad pad pad"),  # tf=3, dl=6
+        (2, "spark spark pad pad pad pad"),    # tf=2, dl=6
+        (3, "spark pad pad"),                  # tf=1, dl=3 (short)
+        (4, "spark pad pad pad pad pad"),      # tf=1, dl=6 (long)
+        (5, "spark stream pad pad pad pad"),   # two terms, dl=6
+        (6, "pad pad pad pad pad pad"),        # no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bm25_topk(docs, ("spark", "stream"), k=10).collect()}
+    assert 6 not in out  # unmatched docs don't surface
+    assert out[1]["score_scaled"] > out[2]["score_scaled"] > out[4]["score_scaled"]
+    assert out[3]["score_scaled"] > out[4]["score_scaled"]  # shorter wins at equal tf
+    assert out[5]["matched_terms"] == 2
+    assert out[5]["score_scaled"] > out[4]["score_scaled"]  # 2 hits beat 1
+    ranks = sorted(r["rank"] for r in out.values())
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_bm25_matches_direct_python_spec(spark):
+    """Spec parity: the Spark plan's scaled integer scores equal a
+    direct Python evaluation of the documented exact formula
+    (odds-ratio IDF x 10T-scaled tf saturation, floored at 1e12) —
+    the same arithmetic the DuckDB oracle replays."""
+    import math
+
+    from stream_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (i, txt)
+        for i, txt in enumerate(
+            [
+                "spark window spark table",
+                "stream stream window pad pad pad pad pad",
+                "spark pad",
+                "window window window spark stream",
+                "pad pad pad spark spark stream window pad",
+                "stream pad pad pad",
+                "table pad spark window stream table",
+            ]
+        )
+    ]
+    terms = ("spark", "stream", "window")
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    big_t = sum(len(v) for v in toks.values())
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+
+    def spec_scaled(i):
+        s = 0
+        for t in terms:
+            tf = toks[i].count(t)
+            if not tf:
+                continue
+            idf = float(2 * n - 2 * df[t] + 1) / float(2 * df[t] + 1)
+            tfs = float(22 * big_t * tf) / float(
+                10 * big_t * tf + 3 * big_t + 9 * len(toks[i]) * n
+            )
+            s += int(math.floor((idf * tfs) * 1e12))
+        return s
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score_scaled"], r["rank"])
+        for r in bm25_topk(docs, terms, k=10).collect()
+    }
+    matched = [i for i, _ in rows if any(t in toks[i] for t in terms)]
+    want_rank = sorted(matched, key=lambda i: (-spec_scaled(i), i))
+    for i in matched:
+        assert got[i][0] == spec_scaled(i)
+    assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == want_rank

@@ -285,3 +285,41 @@ def test_bm25_matches_direct_python_spec(spark):
     for i in matched:
         assert got[i][0] == spec_scaled(i)
     assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == want_rank
+
+
+def test_lm_quality_buckets_semantics(spark, tmp_path):
+    """Bigram-LM bucketing on a hand-computable corpus: a doc made of
+    the corpus's dominant bigram scores highest (head), a doc of
+    one-off transitions scores lowest (tail), and the ppm arithmetic
+    is exact integer DIV."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "a b a b a b a b"),   # rides the dominant a->b / b->a loop
+        (2, "a b c d e f g h"),   # one-off transitions
+        (3, "a b a b x y z w"),   # mixed
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from stream_spark.queries import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["documents_lm_quality_buckets"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["mean_ppm"] > out[3]["mean_ppm"] > out[2]["mean_ppm"]
+    assert out[1]["lm_bucket"] == "head"
+    assert out[2]["lm_bucket"] == "tail"
+    assert out[3]["lm_bucket"] == "middle"
+    # exact arithmetic spot-check (Laplace, V=12 distinct tokens):
+    # doc 1 bigrams = 4x "a b", 3x "b a";
+    # c("a b")=7 (4 in d1, 1 in d2, 2 in d3), c1("a")=7
+    #   -> ppm("a b") = 8_000_000 DIV 19 = 421052;
+    # c("b a")=4 (3 in d1, 1 in d3), c1("b")=7
+    #   -> ppm("b a") = 5_000_000 DIV 19 = 263157
+    want = (4 * (8_000_000 // 19) + 3 * (5_000_000 // 19)) // 7
+    assert out[1]["mean_ppm"] == want

@@ -49,6 +49,9 @@ SCALAR_SUBQUERY_OK = {
     # per round by construction.
     "corpus_bpe_merges",
     "corpus_bpe_encode",
+    # 1-row global scored-doc count broadcast for the tercile formula
+    # floor((rn-1)*3/n) — scalar by construction.
+    "documents_lm_quality_buckets",
 }
 
 

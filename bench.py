@@ -58,6 +58,10 @@ TIER2 = [
     "ann_topk_ivfpq",
     "dedup_keep_best_quality",
     "pipeline_curation",
+    # round-5 additions
+    "dedup_exact_substring",
+    "documents_bm25_search",
+    "documents_lm_quality_buckets",
 ]
 
 

@@ -19,7 +19,6 @@ surfaces as DOUBLE; argmax ties resolve to the lowest cell index
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from stream_spark.operators.similarity import dot, norm
 
@@ -134,6 +133,81 @@ def kmeans_parallel_seeds(
     return [v for _c, v in chosen]
 
 
+def _dec_sum_py(products) -> float:
+    """Driver/worker-side emulation of similarity._dec_sum: each float64
+    product quantized to DECIMAL scale 12 with HALF_UP (Spark's
+    double→decimal cast rounding), summed exactly, surfaced as the
+    nearest double — bit-identical to the Catalyst fold for our
+    magnitudes (the (30,12) accumulator never saturates)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-12)
+    return float(sum(Decimal(p).quantize(q, rounding=ROUND_HALF_UP) for p in products))
+
+
+def _assign_arrow(base: DataFrame, cells, mat, id_type: str) -> DataFrame:
+    """One assignment pass as ONE numpy matmul per Arrow batch — the
+    shape a real 100 TB assignment pass takes (FAISS flat-assign:
+    map-only, O(n·k·dim) flops in BLAS, no n×k row explosion). The
+    former broadcast-join spelling materialized n·k Catalyst rows each
+    paying a 64-term decimal fold — 9× wall per 3× corpus on the sf3
+    stretch probe because k tracks n below the cap; the matmul is
+    milliseconds for the same flops.
+
+    Exactness is preserved by sign resolution, same contract as
+    similarity.banded_index: float64 cosines decide the argmax, and any
+    row whose runner-up is within 1e-6 of the max (float-vs-decimal
+    divergence is < 1e-9 at dim 64) re-resolves the contested cells
+    with the exact decimal emulation (``_dec_sum_py``), ties to the
+    LOWEST cell — pytest asserts bit-equality with the literal-centroid
+    decimal path. NaN columns (zero-norm centroid) match Spark's
+    NaN-is-largest + lowest-cell ordering because np.argmax also
+    returns the first NaN position.
+    """
+    import math
+
+    import numpy as np
+
+    k_ = len(cells)
+    cells_arr = np.asarray(cells, dtype=np.int64)
+    cn_f = np.sqrt((mat * mat).sum(axis=1))
+    cn_exact = [math.sqrt(_dec_sum_py(x * x for x in row)) for row in mat.tolist()]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy()
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            S = (V @ mat.T) / (np.sqrt((V * V).sum(axis=1))[:, None] * cn_f[None, :])
+            top = S.argmax(axis=1)
+            if k_ > 1:
+                mx = S[np.arange(len(V)), top]
+                near = S >= (mx - 1e-6)[:, None]
+                for r in np.where(near.sum(axis=1) > 1)[0]:
+                    vrow = V[r].tolist()
+                    nv = math.sqrt(_dec_sum_py(x * x for x in vrow))
+                    best_cos, best_c = None, 0
+                    for c in np.where(near[r])[0]:
+                        d = _dec_sum_py(x * w for x, w in zip(vrow, mat[c].tolist()))
+                        cosv = d / (nv * cn_exact[c])
+                        if best_cos is None or cosv > best_cos:
+                            best_cos, best_c = cosv, int(c)
+                    top[r] = best_c
+            yield pd.DataFrame({"_id": ids, "cluster": cells_arr[top]})
+
+    # repartition first: a single-split parquet would score the whole
+    # corpus in one task otherwise (map-only either way)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    return (
+        base.select("_id", "v")
+        .repartition(par, F.col("_id"))
+        .mapInPandas(gen, f"_id {id_type}, cluster bigint")
+    )
+
+
 def kmeans_assign_inplan(
     emb: DataFrame,
     k: int,
@@ -141,70 +215,86 @@ def kmeans_assign_inplan(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd k-means with the centroid table kept IN the plan — the
-    large-k path. ``kmeans_assign`` folds centroids into the expression
-    tree as literals, which is ideal for k ≲ 100 (no join at all) but
-    makes codegen quadratic in k; SemDeDup-style clustering wants
-    k ∝ corpus/target_cluster_size, so here centroids stay a k-row
-    DataFrame: assignment = broadcast hash join on a constant key
-    (k×dim is bounded — 100k×64 doubles ≈ 50 MB) + per-vector argmax
-    with map-side combine (the n×k scored rows collapse back to n
-    BEFORE the shuffle), and mean recomputation is one (cell, dim)
-    keyed aggregate rebuilt into arrays — no driver round trip at all.
+    """Lloyd k-means for large k — SemDeDup-style clustering wants
+    k ∝ corpus/target_cluster_size, past what ``kmeans_assign``'s
+    literal-centroid codegen tolerates (quadratic in k).
+
+    Assignment is a vectorized Arrow matmul (``_assign_arrow``):
+    O(n·k·dim) BLAS flops, map-only, with the float-prefilter →
+    exact-decimal-escape contract keeping results bit-identical to the
+    all-decimal path. Mean recomputation stays a Spark (cell, dim)
+    keyed DECIMAL aggregate; the k-row centroid table round-trips
+    through the driver between rounds — k×dim doubles bounded by
+    ``semantic_dedup_clusters``' max_k (4096×64×8 B ≈ 2 MB), the same
+    bounded-metadata contract as every centroid collect in this module,
+    and the shape FAISS itself uses (centroids are driver/host state).
+    The final cos is computed by the Catalyst decimal fold against the
+    broadcast k-row centroid frame, so surfaced values are the engine's
+    own decimal arithmetic, not a Python reimplementation.
 
     Seeds are the k lowest-id vectors (LIMIT k — bounded rows through
     the single-partition top-k, the same contract as every top-N).
-    Arithmetic is decimal-exact like ``kmeans_assign``; ties argmax to
-    the lowest cell. Returns (id, cluster, cos) after ``iters``
-    assignment rounds.
+    Ties argmax to the lowest cell. Returns (id, cluster, cos) after
+    ``iters`` assignment rounds.
     """
+    import numpy as np
+
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = (
-        emb.select(F.col(id_col).alias("_id"), vec_d.alias("v"))
-        .withColumn("nrm", norm(F.col("v")))
-        .withColumn("_one", F.lit(1))
+    base = emb.select(F.col(id_col).alias("_id"), vec_d.alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
     )
+    id_type = emb.schema[id_col].dataType.simpleString()
 
-    # seeds: k lowest ids, cell = dense 0..k-1 by id order (k-row frame)
-    seeds = (
-        base.select("_id", "v").orderBy("_id").limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("_id")) - 1).cast("bigint").alias("cell"),
-            F.col("v").alias("cv"),
-        )
+    # seeds: k lowest ids, cell = dense 0..k-1 by id order (k-row collect)
+    seed_rows = sorted(
+        base.select("_id", "v").orderBy("_id").limit(k).collect(), key=lambda r: r["_id"]
     )
-
-    def one_round(cents: DataFrame) -> DataFrame:
-        c = cents.withColumn("cnrm", norm(F.col("cv"))).withColumn("_one", F.lit(1))
-        # broadcast-ok: centroid table is k rows by construction (bounded metadata scale)
-        scored = base.join(F.broadcast(c), "_one").withColumn(
-            "cos", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-        )
-        best = scored.groupBy("_id").agg(
-            F.max(F.struct(F.col("cos").alias("cos"), (-F.col("cell")).alias("negcell"))).alias("mx")
-        )
-        return best.select(
-            "_id",
-            (-F.col("mx.negcell")).cast("bigint").alias("cluster"),
-            F.col("mx.cos").alias("cos"),
+    if not seed_rows:
+        return (
+            emb.select(
+                F.col(id_col), F.lit(0).cast("bigint").alias("cluster"), F.lit(0.0).alias("cos")
+            ).limit(0)
         )
 
-    assigned = one_round(seeds)
+    cells = list(range(len(seed_rows)))
+    mat = np.array([[float(x) for x in r["v"]] for r in seed_rows])
+
+    assigned = _assign_arrow(base, cells, mat, id_type)
     for _ in range(iters - 1):
-        means = (
-            assigned.join(base, "_id")
-            .select("cluster", F.posexplode("v").alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
-            .groupBy(F.col("cluster").alias("cell"))
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
-                ).alias("cv")
-            )
+        mean_rows = sorted(
+            (
+                assigned.join(base, "_id")
+                .select("cluster", F.posexplode("v").alias("i", "x"))
+                .groupBy("cluster", "i")
+                .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+                .groupBy(F.col("cluster").alias("cell"))
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                    ).alias("cv")
+                )
+                .collect()  # bounded: ≤ k rows — the centroid table
+            ),
+            key=lambda r: r["cell"],
         )
-        assigned = one_round(means)
-    return assigned.select(F.col("_id").alias(id_col), "cluster", "cos")
+        cells = [int(r["cell"]) for r in mean_rows]
+        mat = np.array([[float(x) for x in r["cv"]] for r in mean_rows])
+        assigned = _assign_arrow(base, cells, mat, id_type)
+
+    cent_df = emb.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cells, mat.tolist())],
+        "cluster bigint, cv array<double>",
+    )
+    # broadcast-ok: centroid table is k rows by construction (bounded metadata scale)
+    return (
+        assigned.join(base, "_id")
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * norm(F.col("cv")))).alias("cos"),
+        )
+    )
 
 
 def semantic_dedup_clusters(

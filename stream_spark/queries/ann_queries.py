@@ -482,11 +482,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grows ⇒ within-cluster pair volume LINEAR in n — the scale
     contract the paper's FAISS clustering provides), then cosine≥τ
     pairs are found only within a cluster and chained into components;
-    one keeper per semantic-dup group. Assignment keeps the centroid
-    table IN the plan (broadcast k-row join + map-side-combined
-    argmax — clustering.kmeans_assign_inplan), so the only driver value
-    is count() sizing k. The oracle replays both Lloyd rounds, the
-    float-prefilter→decimal-rescore pair phase, and the closure."""
+    one keeper per semantic-dup group. Assignment is the Arrow-matmul
+    Lloyd pass (clustering.kmeans_assign_inplan — O(n·k·dim) BLAS flops
+    map-only, decimal escape on ≤1e-6 argmax ties, bit-identical to the
+    all-decimal fold); driver values are count() sizing k and the k-row
+    centroid table between rounds — both bounded metadata. The oracle
+    replays both Lloyd rounds, the float-prefilter→decimal-rescore pair
+    phase, and the closure."""
     from stream_spark.operators.clustering import semantic_dedup_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")

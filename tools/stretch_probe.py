@@ -67,6 +67,13 @@ def main() -> int:
     for d in (sf1_dir, sf3_dir):
         if not os.path.isdir(d):
             raise SystemExit(f"{d} missing — run tools/make_sf1.py first")
+    # sf3 on a SINGLE shared JVM needs a bigger heap than the 8g test
+    # default: dedup_keep_best_quality's pair graph + quality join OOMs
+    # at 8g with 32 concurrent tasks but runs (sublinear, 6.6x wall on
+    # 9.2x pairs) at 16g. A real cluster gives each executor its own
+    # heap — the probe measures plan SHAPE, so provision the one JVM
+    # like the per-executor norm rather than starve 32 tasks.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     from stream_spark.queries import QUERIES
     from stream_spark.session import get_spark
     from stream_spark.sources import load_table

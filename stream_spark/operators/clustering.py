@@ -285,9 +285,9 @@ def kmeans_assign_inplan(
         [(int(c), [float(x) for x in row]) for c, row in zip(cells, mat.tolist())],
         "cluster bigint, cv array<double>",
     )
-    # broadcast-ok: centroid table is k rows by construction (bounded metadata scale)
     return (
         assigned.join(base, "_id")
+        # broadcast-ok: centroid table is k rows by construction (bounded metadata scale)
         .join(F.broadcast(cent_df), "cluster")
         .select(
             F.col("_id").alias(id_col),

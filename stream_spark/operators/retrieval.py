@@ -68,8 +68,10 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 10) -> DataFrame:
         + 9 * F.col("dl") * F.col("n_docs")
     ).cast("double")
     scored = (
+        # broadcast-ok: dfq is one row per QUERY term (bounded by the query length)
         tf.join(F.broadcast(dfq), "term")
         .join(dl, "doc_id")
+        # broadcast-ok: g is the 1-row corpus stats aggregate
         .crossJoin(F.broadcast(g))
         .withColumn("term_scaled", F.floor((idf * tf_sat) * F.lit(1e12)).cast("long"))
         .groupBy("doc_id")

@@ -110,3 +110,51 @@ def with_global_cumsum(
         .withColumn(out, (F.col("_lcs") + F.col("_off")).cast(value_cast))
         .drop("_pid", "_lrn", "_lcs", "_off", "_v")
     )
+
+
+def with_global_cummax(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out: str = "cummax",
+    value_cast: str = "long",
+) -> DataFrame:
+    """Global running MAX over a total order — the prefix-max sibling
+    of ``with_global_cumsum`` (per-range partial maxima → driver-side
+    exclusive prefix maxima → local window max combined with
+    ``greatest``), so no single-partition stage at any scale. The
+    partition-0 offset is NULL; ``greatest`` skips nulls, so the first
+    range's running max is purely local. ``out`` is the INCLUSIVE
+    running max.
+    """
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
+    # eager localCheckpoint for the same two reasons as
+    # with_global_row_number: layout consistency across the two jobs,
+    # and ContextCleaner-managed release instead of a CacheManager pin
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_v", F.col(value_col).cast(value_cast)
+    ).localCheckpoint(eager=True)
+
+    partials = ranged.groupBy("_pid").agg(F.max("_v").alias("m")).collect()
+    best = None
+    offsets = []
+    for row in sorted(partials, key=lambda r: r["_pid"]):
+        offsets.append((int(row["_pid"]), best))  # EXCLUSIVE prefix max
+        if row["m"] is not None:
+            best = row["m"] if best is None else max(best, row["m"])
+    off_df = spark.createDataFrame(offsets or [(0, None)], f"_pid int, _off {value_cast}")
+
+    local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("_lcm", F.max("_v").over(local))
+        # broadcast-ok: off_df is one row per partition (bounded metadata)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out, F.greatest(F.col("_lcm"), F.col("_off")).cast(value_cast))
+        .drop("_pid", "_lcm", "_off", "_v")
+    )

@@ -209,14 +209,18 @@ def tumbling_time_window(
     counts. Pass ``total_count_modifier=0`` to reproduce the
     reference's global-counter default, where every emitted average
     depends on the largest window seen so far. The running max runs
-    over the per-window grid (#windows rows — bounded metadata scale,
-    the same sanctioned ordered-frame use as the daily moving average).
+    over the per-window grid; ungrouped it uses the two-pass
+    partition-offset prefix max (``rownum.with_global_cummax``) — no
+    single-partition WindowExec at any scale (grouped it is an
+    ordinary keyed ordered frame).
     """
     if size_ms <= 0:
         raise ValueError("size_ms must be positive")
     win = F.window(F.col(ts_col), f"{size_ms} milliseconds")
     keys = ([*group_by] if group_by else [])
     if function == "avg" and total_count_modifier == 0:
+        from stream_spark.operators.rownum import with_global_cummax
+
         frac = _fractional(df, value_col)
         total = (
             F.sum(F.col(value_col).cast(EXACT_DECIMAL)) if frac else F.sum(F.col(value_col))
@@ -224,14 +228,22 @@ def tumbling_time_window(
         per_win = df.groupBy(win.alias("w"), *keys).agg(
             total.alias("_s"), F.count("*").alias("_n")
         )
-        base = Window.partitionBy(*keys) if keys else Window.partitionBy()
-        run_max = F.max("_n").over(
-            base.orderBy(F.col("w.start")).rowsBetween(Window.unboundedPreceding, 0)
-        )
-        return per_win.select(
-            *keys,
-            F.col("w.start").alias("window_start"),
-            (F.col("_s").cast("double") / run_max).alias("result"),
+        if keys:
+            run_max = F.max("_n").over(
+                Window.partitionBy(*keys)
+                .orderBy(F.col("w.start"))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return per_win.select(
+                *keys,
+                F.col("w.start").alias("window_start"),
+                (F.col("_s").cast("double") / run_max).alias("result"),
+            )
+        grid = per_win.select(F.col("w.start").alias("window_start"), "_s", "_n")
+        grid = with_global_cummax(grid, "_n", ["window_start"], out="_runmax")
+        return grid.select(
+            "window_start",
+            (F.col("_s").cast("double") / F.col("_runmax")).alias("result"),
         )
     order = _time_order(function, order_cols)
     return (

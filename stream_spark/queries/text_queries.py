@@ -571,12 +571,13 @@ def documents_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgc = bg.groupBy("g").agg(
         F.min("w1").alias("w1"), F.count("*").cast("long").alias("c12")
     )
-    # broadcast-ok: 1-row vocabulary size for the Laplace denominator
+    # vocab is the 1-row vocabulary size for the Laplace denominator
     # (hidden behind the rownum checkpoint, so the audited final plan
     # keeps its single sanctioned SinglePartition exchange)
     vocab = uni.agg(F.count("*").cast("long").alias("v"))
     ppm = (
         bgc.join(uni, "w1")
+        # broadcast-ok: vocab is one row by construction (global count)
         .crossJoin(F.broadcast(vocab))
         .select("g", F.expr("((c12 + 1) * 1000000) DIV (c1 + v)").cast("long").alias("ppm"))
     )
@@ -591,11 +592,12 @@ def documents_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg_ppm", -F.col("mean_ppm"))
     )
     ranked = with_global_row_number(scored, ["neg_ppm", "doc_id"], out="rn")
-    # broadcast-ok: 1-row global scored-doc count (the sanctioned
+    # n_docs is the 1-row global scored-doc count (the sanctioned
     # single-partition aggregate); counted AFTER the rownum pass so it
     # scans the rownum localCheckpoint instead of recomputing the
     # bigram pipeline
     n_docs = ranked.agg(F.count("*").cast("long").alias("n_docs"))
+    # broadcast-ok: n_docs is one row by construction (global count)
     ranked = ranked.crossJoin(F.broadcast(n_docs))
     bucket = F.expr("((rn - 1) * 3) DIV n_docs").cast("long")
     return ranked.select(

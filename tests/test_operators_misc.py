@@ -116,6 +116,24 @@ def test_global_cumsum_matches_serial(spark):
     assert got == want
 
 
+def test_global_cummax_matches_serial(spark):
+    """Prefix-max twin of the cumsum primitive: running max over a
+    total order with NO single-partition stage; oscillating values
+    exercise the cross-partition exclusive-offset combine."""
+    from stream_spark.operators.rownum import with_global_cummax
+
+    vals = [(i, (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(vals, ["id", "v"]).repartition(8)
+    got = {r["id"]: r["cm"] for r in with_global_cummax(df, "v", ["id"], out="cm").collect()}
+    best, want = None, {}
+    for i, v in vals:
+        best = v if best is None else max(best, v)
+        want[i] = best
+    assert got == want
+    plan = with_global_cummax(df, "v", ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_pack_sequences_boundaries(spark):
     """Docs straddling pack boundaries span the right number of
     packs; offsets are the exact global concat positions."""

@@ -62,6 +62,7 @@ TIER2 = [
     "dedup_exact_substring",
     "documents_bm25_search",
     "documents_lm_quality_buckets",
+    "documents_line_dedup",
 ]
 
 

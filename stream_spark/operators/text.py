@@ -50,6 +50,24 @@ def word_ngrams(toks: Column, n: int) -> Column:
     return F.array_distinct(word_ngrams_all(toks, n))
 
 
+def line_chunks(toks: Column, width: int = 10) -> Column:
+    """Document-order "lines" for corpora without newline structure:
+    consecutive ``width``-token slices in order (the last may be
+    short); empty array for empty docs. C4's line-level rule (Raffel
+    et al. 2020 §2.2: drop any line occurring ≥3 times in the corpus)
+    needs a line segmentation — on a newline-free word-stream corpus a
+    fixed-width chunk is the deterministic stand-in (DuckDB twin:
+    list_slice over generate_series).
+    """
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(width - 1)) / F.lit(width)).cast("int")
+    seq = F.sequence(F.lit(1), n_chunks)
+    grams = F.transform(
+        seq, lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * width + 1, width))
+    )
+    return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
 def md5_long(col: Column) -> Column:
     """Deterministic 60-bit hash: first 15 hex chars of md5 as BIGINT.
 

@@ -19,6 +19,7 @@ from stream_spark.operators.text import (
     repetition_features,
     decontaminate,
     bpe_ish_token_count,
+    line_chunks,
     token_count,
     tokens,
 )
@@ -186,6 +187,65 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return decontaminate(corpus, bench, n=4)
+
+
+@register(
+    "documents_line_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    chunks AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' ') AS line
+        FROM toks, unnest(generate_series(1, (len(t) + 9) // 10)) u(i)
+    ),
+    freq AS (SELECT line, COUNT(*) AS c FROM chunks GROUP BY line),
+    j AS (SELECT ch.doc_id, ch.pos, ch.line, f.c
+          FROM chunks ch JOIN freq f USING (line))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(CASE WHEN c < 3 THEN line END, ' ' ORDER BY pos), ''))
+               AS retained_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def documents_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level LINE dedup (Raffel et al. 2020 §2.2:
+    drop any line occurring ≥3 times in the corpus), over deterministic
+    10-token chunk "lines" (text.line_chunks — the corpus has no
+    newline structure). Per doc: chunk count, dropped-chunk count, and
+    the md5 of the order-preserved retained text — the verifiable form
+    of the rewritten document.
+
+    Scale: chunk fan-out is n_tokens/10 rows (one map-side explode,
+    pre-repartitioned by doc); the line-frequency table is corpus-scale
+    so it is expressed as an equi-JOIN on line with NO broadcast hint —
+    size-based planning keeps it a shuffle join at crawl scale (AQE
+    skew-splittable — a hot boilerplate line is exactly the skew case)
+    and may legitimately broadcast it only when measured small; the
+    per-doc rebuild is one keyed aggregate. Reference scope: the flogo
+    engine has no corpus-level text operators — this extends SURVEY §2
+    block C (training-data pipeline), same family as C33 boilerplate.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = (
+        docs.repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(line_chunks(tokens(F.col("text")), 10)).alias("pos", "line"),
+        )
+    )
+    freq = chunked.groupBy("line").agg(F.count("*").alias("c"))
+    j = chunked.join(freq, "line")
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("c") < 3, F.struct("pos", "line")))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("c") >= 3, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["line"]))).alias("retained_md5"),
+    )
 
 
 @register(

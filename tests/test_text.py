@@ -323,3 +323,52 @@ def test_lm_quality_buckets_semantics(spark, tmp_path):
     #   -> ppm("b a") = 5_000_000 DIV 19 = 263157
     want = (4 * (8_000_000 // 19) + 3 * (5_000_000 // 19)) // 7
     assert out[1]["mean_ppm"] == want
+
+
+def test_line_chunks_segmentation(spark):
+    """Fixed-width chunk 'lines': exact multiples, a short tail, and
+    sub-width docs; order preserved."""
+    from stream_spark.operators.text import line_chunks, tokens
+
+    rows = [(1, "a b c d e f"), (2, "a b c d"), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["ls"]
+        for r in df.select(
+            "doc_id", line_chunks(tokens(F.col("text")), 3).alias("ls")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "d e f"]
+    assert got[2] == ["a b c", "d"]
+    assert got[3] == ["a"]
+
+
+def test_line_dedup_drops_corpus_hot_lines(spark, tmp_path):
+    """A chunk line appearing >=3 times across the corpus is dropped
+    from every doc; retained_md5 is the md5 of the order-preserved
+    surviving text."""
+    import hashlib
+
+    hot = "x " * 9 + "y"            # one full 10-token chunk
+    uniq = " ".join(f"u{i}" for i in range(10))
+    rows = [
+        (1, f"{hot} {uniq}"),        # chunks: hot (dropped), uniq (kept)
+        (2, hot),                    # fully dropped -> md5('')
+        (3, hot),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from stream_spark.queries import QUERIES
+
+    out = {r["doc_id"]: r for r in QUERIES["documents_line_dedup"](spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    # the hot chunk occurs 3x corpus-wide -> dropped everywhere
+    assert (out[1]["n_lines"], out[1]["n_dropped"]) == (2, 1)
+    assert out[1]["retained_md5"] == hashlib.md5(uniq.encode()).hexdigest()
+    for d in (2, 3):
+        assert (out[d]["n_lines"], out[d]["n_dropped"]) == (1, 1)
+        assert out[d]["retained_md5"] == hashlib.md5(b"").hexdigest()

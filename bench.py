@@ -63,6 +63,7 @@ TIER2 = [
     "documents_bm25_search",
     "documents_lm_quality_buckets",
     "documents_line_dedup",
+    "dedup_winnowed_pairs",
 ]
 
 

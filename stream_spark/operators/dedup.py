@@ -607,3 +607,79 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+#: winnowing selection-hash encoding: key = h31 * 2^24 + (2^24-1-pos).
+#: 31-bit selection hash + 24-bit position fit in 55 bits, so window
+#: MINs stay exact BIGINT in any engine; positions are bounded by
+#: 2^24-1 grams per document (a 16M-token document — far beyond any
+#: crawl page; the bound is documented, not enforced, because checking
+#: it would cost a pass).
+WINNOW_POSBITS = 16_777_216
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): over the document-order rolling k-token-gram
+    hashes, slide a window of ``w`` consecutive positions and select
+    the minimum hash per window (rightmost position on ties). The
+    selected ~2/(w+1) of grams carry the guarantee that ANY verbatim
+    span of >= w+k-1 tokens shared by two documents yields at least one
+    shared selected fingerprint — the standard way to shrink an
+    exact-substring index by 60%+ without losing long-span recall.
+
+    Returns (doc, ng, spos, fp): selected 1-based gram position and its
+    60-bit md5 fingerprint, plus the doc's total gram count ``ng``.
+
+    Engine-portable determinism: the per-window argmin is computed as
+    MIN over key = (fp mod 2^31-1)*2^24 + (2^24-1-pos) — a strict total
+    order (pos is unique) that both Spark and DuckDB evaluate as exact
+    BIGINT arithmetic; ties on the 31-bit selection hash resolve to the
+    RIGHTMOST position, the classic winnowing rule. Documents shorter
+    than ``w`` grams contribute their single clamped window (one
+    selected fingerprint), so every doc with >= k tokens is
+    represented.
+
+    Scale: the window is PARTITIONED BY doc (no global sort); gram
+    fan-out is one map-side explode behind a hash repartition; the
+    decode-rejoin to recover the 60-bit fp is a keyed equi-join on
+    (doc, pos). Linear in corpus gram volume.
+    """
+    from pyspark.sql import Window
+
+    from stream_spark.operators.text import md5_long, normalize_text, tokens, word_ngrams_all
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    g = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            tokens(normalize_text(F.col(text_col))).alias("ws"),
+        )
+        .repartition(par, "doc")
+        .select("doc", word_ngrams_all(F.col("ws"), k).alias("gs"))
+        .select("doc", F.size("gs").alias("ng"), F.posexplode("gs").alias("pos0", "g"))
+        .select(
+            "doc",
+            "ng",
+            (F.col("pos0") + 1).alias("pos"),
+            md5_long(F.col("g")).alias("fp"),
+        )
+    )
+    pb = F.lit(WINNOW_POSBITS)
+    key = (F.col("fp") % F.lit(MERSENNE31)) * pb + (pb - 1 - F.col("pos"))
+    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.withColumn("mk", F.min(key.alias("key")).over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("ng") - F.lit(w - 1), F.lit(1)))
+        .select("doc", "ng", (pb - 1 - F.col("mk") % pb).cast("int").alias("spos"))
+        .distinct()
+    )
+    return sel.join(
+        g.select("doc", F.col("pos").alias("spos"), "fp"), ["doc", "spos"]
+    ).select("doc", "ng", "spos", "fp")

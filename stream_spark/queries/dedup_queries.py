@@ -609,3 +609,111 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     return incremental_dedup_flags(batch, corpus)
+
+
+# winnowing CTE (w=4 over 5-token grams; guarantee span w+k-1 = 8
+# tokens): document-order gram fingerprints -> exact-BIGINT window-min
+# selection key (fp mod 2^31-1)*2^24 + (2^24-1-pos) -> DISTINCT
+# selected positions -> rejoin for the 60-bit fp. Mirrors
+# operators/dedup.winnow_fingerprints line for line.
+_WINNOW = f"""
+    n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    toks AS (SELECT doc_id, string_split_regex(norm, '\\s+') AS ws FROM n),
+    g AS (
+        SELECT doc_id AS doc, i AS pos, len(ws) - 4 AS ng,
+               {MD5_60.format(x=_GRAM5)} AS fp
+        FROM toks, unnest(generate_series(1, len(ws) - 4)) t(i)
+    ),
+    wm AS (
+        SELECT doc, pos, ng,
+               MIN((fp % 2147483647) * 16777216 + (16777215 - pos))
+                   OVER (PARTITION BY doc ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+        FROM g
+    ),
+    sel AS (
+        SELECT DISTINCT doc, ng, 16777215 - (mk % 16777216) AS spos
+        FROM wm WHERE pos <= greatest(ng - 3, 1)
+    ),
+    selfp AS (
+        SELECT s.doc, s.ng, s.spos, g.fp
+        FROM sel s JOIN g ON g.doc = s.doc AND g.pos = s.spos
+    )
+"""
+
+
+@register(
+    "documents_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW}
+    SELECT doc AS doc_id,
+           CAST(MAX(ng) AS BIGINT) AS total_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(COUNT(*) AS DOUBLE) / MAX(ng) AS density,
+           md5(string_agg(CAST(spos AS VARCHAR) || ':' || CAST(fp AS VARCHAR),
+                          ',' ORDER BY spos)) AS selected_md5
+    FROM selfp GROUP BY doc
+    """,
+)
+def documents_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint selection (Schleimer et al.
+    2003 — operators/dedup.winnow_fingerprints): total gram count, the
+    number of selected fingerprints (expected density ~2/(w+1)=0.4),
+    and the md5 of the position-ordered selected (pos:fp) list — the
+    verifiable exact selected set. The selected index is what a
+    crawl-scale exact-substring pipeline stores: 60% smaller than the
+    full gram index while still catching every shared span of >= 8
+    tokens."""
+    from stream_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = winnow_fingerprints(docs, k=5, w=4)
+    ordered = F.array_sort(F.collect_list(F.struct("spos", "fp")))
+    joined = F.concat_ws(
+        ",",
+        F.transform(
+            ordered,
+            lambda s: F.concat_ws(":", s["spos"].cast("string"), s["fp"].cast("string")),
+        ),
+    )
+    return sel.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.max("ng").cast("long").alias("total_grams"),
+        F.count("*").cast("long").alias("n_selected"),
+        (F.count("*") / F.max("ng")).cast("double").alias("density"),
+        F.md5(joined).alias("selected_md5"),
+    )
+
+
+@register(
+    "dedup_winnowed_pairs",
+    oracle=f"""
+    WITH {_WINNOW},
+    d AS (SELECT DISTINCT doc, fp FROM selfp),
+    keep AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) <= {MAX_DOC_FREQ}),
+    dk AS (SELECT d.doc, d.fp FROM d JOIN keep USING (fp))
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_prints
+    FROM dk a JOIN dk b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair candidates over the WINNOWED fingerprint index —
+    the MOSS matching step: docs sharing >= 1 selected fingerprint
+    (guaranteed for any shared verbatim span of >= 8 tokens), with the
+    same df-cut as the full-gram exact-substring join. At crawl scale
+    this is the preferred pair path: the inverted index is ~40% the
+    size of dedup_exact_substring's, so the Σ freq² join volume shrinks
+    quadratically, with zero recall loss above the guarantee span."""
+    from stream_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = winnow_fingerprints(docs, k=5, w=4).select("doc", "fp").distinct()
+    rare = d.groupBy("fp").count().filter(F.col("count") <= MAX_DOC_FREQ).select("fp")
+    dk = d.join(rare, "fp")
+    return (
+        dk.alias("a")
+        .join(dk.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("shared_prints"))
+    )

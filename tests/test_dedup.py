@@ -230,3 +230,69 @@ def test_substring_dup_coverage_fractions(substr_docs):
     assert cov[2]["dup_grams"] == 3
     assert cov[3]["dup_grams"] == 0 and cov[3]["dup_fraction"] == 0.0
     assert abs(cov[1]["dup_fraction"] - 3 / 8) < 1e-12
+
+
+def _winnow_reference(text, k=5, w=4):
+    """Direct single-machine winnowing (Schleimer et al. 2003):
+    rolling k-gram md5 hashes, per-window rightmost-min selection.
+    The distributed operator must match this set exactly."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    ws = norm.split(" ")
+    grams = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+    fps = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if not fps:
+        return set()
+    sel = set()
+    n = len(fps)
+    for s in range(max(1, n - w + 1)):
+        window = fps[s : s + w]
+        m = min(h % 2147483647 for h in window)
+        # rightmost position attaining the 31-bit selection min
+        p = max(i for i, h in enumerate(window, start=s) if h % 2147483647 == m)
+        sel.add((p + 1, fps[p]))
+    return sel
+
+
+def test_winnowing_matches_direct_algorithm(spark):
+    """The distributed window-min selection reproduces the classic
+    sequential winnowing selection exactly, including short docs
+    (clamped single window) and sub-w-gram docs."""
+    from stream_spark.operators.dedup import winnow_fingerprints
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today and tomorrow it naps",
+        2: "a b c d e f",          # 2 grams < w -> one clamped window
+        3: "one two three four five",  # exactly 1 gram
+        4: "alpha beta gamma",     # < k tokens -> no grams, absent
+        5: " ".join(f"w{i % 7}" for i in range(40)),  # heavy repetition -> hash ties
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r["doc"], set()).add((r["spos"], r["fp"]))
+    for d, text in texts.items():
+        want = _winnow_reference(text, k=5, w=4)
+        assert got.get(d, set()) == want, f"doc {d}"
+
+
+def test_winnowing_guarantee_shared_long_span(spark):
+    """Any shared verbatim span of >= w+k-1 = 8 tokens must yield at
+    least one shared selected fingerprint (the winnowing guarantee)."""
+    from stream_spark.operators.dedup import winnow_fingerprints
+
+    span = "zero one two three four five six seven"  # 8 tokens
+    rows = [
+        (1, f"prefix junk words here {span} and some trailing junk"),
+        (2, f"{span} completely different remainder text follows now"),
+        (3, "unrelated document with no overlap at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = winnow_fingerprints(df, k=5, w=4)
+    fps = {d: set() for d in (1, 2, 3)}
+    for r in sel.collect():
+        fps[r["doc"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared 8-token span must survive winnowing"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])

@@ -64,6 +64,7 @@ TIER2 = [
     "documents_lm_quality_buckets",
     "documents_line_dedup",
     "dedup_winnowed_pairs",
+    "documents_dsir_selection",
 ]
 
 

@@ -670,3 +670,118 @@ def documents_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("lm_bucket"),
     )
+
+
+@register(
+    "documents_dsir_selection",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, lang, {NORM} AS norm FROM documents),
+    toks AS (SELECT doc_id, lang, string_split_regex(norm, '\\s+') AS ws FROM n),
+    bg AS (
+        SELECT doc_id, lang,
+               {MD5_60.format(x="ws[i] || ' ' || ws[i+1]")} % 1024 AS b
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_total,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_total
+            FROM bg),
+    bu AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rb,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+           FROM bg GROUP BY b),
+    w AS (SELECT b,
+                 least((((tb + 1) * 10000000000 // (t_total + 1024)) * 1000000)
+                        // ((rb + 1) * 10000000000 // (r_total + 1024)),
+                       1000000000) AS wgt
+          FROM bu, tot),
+    db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, b),
+    scored AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(CAST(SUM(c * wgt) AS BIGINT) // CAST(SUM(c) AS BIGINT) AS BIGINT)
+                          AS dsir_score
+               FROM db JOIN w USING (b) GROUP BY doc_id),
+    ranked AS (SELECT *, row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn,
+                      COUNT(*) OVER () AS nd FROM scored)
+    SELECT doc_id, n_bigrams, dsir_score,
+           CAST(((rn - 1) * 4) // nd AS BIGINT) AS quartile
+    FROM ranked
+    """,
+)
+def documents_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via hashed-n-gram importance weights
+    (Xie et al. 2023): score every raw document by how much its hashed
+    bigram distribution resembles a TARGET domain (here lang='en'
+    docs), then bucket the corpus into selection quartiles (quartile 0
+    = the kept resample head).
+
+    Exact-integer analogue of the importance weight, same discipline as
+    the BM25/CCNet treatments (no libm): bigrams feature-hash into
+    B=1024 buckets via md5_long mod B; Laplace bucket probabilities as
+    scale-1e10 integers ``(t_b+1)·1e10 DIV (T+B)``; the per-bucket
+    importance ratio is the micro-scaled quotient of the two, CLIPPED
+    at 1000× (``least(·,1e9)``) — importance-weight clipping is the
+    standard DSIR variance control, and here it also bounds the per-doc
+    sum at n_bigrams·1e9, overflow-free for million-bigram docs. The
+    per-doc score is the arithmetic mean of its bigrams' clipped ratios
+    (vs DSIR's log-sum: same monotone direction, every step exact
+    BIGINT). Integer-floor bound: valid while corpus bigram volume
+    < 1e10 per partition of the formula — beyond any probe scale.
+
+    Scale: the weight table is B<=1024 rows (broadcast); T/R are ONE
+    fused global aggregate (single sanctioned exchange, truncated from
+    the final plan by the rownum checkpoint); ranking is the two-pass
+    partition-offset rownum with the portable floor((rn-1)·4/n)
+    quartile formula on both sides. Linear in corpus bigram volume.
+    """
+    from stream_spark.operators.rownum import with_global_row_number
+    from stream_spark.operators.text import md5_long, normalize_text, word_ngrams_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    bg = (
+        docs.select("doc_id", "lang", tokens(normalize_text(F.col("text"))).alias("ws"))
+        .repartition(par, "doc_id")
+        .select("doc_id", "lang", F.explode(word_ngrams_all(F.col("ws"), 2)).alias("g"))
+        .select("doc_id", "lang", (md5_long(F.col("g")) % F.lit(1024)).alias("b"))
+    )
+    is_t = F.when(F.col("lang") == "en", 1).otherwise(0)
+    tot = bg.agg(
+        F.count("*").cast("long").alias("r_total"),
+        F.sum(is_t).cast("long").alias("t_total"),
+    )
+    bu = bg.groupBy("b").agg(
+        F.count("*").cast("long").alias("rb"),
+        F.sum(is_t).cast("long").alias("tb"),
+    )
+    w = (
+        # broadcast-ok: tot is one row by construction (global aggregate)
+        bu.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.expr(
+                "least((((tb + 1) * 10000000000 DIV (t_total + 1024)) * 1000000)"
+                " DIV ((rb + 1) * 10000000000 DIV (r_total + 1024)), 1000000000)"
+            ).cast("long").alias("wgt"),
+        )
+    )
+    db = bg.groupBy("doc_id", "b").agg(F.count("*").cast("long").alias("c"))
+    scored = (
+        # broadcast-ok: w is <= 1024 rows by construction (hash buckets)
+        db.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("wgt")).cast("long").alias("sw"),
+        )
+        .withColumn("dsir_score", F.expr("sw DIV n_bigrams").cast("long"))
+        .withColumn("neg", -F.col("dsir_score"))
+    )
+    ranked = with_global_row_number(scored, ["neg", "doc_id"], out="rn")
+    # counted AFTER the rownum checkpoint so the audited final plan
+    # keeps its single sanctioned single-partition aggregate
+    nd = ranked.agg(F.count("*").cast("long").alias("nd"))
+    # broadcast-ok: nd is one row by construction (global count)
+    ranked = ranked.crossJoin(F.broadcast(nd))
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        "dsir_score",
+        F.expr("((rn - 1) * 4) DIV nd").cast("long").alias("quartile"),
+    )

@@ -372,3 +372,69 @@ def test_line_dedup_drops_corpus_hot_lines(spark, tmp_path):
     for d in (2, 3):
         assert (out[d]["n_lines"], out[d]["n_dropped"]) == (1, 1)
         assert out[d]["retained_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def _dsir_reference(texts, target_langs, B=1024):
+    """Direct single-machine replay of the DSIR integer arithmetic:
+    hashed-bigram Laplace bucket ratios, clipped at 1e9, per-doc mean."""
+    import hashlib
+    import re
+
+    def buckets(text):
+        ws = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16) % B
+            for a, b in zip(ws, ws[1:])
+        ]
+
+    rb: dict[int, int] = {}
+    tb: dict[int, int] = {}
+    per_doc = {}
+    for doc_id, (text, lang) in texts.items():
+        bs = buckets(text)
+        per_doc[doc_id] = bs
+        for b in bs:
+            rb[b] = rb.get(b, 0) + 1
+            if lang in target_langs:
+                tb[b] = tb.get(b, 0) + 1
+    R, T = sum(rb.values()), sum(tb.values())
+    scores = {}
+    for doc_id, bs in per_doc.items():
+        if not bs:
+            continue
+        s = 0
+        for b in bs:
+            pt = (tb.get(b, 0) + 1) * 10_000_000_000 // (T + B)
+            pr = (rb[b] + 1) * 10_000_000_000 // (R + B)
+            s += min(pt * 1_000_000 // pr, 1_000_000_000)
+        scores[doc_id] = s // len(bs)
+    return scores
+
+
+def test_dsir_scores_match_direct_arithmetic(spark, tmp_path):
+    """The distributed DSIR score equals the sequential integer replay
+    exactly, and target-resembling docs outrank off-target docs."""
+    texts = {
+        1: ("the cat sat on the mat and the dog sat too", "en"),
+        2: ("the cat sat on the mat", "en"),
+        3: ("der hund sitzt auf der matte heute wieder da", "de"),
+        4: ("the cat sat on the mat near the dog", "de"),  # en-like text, de label
+    }
+    rows = [(d, t, l) for d, (t, l) in texts.items()]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from stream_spark.queries import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["documents_dsir_selection"](spark, str(tmp_path)).collect()
+    }
+    want = _dsir_reference(texts, {"en"})
+    assert {d: out[d]["dsir_score"] for d in out} == want
+    # doc 4 is written in target-like bigrams despite its label: it
+    # must outscore the genuinely off-target doc 3
+    assert out[4]["dsir_score"] > out[3]["dsir_score"]
+    assert out[3]["quartile"] == 3  # the off-target doc lands in the tail

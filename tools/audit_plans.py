@@ -52,6 +52,9 @@ SCALAR_SUBQUERY_OK = {
     # 1-row global scored-doc count broadcast for the tercile formula
     # floor((rn-1)*3/n) — scalar by construction.
     "documents_lm_quality_buckets",
+    # 1-row fused T/R bigram totals + 1-row ranked-doc count, both
+    # global aggregates broadcast by construction (DSIR weights).
+    "documents_dsir_selection",
 }
 
 

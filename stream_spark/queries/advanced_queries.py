@@ -1159,3 +1159,62 @@ def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("burst_z"),
         )
     )
+
+
+@register(
+    "orders_daily_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) AS day_ms,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders GROUP BY day_ms
+    ),
+    r AS (SELECT day_ms, total, row_number() OVER (ORDER BY day_ms) AS rn FROM daily),
+    contrib AS (
+        SELECT total, rn + d AS t_rn, CAST(1 << (7 - d) AS INT) AS wt
+        FROM r, unnest(generate_series(0, 7)) u(d)
+    ),
+    w AS (SELECT t_rn, SUM(total * wt) AS num, CAST(SUM(wt) AS BIGINT) AS den
+          FROM contrib GROUP BY t_rn)
+    SELECT r.day_ms, CAST(r.total AS DOUBLE) AS day_total,
+           CAST(CAST(w.num AS DOUBLE) / w.den AS DOUBLE) AS ewma_8
+    FROM r JOIN w ON r.rn = w.t_rn
+    """,
+)
+def orders_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue —
+    alpha=1/2, truncated at 8 terms (the weight tail below 2^-8 is
+    discarded and the divisor renormalized, pandas' adjust=True form).
+    Alpha=1/2 makes every weight an exact power of two, so numerator
+    and denominator are EXACT decimal/BIGINT sums (scaled by 2^7) and
+    the only float op is one final IEEE division — engine-portable per
+    oracle rule 1, no pow()/libm anywhere.
+
+    Same scale shape as orders_daily_moving_avg: one keyed daily
+    aggregation does the row-scale work; the 8-term frame runs over the
+    bounded daily grid via the two-pass rownum + distance fan-out
+    (each day explodes to the 8 target rows whose frame contains it,
+    weight 2^(7-distance)) and one keyed aggregate — no global
+    WindowExec, zero single-partition exchanges. Series-head rows
+    renormalize by their partial weight sum exactly like the oracle's
+    truncated frame."""
+    from stream_spark.operators.rownum import with_global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.unix_millis(F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))).alias("day_ms")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+    d = with_global_row_number(daily, ["day_ms"], out="rn")
+    contrib = d.select(
+        F.col("total").alias("c_total"),
+        F.posexplode(F.sequence(F.col("rn"), F.col("rn") + 7)).alias("dist", "t_rn"),
+    ).withColumn("wt", F.expr("CAST(1 << (7 - dist) AS INT)"))
+    win = contrib.groupBy("t_rn").agg(
+        F.sum(F.col("c_total") * F.col("wt")).alias("num"),
+        F.sum("wt").cast("long").alias("den"),
+    )
+    return d.join(win, d.rn == win.t_rn).select(
+        "day_ms",
+        F.col("total").cast("double").alias("day_total"),
+        (F.col("num").cast("double") / F.col("den")).cast("double").alias("ewma_8"),
+    )

@@ -394,3 +394,38 @@ def test_star_components_depth_bound_on_adversarial_graphs(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(path, max_iter=1)
+
+
+def test_daily_ewma_hand_computed(spark, tmp_path):
+    """alpha=1/2 truncated-8 EWMA with partial-head renormalization:
+    exact rational expectations on a 3-day series with a gap (the
+    frame is over grid ROWS, gaps don't pad)."""
+    import pandas as pd
+
+    # pandas/pyarrow writes ns-annotated timestamps, the same layout
+    # as the driver testdata (load_table's nanosAsLong path)
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [1, 1, 1, 1],
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": [10.0, 40.0, 20.0, 70.0],
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-01", "1995-01-02", "1995-01-02", "1995-01-09"]  # gap week
+            ),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+
+    from stream_spark.queries import QUERIES
+
+    out = sorted(
+        QUERIES["orders_daily_ewma"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day_ms"],
+    )
+    got = [(r["day_total"], r["ewma_8"]) for r in out]
+    # day1: 10 -> ewma 10; day2: 60 -> (2*60+10)/3; day3 (grid row 3,
+    # despite the calendar gap): 70 -> (4*70+2*60+10)/7
+    assert got[0] == (10.0, 10.0)
+    assert got[1] == (60.0, (2 * 60 + 10) / 3)
+    assert got[2] == (70.0, (4 * 70 + 2 * 60 + 10) / 7)

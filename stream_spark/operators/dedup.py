@@ -656,27 +656,35 @@ def winnow_fingerprints(
     from stream_spark.operators.text import md5_long, normalize_text, tokens, word_ngrams_all
 
     par = df.sparkSession.sparkContext.defaultParallelism
+    # NOTE: do NOT carry size(gram_array) through the explode — project
+    # collapsing rebuilds the whole inlined gram array (including the
+    # tokenization regex) per OUTPUT row of the Generate, turning the
+    # explode quadratic per doc (measured 70x at sf0.1). ng and the
+    # full-window validity test are recovered from window functions
+    # over the exploded rows instead.
     g = (
         df.select(
             F.col(id_col).alias("doc"),
             tokens(normalize_text(F.col(text_col))).alias("ws"),
         )
         .repartition(par, "doc")
-        .select("doc", word_ngrams_all(F.col("ws"), k).alias("gs"))
-        .select("doc", F.size("gs").alias("ng"), F.posexplode("gs").alias("pos0", "g"))
-        .select(
-            "doc",
-            "ng",
-            (F.col("pos0") + 1).alias("pos"),
-            md5_long(F.col("g")).alias("fp"),
-        )
+        .select("doc", F.posexplode(word_ngrams_all(F.col("ws"), k)).alias("pos0", "g"))
+        .select("doc", (F.col("pos0") + 1).alias("pos"), md5_long(F.col("g")).alias("fp"))
     )
     pb = F.lit(WINNOW_POSBITS)
     key = (F.col("fp") % F.lit(MERSENNE31)) * pb + (pb - 1 - F.col("pos"))
     win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    # pos is a valid window start iff its frame holds w rows (full
+    # window) or it is pos 1 (the clamped short-doc window); ng is
+    # max(pos) over the doc — same sort, no extra exchange.
+    doc_all = Window.partitionBy("doc").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     sel = (
         g.withColumn("mk", F.min(key.alias("key")).over(win))
-        .filter(F.col("pos") <= F.greatest(F.col("ng") - F.lit(w - 1), F.lit(1)))
+        .withColumn("wcnt", F.count("*").over(win))
+        .withColumn("ng", F.max("pos").over(doc_all))
+        .filter((F.col("wcnt") == w) | (F.col("pos") == 1))
         .select("doc", "ng", (pb - 1 - F.col("mk") % pb).cast("int").alias("spos"))
         .distinct()
     )

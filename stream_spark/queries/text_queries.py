@@ -785,3 +785,82 @@ def documents_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_score",
         F.expr("((rn - 1) * 4) DIV nd").cast("long").alias("quartile"),
     )
+
+
+@register(
+    "documents_token_budget_sample",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source,
+               CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter({TOKS}, w -> w IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
+               CAST(length(text) AS BIGINT) AS n_char,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+    ),
+    q AS (SELECT doc_id, source, n_tokens,
+                 (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 4 ELSE 0 END
+                + CASE WHEN n_stop * 20 >= n_tokens THEN 3 ELSE 0 END
+                + CASE WHEN n_digit * 5 <= n_char THEN 2 ELSE 0 END
+                + CASE WHEN n_punct * 10 <= n_char THEN 1 ELSE 0 END) AS qscore
+          FROM feat),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY source ORDER BY qscore DESC, doc_id) AS rnk,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY qscore DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_tokens
+          FROM q)
+    SELECT doc_id, source, n_tokens, CAST(qscore AS BIGINT) AS qscore,
+           CAST(rnk AS BIGINT) AS rnk, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(CASE WHEN cum_tokens <= 500 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM r
+    """,
+)
+def documents_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget quota sampling — the data-mixture
+    construction step (DoReMi-style fixed per-domain token budgets,
+    greedy quality fill): within each source, rank documents by an
+    integer quality score (the text_quality_score rubric restated as
+    multiplication-free integer comparisons — zero float anywhere),
+    run a token running-sum down the ranking, and keep documents until
+    the source's token budget (500) is exhausted.
+
+    Determinism: qscore is INT 0..10 (4/3/2/1 for length-in-range,
+    stopword floor, low-digit, low-punct via cross-multiplied integer
+    comparisons); ties rank by doc_id; the cumulative token sum is
+    exact BIGINT. Scale: all windows are PARTITIONED BY source (keyed
+    — no global sort); per-source prefix sums are each one partition's
+    sequential scan, fine while no single domain dominates the corpus
+    — a pathological single-domain corpus would swap in the two-pass
+    partition-offset cumsum per key (operators/rownum), same answer.
+    """
+    from pyspark.sql import Window
+
+    from stream_spark.operators.text import QUALITY_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*QUALITY_STOPWORDS))).cast("long")
+    n_char = F.length("text").cast("long")
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).cast("long")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^!-/:-@\[-`{-~]", "")).cast("long")
+    q = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        (
+            F.when((n_tok >= 10) & (n_tok <= 1000), 4).otherwise(0)
+            + F.when(n_stop * 20 >= n_tok, 3).otherwise(0)
+            + F.when(n_digit * 5 <= n_char, 2).otherwise(0)
+            + F.when(n_punct * 10 <= n_char, 1).otherwise(0)
+        ).cast("long").alias("qscore"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("qscore").desc(), "doc_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        q.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wsum).cast("long"))
+        .withColumn("kept", F.when(F.col("cum_tokens") <= 500, 1).otherwise(0).cast("long"))
+    )

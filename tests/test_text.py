@@ -438,3 +438,27 @@ def test_dsir_scores_match_direct_arithmetic(spark, tmp_path):
     # must outscore the genuinely off-target doc 3
     assert out[4]["dsir_score"] > out[3]["dsir_score"]
     assert out[3]["quartile"] == 3  # the off-target doc lands in the tail
+
+
+def test_token_budget_sample_greedy_fill(spark, tmp_path):
+    """Within a source, higher-quality docs fill the 500-token budget
+    first; the doc that crosses the budget line is cut."""
+    good = "the and is of " * 50         # 200 tokens, stopword-rich, in range
+    bad = "zzz9!! " * 80                  # digit+punct heavy, 80 tokens
+    rows = [
+        (1, good, "s1"), (2, good, "s1"), (3, good, "s1"),  # 3x200 -> third crosses 500
+        (4, bad, "s1"),
+        (5, good, "s2"),                                     # other source: own budget
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from stream_spark.queries import QUERIES
+
+    out = {r["doc_id"]: r for r in QUERIES["documents_token_budget_sample"](spark, str(tmp_path)).collect()}
+    assert [out[d]["kept"] for d in (1, 2, 3, 4)] == [1, 1, 0, 0]
+    assert out[3]["cum_tokens"] == 600  # crosses the 500 budget
+    assert out[4]["qscore"] < out[1]["qscore"]  # junk ranks below
+    assert out[5]["kept"] == 1 and out[5]["rnk"] == 1  # fresh budget per source

@@ -53,6 +53,17 @@ PROBE = [
     "dedup_keep_best_quality",
     "ann_topk_ivfpq",
     "pipeline_curation",
+    # round-5 additions: the corpus-level text/dedup family — all
+    # equi-join + keyed-aggregate shapes that must stay linear
+    "dedup_exact_substring",
+    "documents_substring_dup_coverage",
+    "documents_bm25_search",
+    "documents_lm_quality_buckets",
+    "documents_line_dedup",
+    "documents_winnowing_fingerprints",
+    "dedup_winnowed_pairs",
+    "documents_dsir_selection",
+    "orders_daily_ewma",
 ]
 
 

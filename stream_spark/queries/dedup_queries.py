@@ -717,3 +717,80 @@ def dedup_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").cast("bigint").alias("shared_prints"))
     )
+
+
+@register(
+    "embeddings_semantic_decontaminate",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HPB},
+    ev AS (SELECT DISTINCT vec_id AS eval_id, tbl, bucket
+           FROM tbuckets WHERE vec_id % 50 = 0),
+    cde AS (
+        SELECT DISTINCT b.vec_id, ev.eval_id
+        FROM tbuckets b JOIN ev ON ev.tbl = b.tbl AND ev.bucket = b.bucket
+        WHERE b.vec_id % 50 <> 0
+    ),
+    dots AS (
+        SELECT c.vec_id, c.eval_id,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        FROM cde c
+        JOIN e a ON a.vec_id = c.vec_id
+        JOIN e b ON b.vec_id = c.eval_id AND a.i = b.i
+        GROUP BY c.vec_id, c.eval_id
+    ),
+    scored AS (
+        SELECT d.vec_id, d.eval_id, dot / (na.nrm * nb.nrm) AS cos
+        FROM dots d
+        JOIN norms na ON d.vec_id = na.vec_id
+        JOIN norms nb ON d.eval_id = nb.vec_id
+        WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    )
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(cos) AS max_cosine,
+           CAST(MIN(eval_id) AS BIGINT) AS first_eval_id
+    FROM scored GROUP BY vec_id
+    """,
+)
+def embeddings_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding twin of
+    text_decontaminate (n-gram overlap catches verbatim leakage;
+    cosine similarity catches paraphrased leakage): flag corpus
+    vectors semantically close (cosine >= 0.4) to ANY eval-set vector
+    (every 50th vec_id stands in for the benchmark suite). Per flagged
+    vector: how many eval items it matches, the max cosine, and the
+    smallest matching eval id — all order-independent aggregates, no
+    argmax tie hazard.
+
+    Scale shape: candidates come from the banded multi-table LSH index
+    (corpus bands equi-join the DISTINCT eval band index — the corpus
+    NEVER self-pairs), and the exact decimal rescore touches only
+    candidates. The decontamination asymmetry is the scale argument:
+    the eval side is a benchmark suite (thousands of rows at 100 TB
+    corpus scale), so its band index and vectors broadcast, and
+    per-corpus-row candidate fan-out is bounded by eval bucket
+    occupancy. Float prefilter + WHEN-guarded decimal rescore as in
+    the cosine dedup family (reorder-proof)."""
+    from stream_spark.operators.similarity import _guarded_cosine, banded_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    evb = banded_index(ev).select(F.col("id").alias("eval_id"), "t", "bucket").distinct()
+    cb = banded_index(corpus).select(F.col("id").alias("vec_id"), "t", "bucket")
+    # broadcast-ok: eval band index bounded by the benchmark-suite size
+    cand = cb.join(F.broadcast(evb), ["t", "bucket"]).select("vec_id", "eval_id").distinct()
+    a = emb.select("vec_id", F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("vb"))
+    scored = (
+        cand.join(a, "vec_id")
+        # broadcast-ok: eval vectors bounded by the benchmark-suite size
+        .join(F.broadcast(b), "eval_id")
+        .withColumn("cos", _guarded_cosine(F.col("va"), F.col("vb"), 0.4))
+        .filter(F.col("cos") >= 0.4)
+    )
+    return scored.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_eval_hits"),
+        F.max("cos").alias("max_cosine"),
+        F.min("eval_id").cast("long").alias("first_eval_id"),
+    )

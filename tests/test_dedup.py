@@ -296,3 +296,32 @@ def test_winnowing_guarantee_shared_long_span(spark):
         fps[r["doc"]].add(r["fp"])
     assert fps[1] & fps[2], "shared 8-token span must survive winnowing"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_semantic_decontaminate_flags_planted_near_dup(spark, tmp_path):
+    """A corpus vector nearly parallel to an eval vector is flagged
+    with cosine ~1; orthogonal corpus vectors are not flagged."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    ev = rng.normal(size=dim)
+    near = ev + rng.normal(scale=0.01, size=dim)      # planted leak
+    orth = np.zeros(dim); orth[0] = 1.0
+    ev2 = np.zeros(dim); ev2[1] = 1.0                  # second eval vec
+    rows = [
+        (0, [float(x) for x in ev], "a"),              # eval (id%50==0)
+        (50, [float(x) for x in ev2], "a"),            # eval
+        (7, [float(x) for x in near], "a"),            # leaked corpus vec
+        (9, [float(x) for x in orth], "a"),            # clean corpus vec
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    from stream_spark.queries import QUERIES
+
+    out = {r["vec_id"]: r for r in QUERIES["embeddings_semantic_decontaminate"](spark, str(tmp_path)).collect()}
+    assert 7 in out and out[7]["max_cosine"] > 0.99
+    assert out[7]["first_eval_id"] == 0
+    assert 9 not in out  # orthogonal vec never crosses 0.4

@@ -65,6 +65,7 @@ TIER2 = [
     "documents_line_dedup",
     "dedup_winnowed_pairs",
     "documents_dsir_selection",
+    "documents_hybrid_search",
 ]
 
 

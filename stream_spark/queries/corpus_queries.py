@@ -723,3 +723,118 @@ def documents_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+@register(
+    "documents_hybrid_search",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS term FROM n),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bscored AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(floor(
+                   ((CAST(2*n_docs - 2*df + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE))
+                    * (CAST(22*total_toks*tf AS DOUBLE)
+                       / CAST(10*total_toks*tf + 3*total_toks + 9*dl.dl*n_docs AS DOUBLE)))
+                   * 1e12) AS BIGINT)) AS BIGINT) AS score_scaled
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+        GROUP BY doc_id
+    ),
+    sparse AS (SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS r
+        FROM bscored) WHERE r <= 50),
+    e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+    norms AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+              FROM e GROUP BY vec_id),
+    qe AS (SELECT i, x AS qx FROM e WHERE vec_id = 0),
+    dots AS (SELECT e.vec_id, CAST(SUM(CAST(e.x * qe.qx AS DECIMAL(28,12))) AS DOUBLE) AS dot
+             FROM e JOIN qe USING (i) WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+    dsc AS (SELECT d.vec_id, CAST(floor(dot / (na.nrm * qn.nrm) * 1e12) AS BIGINT) AS cs
+            FROM dots d JOIN norms na ON d.vec_id = na.vec_id
+            JOIN (SELECT nrm FROM norms WHERE vec_id = 0) qn ON TRUE),
+    dense AS (SELECT vec_id AS doc_id, r FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS r
+        FROM dsc) WHERE r <= 50),
+    fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               COALESCE(1000000000000 // (60 + s.r), 0)
+                 + COALESCE(1000000000000 // (60 + d.r), 0) AS rrf,
+               s.r AS sr, d.r AS dr
+        FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_scaled,
+           CAST(COALESCE(sr, 0) AS BIGINT) AS sparse_rank,
+           CAST(COALESCE(dr, 0) AS BIGINT) AS dense_rank,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+    WHERE rank <= 20
+    """,
+)
+def documents_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: BM25 keyword ranking fused with dense
+    embedding ranking by Reciprocal Rank Fusion — the standard modern
+    corpus-search/eval-mining stack (sparse catches exact keywords,
+    dense catches paraphrase; RRF needs no score calibration between
+    the two). The dense query is the corpus's own vec 0 (doc_id and
+    vec_id are 1:1 in the testdata); both sides take their top 50,
+    fused score = Σ 1e12 DIV (60 + rank) over the union (absent side
+    contributes 0, surfaced as rank 0), top 20 out.
+
+    Exactness: BM25 is the C54 integer-scaled arithmetic; the dense
+    score is the exact-decimal cosine floored at scale 12 to a BIGINT
+    (floor on both engines — rule 4), so every rank and the RRF sum
+    (integer DIV — rule 8) is engine-identical, ties by id. Scale:
+    both rankings use the two-pass partition-offset top-k; the fused
+    set is <= 100 rows by construction; the dense side here is the
+    bruteforce baseline — at 100 TB it swaps to the IVF/PQ probe path
+    (C13 family) with fusion unchanged."""
+    from stream_spark.operators.retrieval import bm25_topk
+    from stream_spark.operators.rownum import with_global_row_number
+    from stream_spark.operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, _BM25_TERMS, k=50).select(
+        "doc_id", F.col("rank").alias("sparse_rank")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dsc = (
+        emb.filter(F.col("vec_id") != 0)
+        # broadcast-ok: qv is one row by construction (the query vector)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.floor(cosine(F.col("embedding"), F.col("qv")) * F.lit(1e12))
+            .cast("long")
+            .alias("cs"),
+        )
+        .withColumn("neg", -F.col("cs"))
+    )
+    dr = with_global_row_number(dsc, ["neg", "vec_id"], out="r")
+    dense = dr.filter(F.col("r") <= 50).select(
+        F.col("vec_id").alias("doc_id"), F.col("r").alias("dense_rank")
+    )
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.expr("1000000000000 DIV (60 + sparse_rank)"), F.lit(0))
+                + F.coalesce(F.expr("1000000000000 DIV (60 + dense_rank)"), F.lit(0))
+            ).cast("long").alias("rrf_scaled"),
+            F.coalesce("sparse_rank", F.lit(0)).cast("long").alias("sparse_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("long").alias("dense_rank"),
+        )
+        .withColumn("neg", -F.col("rrf_scaled"))
+    )
+    ranked = with_global_row_number(fused, ["neg", "doc_id"], out="rank")
+    return ranked.filter(F.col("rank") <= 20).select(
+        "doc_id", "rrf_scaled", "sparse_rank", "dense_rank", F.col("rank").cast("long").alias("rank")
+    )

@@ -325,3 +325,29 @@ def test_semantic_decontaminate_flags_planted_near_dup(spark, tmp_path):
     assert 7 in out and out[7]["max_cosine"] > 0.99
     assert out[7]["first_eval_id"] == 0
     assert 9 not in out  # orthogonal vec never crosses 0.4
+
+
+def test_hybrid_search_rrf_consistency(spark):
+    """On the sf0.001 corpus: the fused score always equals the RRF
+    formula over the surfaced ranks, fused rank order follows
+    (rrf desc, doc_id), and both retrieval sides contribute."""
+    from stream_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["documents_hybrid_search"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows and rows[0]["rank"] == 1 and len(rows) <= 20
+    prev = None
+    for r in rows:
+        expect = 0
+        if r["sparse_rank"] > 0:
+            expect += 10**12 // (60 + r["sparse_rank"])
+        if r["dense_rank"] > 0:
+            expect += 10**12 // (60 + r["dense_rank"])
+        assert r["rrf_scaled"] == expect
+        if prev is not None:
+            assert (-prev["rrf_scaled"], prev["doc_id"]) < (-r["rrf_scaled"], r["doc_id"])
+        prev = r
+    assert any(r["sparse_rank"] > 0 for r in rows)
+    assert any(r["dense_rank"] > 0 for r in rows)

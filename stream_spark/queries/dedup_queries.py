@@ -794,3 +794,125 @@ def embeddings_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataF
         F.max("cos").alias("max_cosine"),
         F.min("eval_id").cast("long").alias("first_eval_id"),
     )
+
+
+@register(
+    "documents_ngram_novelty",
+    oracle=f"""
+    WITH {_GRAMS5},
+    first_seen AS (SELECT fp, MIN(doc) AS first_doc FROM fp5 GROUP BY fp)
+    SELECT f.doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(SUM(CASE WHEN fs.first_doc = f.doc THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+           CAST(SUM(CASE WHEN fs.first_doc = f.doc THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM fp5 f JOIN first_seen fs USING (fp)
+    GROUP BY f.doc
+    """,
+)
+def documents_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the corpus-diversity growth
+    diagnostic: processing docs in doc_id order, what fraction of this
+    doc's distinct 5-token grams has never appeared in any earlier
+    document? (A gram is novel exactly in its min-doc_id doc.) Falling
+    novelty across a crawl = the corpus is saturating; the curve is
+    the standard "how much new data is actually new" report a
+    dedup-pipeline owner reads before paying for another dump.
+
+    Scale: one gram→min(doc) aggregate plus one join back and one
+    keyed per-doc aggregate — the same linear no-self-join shape as
+    substring_dup_coverage; first-seen is order-free (MIN over the
+    key), so no sequential pass exists anywhere."""
+    from stream_spark.operators.dedup import _gram_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _gram_fingerprints(docs, "text", "doc_id", 5)
+    fs = sh.groupBy("fp").agg(F.min("doc").alias("first_doc"))
+    return (
+        sh.join(fs, "fp")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("total_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty", (F.col("novel_grams") / F.col("total_grams")).cast("double")
+        )
+    )
+
+
+@register(
+    "documents_substring_removal",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    toks AS (SELECT doc_id, string_split_regex(norm, '\\s+') AS ws FROM n),
+    tk AS (SELECT doc_id AS doc, i AS tpos, ws[i] AS tok
+           FROM toks, unnest(generate_series(1, len(ws))) t(i)),
+    g AS (SELECT doc_id AS doc, i AS pos, {MD5_60.format(x=_GRAM5)} AS fp
+          FROM toks, unnest(generate_series(1, len(ws) - 4)) t(i)),
+    dfq AS (SELECT fp, COUNT(DISTINCT doc) AS nd FROM g GROUP BY fp),
+    cov AS (SELECT DISTINCT g.doc, c AS cpos
+            FROM g JOIN dfq USING (fp), unnest(generate_series(g.pos, g.pos + 4)) u(c)
+            WHERE nd >= 2),
+    m AS (SELECT tk.doc, tk.tpos, tk.tok,
+                 CASE WHEN cov.cpos IS NOT NULL THEN 1 ELSE 0 END AS rm
+          FROM tk LEFT JOIN cov ON cov.doc = tk.doc AND cov.cpos = tk.tpos)
+    SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(rm) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN rm = 0 THEN tok END, ' ' ORDER BY tpos), ''))
+               AS retained_md5
+    FROM m GROUP BY doc
+    """,
+)
+def documents_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"), the rewrite step the
+    C53 coverage stat targets: delete every token covered by a 5-token
+    gram that appears verbatim in at least one OTHER document; emit
+    per-doc token count, removed-token count, and the md5 of the
+    order-preserved surviving text (the verifiable rewritten doc).
+
+    Scale: gram doc-frequency is one distinct + one aggregate (never a
+    self-join); covered positions fan out 5 rows per duplicated gram
+    occurrence (bounded map-side explode); the left join marking
+    removal is keyed on (doc, position). Every step linear in corpus
+    token volume — the suffix-array pass of the paper re-expressed as
+    three keyed shuffles. Only doc_id rides through the explodes (the
+    winnowing lesson: an array-derived column carried through a
+    Generate re-inlines the array per output row)."""
+    from stream_spark.operators.text import md5_long, normalize_text, tokens, word_ngrams_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    base = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("ws")
+    ).repartition(par, "doc_id")
+    tk = base.select("doc_id", F.posexplode("ws").alias("tpos0", "tok")).select(
+        "doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok"
+    )
+    g = base.select(
+        "doc_id", F.posexplode(word_ngrams_all(F.col("ws"), 5)).alias("pos0", "gr")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), md5_long(F.col("gr")).alias("fp"))
+    dfq = g.select("doc_id", "fp").distinct().groupBy("fp").agg(F.count("*").alias("nd"))
+    cov = (
+        g.join(dfq.filter(F.col("nd") >= 2), "fp")
+        .select(
+            F.col("doc_id").alias("cdoc"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias("cpos"),
+        )
+        .distinct()
+    )
+    m = tk.join(
+        cov, (tk.doc_id == cov.cdoc) & (tk.tpos == cov.cpos), "left"
+    ).withColumn("rm", F.when(F.col("cpos").isNotNull(), 1).otherwise(0))
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("rm") == 0, F.struct("tpos", "tok")))
+    )
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("rm").cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["tok"]))).alias("retained_md5"),
+    )

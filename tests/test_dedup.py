@@ -351,3 +351,37 @@ def test_hybrid_search_rrf_consistency(spark):
         prev = r
     assert any(r["sparse_rank"] > 0 for r in rows)
     assert any(r["dense_rank"] > 0 for r in rows)
+
+
+def test_substring_removal_deletes_shared_spans(spark, tmp_path):
+    """Tokens covered by a cross-doc 5-gram are removed; within-doc
+    repeats of a unique gram are NOT removed; surviving text md5
+    matches a hand rebuild."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon"        # 5 tokens, in docs 1+2
+    rows = [
+        (1, f"{shared} unique tail one two"),
+        (2, f"lead in {shared}"),
+        (3, "totally different words here repeated totally different words here repeated x"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from stream_spark.queries import QUERIES
+
+    out = {r["doc_id"]: r for r in QUERIES["documents_substring_removal"](spark, str(tmp_path)).collect()}
+    # doc1: the 5 shared tokens removed, 4-token tail survives
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (9, 5)
+    assert out[1]["retained_md5"] == hashlib.md5(b"unique tail one two").hexdigest()
+    # doc2: lead-in survives
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (7, 5)
+    assert out[2]["retained_md5"] == hashlib.md5(b"lead in").hexdigest()
+    # doc3: its grams repeat only WITHIN the doc -> doc-frequency 1,
+    # nothing removed
+    assert out[3]["n_removed"] == 0

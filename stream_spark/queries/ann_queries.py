@@ -1006,3 +1006,18 @@ def embeddings_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_odd",
         (F.col("d") / (F.col("na") * F.col("nb"))).alias("centroid_cosine"),
     )
+
+
+@register("embeddings_pca_project")
+def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA projection of the embedding corpus (operators/pca):
+    one map-only moment pass + driver d×d eigh + one map-only Arrow
+    projection — the tall-skinny PCA shape, no shuffle anywhere.
+    Pytest tier (contract tests: orthonormality, numpy parity,
+    variance ordering, whitening): an eigendecomposition is not
+    SQL-expressible, so the driver records the rows-only check."""
+    from stream_spark.operators.pca import pca_fit, pca_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, vals = pca_fit(emb, k=8)
+    return pca_transform(emb, mean, comps, vals)

@@ -1164,3 +1164,72 @@ def _streaming_time_tumbling_minmax(function: str, sql_agg: str):
 
 streaming_time_tumbling_min = _streaming_time_tumbling_minmax("min", "MIN(value)")
 streaming_time_tumbling_max = _streaming_time_tumbling_minmax("max", "MAX(value)")
+
+
+_DSIR_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_DSIR_MD5 = "CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "streaming_dsir_gate",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, lang, {_DSIR_NORM} AS norm FROM documents),
+    toks AS (SELECT doc_id, lang, string_split_regex(norm, '\\s+') AS ws FROM n),
+    bg AS (SELECT doc_id, lang, {_DSIR_MD5} % 1024 AS b
+           FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_total,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_total
+            FROM bg),
+    bu AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rb,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+           FROM bg GROUP BY b),
+    w AS (SELECT b,
+                 least((((tb + 1) * 10000000000 // (t_total + 1024)) * 1000000)
+                        // ((rb + 1) * 10000000000 // (r_total + 1024)),
+                       1000000000) AS wgt
+          FROM bu, tot),
+    db AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, lang, b),
+    scored AS (SELECT doc_id, lang,
+                      CAST(CAST(SUM(c * wgt) AS BIGINT) // CAST(SUM(c) AS BIGINT) AS BIGINT)
+                          AS score
+               FROM db JOIN w USING (b) GROUP BY doc_id, lang)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM scored GROUP BY lang
+    """,
+)
+def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE DSIR gate — the deployment shape of hashed-n-gram
+    importance sampling: the weight table is trained offline on the
+    reference corpus (operators/dsir.dsir_weight_map, one batch pass,
+    the exact arithmetic of the gated batch twin
+    documents_dsir_selection), frozen into a constant-folded 1024-entry
+    literal map, and applied STATELESSLY to each document of a live
+    stream (accept iff mean clipped micro-ratio >= 1e6, i.e. at least
+    as target-like as average). No state store, no per-doc shuffle —
+    the only streaming aggregate is the per-language accept-rate
+    dashboard (complete mode), replayed over 4 micro-batches and
+    gated against the batch oracle."""
+    from stream_spark.operators.dsir import dsir_score, dsir_weight_map
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bounded-metadata collect: <=1024 weight rows (see operator docstring)
+    weights, default = dsir_weight_map(docs, F.col("lang") == "en")
+    stage = f"{_SCRATCH}/dsir_gate"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, docs, stage, n_slices=4)
+    scored = stream.withColumn(
+        "score", dsir_score(F.col("text"), weights, default)
+    ).filter(F.col("score").isNotNull())
+    out = run_stream_to_memory(
+        scored.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 1_000_000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_accept"),
+            F.sum("score").cast("long").alias("sum_score"),
+        ),
+        output_mode="complete",
+    )
+    return out.select("lang", "n_docs", "n_accept", "sum_score")

@@ -462,3 +462,26 @@ def test_token_budget_sample_greedy_fill(spark, tmp_path):
     assert out[3]["cum_tokens"] == 600  # crosses the 500 budget
     assert out[4]["qscore"] < out[1]["qscore"]  # junk ranks below
     assert out[5]["kept"] == 1 and out[5]["rnk"] == 1  # fresh budget per source
+
+
+def test_dsir_score_expr_matches_batch_arithmetic(spark):
+    """The stateless frozen-map score (streaming gate path) equals the
+    sequential integer replay doc for doc."""
+    from stream_spark.operators.dsir import dsir_score, dsir_weight_map
+
+    texts = {
+        1: ("the cat sat on the mat and the dog sat too", "en"),
+        2: ("der hund sitzt auf der matte heute wieder da", "de"),
+        3: ("the cat sat on the mat near the dog", "de"),
+    }
+    df = spark.createDataFrame(
+        [(d, t, l) for d, (t, l) in texts.items()], "doc_id long, text string, lang string"
+    )
+    weights, default = dsir_weight_map(df, F.col("lang") == "en")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", dsir_score(F.col("text"), weights, default).alias("s")).collect()
+    }
+    want = _dsir_reference(texts, {"en"})
+    assert got == want
+    assert 0 < default <= 1_000_000_000  # unseen-bucket weight positive, clipped

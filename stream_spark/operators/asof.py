@@ -163,3 +163,64 @@ def asof_join_cogrouped(
         .cogroup(r2.groupBy(key))
         .applyInPandas(lambda lg, rg: merge(lg, rg), schema=schema)
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """NEAREST-direction as-of (pandas merge_asof direction='nearest'
+    parity, ties → backward): for each left row, the right timestamp
+    minimizing |Δt| on the same key. ``left_ts``/``right_ts`` are
+    NUMERIC (e.g. epoch-ms) columns — cast timestamps before calling.
+
+    Returns the left columns plus ``near_ts`` (NULL when the key has
+    no right rows), ``delta`` (|Δt|, same units), and ``direction``
+    ('backward' / 'forward' / NULL).
+
+    Same scale shape as ``asof_join``: ONE union + one keyed sort; the
+    backward candidate is a last(ignorenulls) over the preceding frame
+    and the forward candidate a first(ignorenulls) over the following
+    frame — two frames of the SAME window sort, one WindowExec, one
+    shuffle. A right row at exactly the left timestamp is seen by the
+    backward frame (side ordering) and wins with Δt=0, which is also
+    what the nearest rule picks — so the equal-ts asymmetry between
+    the frames is unobservable in the result."""
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r = (
+        right.select(F.col(key), F.col(right_ts).alias("_ats"))
+        .withColumn("_side", F.lit(0))
+        .withColumn("_rts", F.col("_ats"))
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    c = merged.select(
+        "*",
+        F.last("_rts", ignorenulls=True).over(wb).alias("_b"),
+        F.first("_rts", ignorenulls=True).over(wf).alias("_f"),
+    ).filter(F.col("_side") == 1)
+    db = F.col("_ats") - F.col("_b")
+    df_ = F.col("_f") - F.col("_ats")
+    nearer_b = F.col("_f").isNull() | (F.col("_b").isNotNull() & (db <= df_))
+    return c.select(
+        *lcols,
+        F.when(nearer_b, F.col("_b")).otherwise(F.col("_f")).alias("near_ts"),
+        F.when(nearer_b, db).otherwise(df_).alias("delta"),
+        F.when(F.col("_b").isNull() & F.col("_f").isNull(), F.lit(None).cast("string"))
+        .when(nearer_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -1218,3 +1218,59 @@ def orders_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("day_total"),
         (F.col("num").cast("double") / F.col("den")).cast("double").alias("ewma_8"),
     )
+
+
+@register(
+    "events_asof_nearest_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS pts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS cts
+          FROM events WHERE event_type = 'click'),
+    b AS (SELECT p.event_id, p.user_id, p.pts, c.cts AS bts
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts),
+    f AS (SELECT p.event_id, c.cts AS fts
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.cts >= p.pts)
+    SELECT b.event_id AS purchase_id, b.user_id, b.pts AS purchase_ts_ms,
+           CAST(CASE WHEN fts IS NULL OR (bts IS NOT NULL AND b.pts - bts <= fts - b.pts)
+                     THEN bts ELSE fts END AS BIGINT) AS nearest_click_ts_ms,
+           CAST(CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                     WHEN fts IS NULL OR (bts IS NOT NULL AND b.pts - bts <= fts - b.pts)
+                     THEN b.pts - bts ELSE fts - b.pts END AS BIGINT) AS delta_ms,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN fts IS NULL OR (bts IS NOT NULL AND b.pts - bts <= fts - b.pts)
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest', ties
+    → backward): each purchase matched to the user's closest click in
+    EITHER direction — the attribution variant when a click just after
+    the purchase event (clock skew, late arrival) should still count.
+    operators/asof.asof_nearest: one union + one keyed sort, backward
+    and forward candidates as two frames of the same window — one
+    shuffle total, no range fan-out."""
+    from stream_spark.operators.asof import asof_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    pm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ts_ms"),
+        )
+    )
+    cm = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("click_ts_ms")
+    )
+    res = asof_nearest(pm, cm, "user_id", "purchase_ts_ms", "click_ts_ms")
+    return res.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts_ms",
+        F.col("near_ts").cast("long").alias("nearest_click_ts_ms"),
+        F.col("delta").cast("long").alias("delta_ms"),
+        "direction",
+    )

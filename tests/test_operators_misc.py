@@ -429,3 +429,37 @@ def test_daily_ewma_hand_computed(spark, tmp_path):
     assert got[0] == (10.0, 10.0)
     assert got[1] == (60.0, (2 * 60 + 10) / 3)
     assert got[2] == (70.0, (4 * 70 + 2 * 60 + 10) / 7)
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    """Nearest-direction pick: backward when closer, forward when
+    closer, backward on exact tie, NULL when the key has no right
+    rows; equal-ts right row wins with delta 0."""
+    from stream_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 50), (4, "u3", 10), (5, "u1", 300)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90), ("u1", 120), ("u1", 300), ("u2", 60)], "k string, ts long"
+    )
+    out = {r["id"]: r for r in asof_nearest(left, right, "k", "ts", "ts").collect()}
+    assert (out[1]["near_ts"], out[1]["direction"], out[1]["delta"]) == (90, "backward", 10)
+    # id 2 at 205: backward 120 (85 away), forward 300 (95 away) -> backward
+    assert (out[2]["near_ts"], out[2]["direction"]) == (120, "backward")
+    # id 3 at 50: only forward 60 exists for u2
+    assert (out[3]["near_ts"], out[3]["direction"], out[3]["delta"]) == (60, "forward", 10)
+    # id 4: u3 has no right rows
+    assert out[4]["near_ts"] is None and out[4]["direction"] is None
+    # id 5 at 300: equal-ts click -> backward, delta 0
+    assert (out[5]["near_ts"], out[5]["direction"], out[5]["delta"]) == (300, "backward", 0)
+
+
+def test_asof_nearest_exact_tie_prefers_backward(spark):
+    from stream_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame([(1, "u", 100)], "id long, k string, ts long")
+    right = spark.createDataFrame([("u", 90), ("u", 110)], "k string, ts long")
+    r = asof_nearest(left, right, "k", "ts", "ts").collect()[0]
+    assert (r["near_ts"], r["direction"], r["delta"]) == (90, "backward", 10)

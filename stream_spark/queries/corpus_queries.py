@@ -838,3 +838,78 @@ def documents_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= 20).select(
         "doc_id", "rrf_scaled", "sparse_rank", "dense_rank", F.col("rank").cast("long").alias("rank")
     )
+
+
+@register(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+                 COUNT(*) OVER () AS nd FROM n),
+    dec AS (SELECT doc_id, ((rn - 1) * 10) // nd AS decile FROM r),
+    tok AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS w FROM n),
+    fs AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+    per AS (SELECT d.decile, CAST(COUNT(*) AS BIGINT) AS new_types
+            FROM fs JOIN dec d ON fs.first_doc = d.doc_id GROUP BY d.decile),
+    grid AS (SELECT i AS decile FROM unnest(generate_series(0, 9)) t(i)),
+    filled AS (SELECT g.decile, COALESCE(p.new_types, 0) AS new_types
+               FROM grid g LEFT JOIN per p ON g.decile = p.decile)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+    FROM filled
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve — the token-level corpus
+    saturation diagnostic (companion to documents_ngram_novelty):
+    ingesting docs in doc_id order, how many NEW distinct tokens does
+    each corpus decile contribute, and what is the cumulative
+    vocabulary size? A flattening curve says another crawl dump buys
+    few new types.
+
+    Scale: token first-seen is MIN over the token key (order-free, one
+    aggregate); doc→decile uses the two-pass rownum (no global-ordered
+    window); the per-decile rollup and the 10-row cumulative grid are
+    bounded metadata — the only ordered prefix sum runs over TEN rows.
+    """
+    from stream_spark.operators.rownum import with_global_row_number
+    from stream_spark.operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(normalize_text(F.col("text"))).alias("ws"))
+    r = with_global_row_number(base.select("doc_id"), ["doc_id"], out="rn")
+    # bounded-metadata collect: ONE number off the rownum checkpoint
+    # (same class as the rownum partition counts) — keeps the audited
+    # plan free of any single-partition aggregate
+    nd = r.count()
+    dec = r.select(
+        "doc_id", F.expr(f"((rn - 1) * 10) DIV {nd}").cast("long").alias("decile")
+    )
+    fs = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per = (
+        fs.join(dec, fs.first_doc == dec.doc_id)
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    grid = spark.range(10).select(F.col("id").cast("long").alias("decile"))
+    # broadcast-ok: per is <= 10 rows by construction (decile rollup)
+    filled = grid.join(F.broadcast(per), "decile", "left").select(
+        "decile", F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types")
+    )
+    # the cumulative sum fans each decile onto itself and all later
+    # deciles (bounded 10x10 grid) — no ordered window at all
+    contrib = filled.select(
+        F.col("new_types").alias("c"),
+        F.explode(F.sequence(F.col("decile"), F.lit(9))).alias("t_decile"),
+    )
+    cum = contrib.groupBy("t_decile").agg(F.sum("c").cast("long").alias("vocab_size"))
+    return (
+        filled.join(cum, filled.decile == cum.t_decile)
+        .select("decile", "new_types", "vocab_size")
+    )

@@ -1211,7 +1211,7 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only streaming aggregate is the per-language accept-rate
     dashboard (complete mode), replayed over 4 micro-batches and
     gated against the batch oracle."""
-    from stream_spark.operators.dsir import dsir_score, dsir_weight_map
+    from stream_spark.operators.dsir import dsir_score_rows, dsir_weight_map
 
     docs = load_table(spark, sf_dir, "documents")
     # bounded-metadata collect: <=1024 weight rows (see operator docstring)
@@ -1219,9 +1219,11 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = f"{_SCRATCH}/dsir_gate"
     shutil.rmtree(stage, ignore_errors=True)
     stream = file_replay_stream(spark, docs, stage, n_slices=4)
-    scored = stream.withColumn(
-        "score", dsir_score(F.col("text"), weights, default)
-    ).filter(F.col("score").isNotNull())
+    # Arrow-batched stateless scorer (operators/dsir.dsir_score_rows):
+    # the Catalyst map-literal spelling re-builds the weight map per
+    # bigram inside the lambda (no constant folding in HOF bodies) —
+    # the frozen-table lookup is the Pandas-UDF case by design
+    scored = dsir_score_rows(stream, weights, default)
     out = run_stream_to_memory(
         scored.groupBy("lang").agg(
             F.count("*").cast("long").alias("n_docs"),

@@ -485,3 +485,31 @@ def test_dsir_score_expr_matches_batch_arithmetic(spark):
     want = _dsir_reference(texts, {"en"})
     assert got == want
     assert 0 < default <= 1_000_000_000  # unseen-bucket weight positive, clipped
+
+
+def test_dsir_arrow_scorer_matches_expression_path(spark):
+    """dsir_score_rows (Arrow hot path) == dsir_score (Catalyst spec
+    expression) on the same weights, row for row."""
+    from stream_spark.operators.dsir import dsir_score, dsir_score_rows, dsir_weight_map
+
+    texts = {
+        1: ("the cat sat on the mat and the dog sat too", "en"),
+        2: ("der hund sitzt auf der matte heute wieder da", "de"),
+        3: ("the cat sat on the mat near the dog", "de"),
+        4: ("single", "en"),  # <2 tokens: dropped by both paths
+    }
+    df = spark.createDataFrame(
+        [(d, t, l) for d, (t, l) in texts.items()], "doc_id long, text string, lang string"
+    )
+    weights, default = dsir_weight_map(df, F.col("lang") == "en")
+    expr = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", dsir_score(F.col("text"), weights, default).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .collect()
+    }
+    arrow = {
+        r["doc_id"]: r["score"]
+        for r in dsir_score_rows(df, weights, default, keep_cols=("doc_id",)).collect()
+    }
+    assert arrow == expr and 4 not in arrow

@@ -64,6 +64,15 @@ PROBE = [
     "dedup_winnowed_pairs",
     "documents_dsir_selection",
     "orders_daily_ewma",
+    "documents_token_budget_sample",
+    "embeddings_semantic_decontaminate",
+    "documents_hybrid_search",
+    "documents_substring_removal",
+    "documents_ngram_novelty",
+    "corpus_vocab_growth",
+    "streaming_dsir_gate",
+    "events_asof_nearest_click",
+    "embeddings_pca_project",
 ]
 
 

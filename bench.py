@@ -162,6 +162,12 @@ def _streaming_minhash_throughput(spark, sf_dir: str) -> float:
     #    ~100 ms of the ~650 ms per-trigger floor).
     # The residual floor is the 4 triggers' planning+state fixed cost —
     # the same job at sf1 amortizes it to ~7.6k docs/s (BASELINE.md).
+    #  - state sizing tracks trigger volume (r5b): at ~1.2k docs/trigger
+    #    the stateful stage is pure fixed cost (protocol handshake +
+    #    store commit PER TASK), so ONE state partition / one shard
+    #    beats spreading it (interleaved A/B: 3.26 s vs 3.69 s for
+    #    sp=2/shards=8); at sf1 volumes the sharded layout wins, so
+    #    scale both with rows-per-trigger.
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
     try:
@@ -184,10 +190,11 @@ def _streaming_minhash_throughput(spark, sf_dir: str) -> float:
             ckpt = f"{ckpt_base}/bench_mh_ckpt_{uuid.uuid4().hex[:8]}"
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
+            small = n_rows <= 20000  # <=5k docs/trigger: fixed cost dominates
             out = run_stream_to_memory(
-                streaming_minhash_dedup(stream, parallelism=0, shards=8),
+                streaming_minhash_dedup(stream, parallelism=0, shards=1 if small else 8),
                 output_mode="append",
-                state_partitions=2,
+                state_partitions=1 if small else 2,
                 checkpoint_dir=ckpt,
             )
             out.count()

@@ -27,5 +27,6 @@ from stream_spark.queries import source_queries as _source_queries  # noqa: E402
 from stream_spark.queries import chunk_queries as _chunk_queries  # noqa: E402,F401
 from stream_spark.queries import merge_queries as _merge_queries  # noqa: E402,F401
 from stream_spark.queries import quality_queries as _quality_queries  # noqa: E402,F401
+from stream_spark.queries import feature_queries as _feature_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1021,3 +1021,73 @@ def embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comps, vals = pca_fit(emb, k=8)
     return pca_transform(emb, mean, comps, vals)
+
+
+from stream_spark.queries.dedup_queries import _HPB as _HPB_BANDS  # noqa: E402
+
+
+@register(
+    "embeddings_knn_graph",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HPB_BANDS},
+    dots AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b AND a.i = b.i
+        GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+        SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    ),
+    edges AS (
+        SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+        UNION ALL
+        SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored
+    )
+    SELECT vec_id, neighbor_id, knn_rank, cosine FROM (
+        SELECT vec_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS knn_rank
+        FROM edges
+    ) r WHERE knn_rank <= 5
+    """,
+)
+def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole corpus (k=5): candidate
+    edges from the multi-table banded hyperplane LSH index (the same
+    OR-construction as dedup_embedding_cosine — never all-pairs), each
+    candidate scored with the exact-decimal cosine (threshold=-1
+    degenerates the two-phase guard into the exact fold everywhere —
+    every candidate is a potential graph edge, so no prefilter
+    savings exist to take), then both directions of each undirected
+    pair ranked per source node (cosine desc, id tie-break).
+
+    The k-NN graph is the backbone primitive for graph-based corpus
+    curation — SemDeDup-style neighborhoods, kNN-classifier label
+    noise detection, connectivity-based diversity sampling. Scale: the
+    candidate volume is Σ_t Σ_bucket m² (bucket-bounded, hot buckets
+    capped upstream), the per-node rank is a keyed window — no global
+    sort, no corpus² term anywhere."""
+    from stream_spark.operators.similarity import cosine_pairs_lsh_banded
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh_banded(emb, threshold=-1.0)
+    edges = pairs.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("neighbor_id"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("vec_id"), F.col("id_a").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        edges.withColumn("knn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("knn_rank") <= 5)
+        .select("vec_id", "neighbor_id", "knn_rank", "cosine")
+    )

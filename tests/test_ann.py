@@ -515,3 +515,39 @@ def test_two_phase_tie_resolves_to_lowest_code_and_cell(spark):
     # cells 0 and 1 are identical centroids: ties must go to cell 0
     assert got[0] == 0 and got[1] == 0 and got[3] == 0
     assert got[2] == 2
+
+
+def test_knn_graph_contract_and_planted_duplicates(spark):
+    """embeddings_knn_graph: ranks are contiguous per node, cosines
+    non-increasing along ranks, and planted identical vectors are each
+    other's rank-1 neighbor with cosine 1.0 (identical vectors collide
+    in EVERY LSH table by construction, so recall is exact for them)."""
+    import random
+
+    from stream_spark.queries import QUERIES
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    rows.append((100, rows[3][1]))  # exact duplicate of vec 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = QUERIES["embeddings_knn_graph"](spark, d).collect()
+    by_node: dict[int, list] = {}
+    for r in by_node_rows(out):
+        by_node.setdefault(r["vec_id"], []).append(r)
+    for node, edges in by_node.items():
+        edges.sort(key=lambda r: r["knn_rank"])
+        assert [e["knn_rank"] for e in edges] == list(range(1, len(edges) + 1))
+        cosines = [e["cosine"] for e in edges]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(e["neighbor_id"] != node for e in edges)
+    assert by_node[3][0]["neighbor_id"] == 100 and abs(by_node[3][0]["cosine"] - 1.0) < 1e-9
+    assert by_node[100][0]["neighbor_id"] == 3
+
+
+def by_node_rows(rows):
+    return [r.asDict() for r in rows]

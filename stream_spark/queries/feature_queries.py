@@ -89,3 +89,94 @@ def events_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis(F.col("_vf").cast("timestamp")).alias("dim_since_ms"),
         )
     )
+
+
+@register(
+    "embeddings_outlier_filter",
+    oracle="""
+    WITH el AS (
+        SELECT em.label, em.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings em, unnest(generate_series(1, len(embedding))) t(i)
+    ),
+    sums AS (
+        SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s
+        FROM el GROUP BY label, i
+    ),
+    lnorm AS (
+        SELECT label, sqrt(CAST(SUM(CAST(s * s AS DECIMAL(28,12))) AS DOUBLE)) AS ns
+        FROM sums GROUP BY label
+    ),
+    per_vec AS (
+        SELECT el.label, el.vec_id,
+               CAST(SUM(CAST(el.x * su.s AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+               sqrt(CAST(SUM(CAST(el.x * el.x AS DECIMAL(28,12))) AS DOUBLE)) AS nv
+        FROM el JOIN sums su ON el.label = su.label AND el.i = su.i
+        GROUP BY el.label, el.vec_id
+    ),
+    scored AS (
+        SELECT p.vec_id, p.label, p.dot / (p.nv * ln.ns) AS centroid_cos
+        FROM per_vec p JOIN lnorm ln ON p.label = ln.label
+    ),
+    cnts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY label),
+    ranked AS (
+        SELECT s.vec_id, s.label, s.centroid_cos,
+               CAST(row_number() OVER (
+                   PARTITION BY s.label ORDER BY s.centroid_cos, s.vec_id
+               ) AS BIGINT) AS rn,
+               c.n
+        FROM scored s JOIN cnts c ON s.label = c.label
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label, centroid_cos,
+           (rn - 1) * 10 // n AS decile,
+           ((rn - 1) * 10 // n = 0) AS is_outlier
+    FROM ranked
+    """,
+)
+def embeddings_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outlier detection for label-noise curation:
+    each vector scored by cosine to its OWN label's centroid (the label
+    SUM vector — same direction as the mean, so the decimal mean
+    division never happens), the bottom decile per label flagged.
+
+    Portable arithmetic end to end: decimal per-(label,dim) sums, the
+    per-vector dot against the bounded label×dim sum table, IEEE
+    division only at the surfaced cosine, and the decile via the
+    engine-portable floor((rn-1)·10/n) integer formula (never SQL
+    ntile — remainder buckets are engine-specific).
+
+    Scale: one (label, dim) keyed aggregate (bounded: labels × dims),
+    one keyed join back to the exploded stream, per-label windows —
+    no pairwork, no global sort; linear at any corpus size."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select("label", "vec_id", F.posexplode("embedding").alias("i0", "xf")).select(
+        "label", "vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    sums = el.groupBy("label", "i").agg(dec(F.col("x")).alias("s"))
+    lnorm = sums.groupBy("label").agg(F.sqrt(dec(F.col("s") * F.col("s"))).alias("ns"))
+    per_vec = (
+        el.join(sums, ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(
+            dec(F.col("x") * F.col("s")).alias("dot"),
+            F.sqrt(dec(F.col("x") * F.col("x"))).alias("nv"),
+        )
+    )
+    scored = per_vec.join(lnorm, "label").select(
+        "vec_id", "label", (F.col("dot") / (F.col("nv") * F.col("ns"))).alias("centroid_cos")
+    )
+    cnts = scored.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("label").orderBy("centroid_cos", "vec_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w).cast("long")).join(
+        F.broadcast(cnts), "label"  # broadcast-ok: one row per label (bounded class count)
+    )
+    decile = F.expr("(rn - 1) * 10 DIV n")
+    return ranked.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "centroid_cos",
+        decile.alias("decile"),
+        (decile == 0).alias("is_outlier"),
+    )

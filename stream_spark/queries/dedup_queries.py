@@ -916,3 +916,98 @@ def documents_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rm").cast("long").alias("n_removed"),
         F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["tok"]))).alias("retained_md5"),
     )
+
+
+@register(
+    "documents_split_contamination",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    h AS (
+        SELECT doc, p, MIN({_MH_PERM}) AS mh
+        FROM sh, unnest(generate_series(0, {PERMS - 1})) t(p)
+        GROUP BY doc, p
+    ),
+    bands AS (
+        SELECT doc, p // {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+        FROM h GROUP BY doc, p // {BAND_SIZE}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN ({MD5_60.format(x="CAST(doc_id AS VARCHAR)")}) % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ),
+    edges AS (
+        SELECT doc_a AS d, doc_b AS o FROM pairs
+        UNION ALL
+        SELECT doc_b AS d, doc_a AS o FROM pairs
+    ),
+    leaks AS (
+        SELECT e.d AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+               MIN(e.o) AS min_train_dup
+        FROM edges e
+        JOIN splits sd ON e.d = sd.doc_id AND sd.split = 'test'
+        JOIN splits so ON e.o = so.doc_id AND so.split = 'train'
+        GROUP BY e.d
+    )
+    SELECT s.doc_id,
+           COALESCE(l.n_train_dups, 0) AS n_train_dups,
+           (l.doc_id IS NOT NULL) AS is_contaminated,
+           l.min_train_dup
+    FROM splits s LEFT JOIN leaks l ON s.doc_id = l.doc_id
+    WHERE s.split = 'test'
+    """,
+)
+def documents_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-contamination audit — the eval-leakage check a
+    curation pipeline runs BEFORE training: assign every document to a
+    deterministic hash split (md5 of doc_id mod 10: 8 train / 2 test,
+    the standard at-scale split — no shuffle, no RNG state), then flag
+    every TEST doc that has a MinHash-LSH near-duplicate in TRAIN.
+    Output is one row per test doc: train-near-dup count, contamination
+    flag, and the smallest offending train doc id (the evidence row).
+
+    Scale: candidate pairs come from the banded LSH index
+    (dedup.minhash_lsh_candidates — bucket-bounded equi-join, never
+    all-pairs; block_size path available for hot buckets), split
+    assignment is a map-side column, and the leak count is one keyed
+    aggregate on doc id. At 100 TB this is the same plan as the dedup
+    pass itself plus two broadcast-free keyed joins on 8-byte ids.
+    """
+    from stream_spark.operators.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        F.when(md5_long(F.col("doc_id").cast("string")) % 10 < 8, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = minhash_lsh_candidates(docs)
+    edges = pairs.select(F.col("doc_a").alias("d"), F.col("doc_b").alias("o")).unionByName(
+        pairs.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("o"))
+    )
+    test_docs = split.filter(F.col("split") == "test").select(F.col("doc_id").alias("d"))
+    train_docs = split.filter(F.col("split") == "train").select(F.col("doc_id").alias("o"))
+    leaks = (
+        edges.join(test_docs, "d")
+        .join(train_docs, "o")
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("n_train_dups"),
+            F.min("o").alias("min_train_dup"),
+        )
+    )
+    return test_docs.join(leaks, "d", "left").select(
+        F.col("d").alias("doc_id"),
+        F.coalesce("n_train_dups", F.lit(0).cast("long")).alias("n_train_dups"),
+        F.col("n_train_dups").isNotNull().alias("is_contaminated"),
+        "min_train_dup",
+    )

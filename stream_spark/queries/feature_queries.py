@@ -180,3 +180,109 @@ def embeddings_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         decile.alias("decile"),
         (decile == 0).alias("is_outlier"),
     )
+
+
+@register(
+    "documents_langid_classifier",
+    oracle="""
+    WITH n AS (SELECT doc_id, lang, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+               FROM documents),
+    toked AS (SELECT doc_id, lang, string_split_regex(norm, '\\s+') AS ws FROM n),
+    tr AS (SELECT lang AS lang_c, unnest(ws) AS w FROM toked WHERE doc_id % 2 = 0),
+    cls AS (SELECT lang_c, CAST(COUNT(*) AS BIGINT) AS tok_c FROM tr GROUP BY lang_c),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tr),
+    rates AS (
+        SELECT tr.lang_c, tr.w,
+               CAST((COUNT(*) + 1) * 1000000 // (ANY_VALUE(cls.tok_c) + ANY_VALUE(v.v)) AS BIGINT) AS rate
+        FROM tr JOIN cls USING (lang_c) CROSS JOIN v
+        GROUP BY tr.lang_c, tr.w
+    ),
+    floors AS (
+        SELECT lang_c, CAST(1000000 // (tok_c + v.v) AS BIGINT) AS floor_rate
+        FROM cls CROSS JOIN v
+    ),
+    te AS (SELECT doc_id, lang, unnest(ws) AS w FROM toked WHERE doc_id % 2 = 1),
+    scores AS (
+        SELECT te.doc_id, te.lang, f.lang_c,
+               CAST(SUM(COALESCE(r.rate, f.floor_rate)) AS BIGINT) AS s
+        FROM te CROSS JOIN floors f
+        LEFT JOIN rates r ON r.w = te.w AND r.lang_c = f.lang_c
+        GROUP BY te.doc_id, te.lang, f.lang_c
+    ),
+    ms AS (SELECT doc_id, MAX(s) AS ms FROM scores GROUP BY doc_id)
+    SELECT s.doc_id, s.lang, MIN(s.lang_c) AS pred_lang,
+           (MIN(s.lang_c) = s.lang) AS is_correct
+    FROM scores s JOIN ms ON s.doc_id = ms.doc_id AND s.s = ms.ms
+    GROUP BY s.doc_id, s.lang
+    """,
+)
+def documents_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised multiclass text classifier, trained AND applied
+    distributed — the fastText-style filter slot in a curation pipeline
+    (here predicting `lang` so accuracy is measurable against the
+    held-out truth; swapping the label column trains a quality/domain
+    classifier on the same plan).
+
+    Multinomial scoring with NO libm: per-(token, class) Laplace rates
+    as exact BIGINT ppm — ``(cnt+1)·1e6 DIV (tok_c + V)`` — a test doc
+    scores Σ rates over its token occurrences (same token count for
+    every class, so the argmax over sums equals the argmax over means),
+    unseen tokens contribute the class floor ``1e6 DIV (tok_c + V)``.
+    Argmax is spelled engine-portably: max score per doc, then MIN class
+    label among the achievers (no max_by — its tie order is
+    engine-specific).
+
+    Scale: train counts are one (class, token) keyed aggregate (vocab ×
+    classes, distributed); the per-class denominator table (tok_c + V)
+    is ≤|classes| rows, eagerly localCheckpointed so the 1-row global
+    vocab aggregate runs ONCE as a bounded side job and never re-expands
+    into the inference plan (zero single-partition exchanges there);
+    inference is the test token stream fanned out over the
+    ≤|classes|-row class table and left-joined against the rate table
+    on (token, class) — keyed, AQE-skew-safe, linear in corpus size.
+    Per-doc argmax is a doc-keyed window max, never a global sort."""
+    from stream_spark.operators.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", tokens(normalize_text(F.col("text"))).alias("ws"))
+    tr = toked.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("lang").alias("lang_c"), F.explode("ws").alias("w")
+    )
+    cls = tr.groupBy("lang_c").agg(F.count("*").cast("long").alias("tok_c"))
+    vocab = tr.agg(F.countDistinct("w").cast("long").alias("v"))
+    # ≤|classes| rows by construction (one per label) — the model's
+    # denominator table; eager localCheckpoint truncates lineage so the
+    # global vocab aggregate is a one-off bounded job, not a subtree
+    # duplicated per downstream reference.
+    denoms = (
+        cls.crossJoin(F.broadcast(vocab))  # broadcast-ok: 1-row global vocab count
+        .select(
+            "lang_c",
+            (F.col("tok_c") + F.col("v")).alias("denom"),
+            F.expr("1000000 DIV (tok_c + v)").cast("long").alias("floor_rate"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rates = (
+        tr.groupBy("lang_c", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .join(F.broadcast(denoms), "lang_c")  # broadcast-ok: one row per class
+        .select("lang_c", "w", F.expr("(cnt + 1) * 1000000 DIV denom").cast("long").alias("rate"))
+    )
+    te = toked.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.explode("ws").alias("w")
+    )
+    scores = (
+        # broadcast-ok: one row per class (bounded label set)
+        te.crossJoin(F.broadcast(denoms.select("lang_c", "floor_rate")))
+        .join(rates, ["w", "lang_c"], "left")
+        .groupBy("doc_id", "lang", "lang_c")
+        .agg(F.sum(F.coalesce(F.col("rate"), F.col("floor_rate"))).cast("long").alias("s"))
+    )
+    best = scores.withColumn("ms", F.max("s").over(Window.partitionBy("doc_id")))
+    return (
+        best.filter(F.col("s") == F.col("ms"))
+        .groupBy("doc_id", "lang")
+        .agg(F.min("lang_c").alias("pred_lang"))
+        .select("doc_id", "lang", "pred_lang", (F.col("pred_lang") == F.col("lang")).alias("is_correct"))
+    )

@@ -55,6 +55,10 @@ SCALAR_SUBQUERY_OK = {
     # 1-row fused T/R bigram totals + 1-row ranked-doc count, both
     # global aggregates broadcast by construction (DSIR weights).
     "documents_dsir_selection",
+    # test-token fan-out over the ≤|classes|-row checkpointed class
+    # table (one row per label by construction) — a bounded-dimension
+    # nested loop, not a pair blowup.
+    "documents_langid_classifier",
 }
 
 

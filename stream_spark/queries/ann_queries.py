@@ -1091,3 +1091,212 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("knn_rank") <= 5)
         .select("vec_id", "neighbor_id", "knn_rank", "cosine")
     )
+
+
+@register(
+    "embeddings_label_propagation",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HPB_BANDS},
+    dots AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b AND a.i = b.i
+        GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+        SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    ),
+    edges AS (
+        SELECT id_a AS vec_id, id_b AS neighbor_id, cosine FROM scored
+        UNION ALL
+        SELECT id_b AS vec_id, id_a AS neighbor_id, cosine FROM scored
+    ),
+    knn AS (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM edges WHERE vec_id % 2 = 1 AND neighbor_id % 2 = 0
+    ),
+    votes AS (
+        SELECT k.vec_id, CAST(l.label AS BIGINT) AS nl, CAST(COUNT(*) AS BIGINT) AS nv
+        FROM knn k JOIN embeddings l ON k.neighbor_id = l.vec_id
+        WHERE k.rnk <= 5 GROUP BY k.vec_id, l.label
+    ),
+    mx AS (SELECT vec_id, MAX(nv) AS m FROM votes GROUP BY vec_id),
+    pred AS (
+        SELECT v.vec_id, MIN(v.nl) AS pred_label, MAX(v.nv) AS n_votes
+        FROM votes v JOIN mx ON v.vec_id = mx.vec_id AND v.nv = mx.m
+        GROUP BY v.vec_id
+    )
+    SELECT p.vec_id, CAST(t.label AS BIGINT) AS true_label, p.pred_label, p.n_votes,
+           (p.pred_label = CAST(t.label AS BIGINT)) AS is_correct
+    FROM pred p JOIN embeddings t ON p.vec_id = t.vec_id
+    """,
+)
+def embeddings_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN label propagation / label-noise detection:
+    labels on the EVEN half of the corpus are propagated to the ODD
+    (held-out) half by majority vote of each held-out vector's 5
+    nearest labeled neighbors from the banded-LSH k-NN graph (C66
+    machinery). Deterministic vote resolution: highest count, then
+    smallest label among ties — no engine-specific max_by. Output per
+    held-out vector: true label, predicted label, winning vote count,
+    correctness — rows where a confident vote disagrees with the
+    stored label are the label-noise review queue.
+
+    Scale: candidate edges are bucket-bounded LSH (never all-pairs);
+    the neighbor rank, vote count, and vote argmax are all keyed by
+    vec_id (window max, not a self-join — no subtree duplication, no
+    global sort); the label lookup is a keyed join on 8-byte ids."""
+    from pyspark.sql import Window
+
+    from stream_spark.operators.similarity import cosine_pairs_lsh_banded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh_banded(emb, threshold=-1.0)
+    edges = pairs.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("neighbor_id"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("vec_id"), F.col("id_a").alias("neighbor_id"), "cosine"
+        )
+    )
+    t2t = edges.filter((F.col("vec_id") % 2 == 1) & (F.col("neighbor_id") % 2 == 0))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    knn = t2t.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").cast("long").alias("nl")
+    )
+    votes = (
+        knn.join(labels, "neighbor_id")
+        .groupBy("vec_id", "nl")
+        .agg(F.count("*").cast("long").alias("nv"))
+    )
+    best = votes.withColumn("mx", F.max("nv").over(Window.partitionBy("vec_id")))
+    pred = (
+        best.filter(F.col("nv") == F.col("mx"))
+        .groupBy("vec_id")
+        .agg(F.min("nl").alias("pred_label"), F.max("nv").alias("n_votes"))
+    )
+    truth = emb.select("vec_id", F.col("label").cast("long").alias("true_label"))
+    return pred.join(truth, "vec_id").select(
+        "vec_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("is_correct"),
+    )
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+        JOIN norms nq ON q.vec_id = nq.vec_id
+        JOIN norms nc ON c.vec_id = nc.vec_id
+        GROUP BY query_id, neighbor_id, nq.nrm, nc.nrm
+    ),
+    bftop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM bscored
+        ) WHERE rank <= {_K}
+    ),
+    cents AS (
+        SELECT vec_id AS cent_vid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT {N_CELLS})
+    ),
+    ccos AS (
+        SELECT v.vec_id, ct.cell,
+               CAST(SUM(CAST(v.x * ce.x AS DECIMAL(28,12))) AS DOUBLE) / (nv.nrm * nc.nrm) AS cos
+        FROM e v
+        JOIN cents ct ON TRUE
+        JOIN e ce ON ce.vec_id = ct.cent_vid AND ce.i = v.i
+        JOIN norms nv ON nv.vec_id = v.vec_id
+        JOIN norms nc ON nc.vec_id = ct.cent_vid
+        GROUP BY v.vec_id, ct.cell, nv.nrm, nc.nrm
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ccos WHERE vec_id >= 10
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM ccos WHERE vec_id < 10
+        ) WHERE rn <= {N_PROBE}
+    ),
+    iscored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e c ON c.vec_id = a.vec_id AND c.i = q.i
+        JOIN norms nq ON nq.vec_id = p.query_id
+        JOIN norms nc ON nc.vec_id = a.vec_id
+        GROUP BY p.query_id, neighbor_id, nq.nrm, nc.nrm
+    ),
+    ivftop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM iscored
+        ) WHERE rank <= {_K}
+    )
+    SELECT b.query_id,
+           CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM bftop b LEFT JOIN ivftop iv
+      ON b.query_id = iv.query_id AND b.neighbor_id = iv.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index self-evaluation: recall@k of the IVF probe path against
+    the exact brute-force ground truth, per query — the measurement an
+    ANN deployment runs on a held-out query sample before trusting the
+    index ("measure, don't guess": n_probe/n_cells tuning is a recall
+    curve, not a feeling). Output per query: hit count, k, recall.
+
+    Scale: ground truth is the brute-force op on the CONTRACT-BOUNDED
+    query sample (the only place exact scan is ever paid — this is how
+    recall measurement works at any scale, FAISS does the same); the
+    IVF side probes n_probe/n_cells of the corpus; the comparison is a
+    k-row-per-query left join, driver never sees per-vector data."""
+    from stream_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = topk_bruteforce(q, c, _K).select("query_id", "neighbor_id")
+    approx = topk_ivf(q, c, _K).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb"), F.lit(1).alias("hit")
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("iq")) & (F.col("neighbor_id") == F.col("inb")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        F.count("*").cast("long").alias("k"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("recall"),
+    )

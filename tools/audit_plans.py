@@ -27,6 +27,9 @@ PAIRWISE_OK = {
     # broadcast of the contract-bounded query set over one corpus
     # scan with a label-inequality filter — same spec as bruteforce.
     "embeddings_hard_negatives",
+    # recall measurement: the exact ground-truth side IS bruteforce on
+    # the contract-bounded query sample (the one sanctioned exact scan).
+    "ann_recall_at_k",
 }
 
 #: queries realizing an ANSI scalar subquery as a 1-row aggregate

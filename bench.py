@@ -66,6 +66,10 @@ TIER2 = [
     "dedup_winnowed_pairs",
     "documents_dsir_selection",
     "documents_hybrid_search",
+    "documents_langid_classifier",
+    "documents_split_contamination",
+    "embeddings_knn_graph",
+    "embeddings_label_propagation",
 ]
 
 

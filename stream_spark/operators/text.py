@@ -425,3 +425,49 @@ def char_diversity(
         )
         cols.append("entropy_bits")
     return out.select(*cols)
+
+
+def ngram_hits_rows(
+    df: DataFrame,
+    bench_grams,
+    n: int = 4,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Arrow-batched stateless decontamination scorer — the ONLINE
+    deployment shape of `decontaminate`: the benchmark/eval n-gram set
+    is built offline (bounded by contract: eval suites are thousands of
+    prompts, not billions of documents), frozen into a Python
+    frozenset, and each incoming document is scored per row with the
+    count of its DISTINCT word n-grams present in the set. No state
+    store, no shuffle — streaming-legal ahead of a dashboard aggregate.
+
+    Tokenization replays `tokens()` exactly (trim + whitespace split,
+    no lowering — the same TOKS spelling the batch oracle uses), so the
+    per-doc hit count is bit-identical to the batch join path.
+    """
+    import re
+
+    bset = frozenset(bench_grams)
+    schema = ", ".join([f"{c} string" for c in keep_cols] + ["n_hits long"])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hits, keeps = [], {c: [] for c in keep_cols}
+            for idx in range(len(pdf)):
+                text = str(pdf[text_col].iloc[idx])
+                stripped = text.strip()
+                ws = re.split(r"\s+", stripped) if stripped else []
+                grams = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+                hits.append(len(grams & bset))
+                for c in keep_cols:
+                    keeps[c].append(pdf[c].iloc[idx])
+            out = {c: keeps[c] for c in keep_cols}
+            out["n_hits"] = pd.Series(hits, dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=schema)

@@ -1235,3 +1235,67 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.select("lang", "n_docs", "n_accept", "sum_score")
+
+
+@register(
+    "streaming_decontaminate_gate",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+3], ' ') AS gram
+          FROM t, unnest(generate_series(1, len(toks) - 3)) u(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    hits AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS nh
+             FROM g JOIN bench USING (gram) WHERE g.doc_id % 50 <> 0
+             GROUP BY g.doc_id),
+    corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0)
+    SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h.nh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(SUM(h.nh), 0) AS BIGINT) AS sum_hits
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    GROUP BY c.source
+    """,
+)
+def streaming_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE benchmark decontamination — the deployment twin of
+    `text_decontaminate` (C-block n-gram decontamination): the eval
+    suite's distinct word 4-gram set is built offline (bounded by
+    contract — eval suites are thousands of prompts) and frozen; every
+    document of a live ingest stream is then scored STATELESSLY with
+    its distinct-gram hit count against the frozen set
+    (operators/text.ngram_hits_rows, Arrow mapInPandas — same
+    trim+split tokenization as the batch TOKS spelling). No state
+    store, no per-doc shuffle; the only streaming aggregate is the
+    per-source contamination dashboard (complete mode, 4-slice
+    replay), gated against the batch join arithmetic."""
+    from stream_spark.operators.text import ngram_hits_rows, tokens, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "source", "text")
+    # bounded-metadata collect: the eval-suite distinct gram set
+    # (contract-bounded — the same boundedness argument as the batch
+    # op's broadcast of this exact set)
+    bench_grams = [
+        r["gram"]
+        for r in bench.select(
+            F.explode(word_ngrams(tokens(F.col("text")), 4)).alias("gram")
+        )
+        .distinct()
+        .collect()
+    ]
+    stage = f"{_SCRATCH}/decon_gate"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, corpus, stage, n_slices=4)
+    scored = ngram_hits_rows(stream, bench_grams, n=4, keep_cols=("source",))
+    out = run_stream_to_memory(
+        scored.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum("n_hits").cast("long").alias("sum_hits"),
+        ),
+        output_mode="complete",
+    )
+    return out.select("source", "n_docs", "n_contaminated", "sum_hits")

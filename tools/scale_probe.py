@@ -73,6 +73,18 @@ PROBE = [
     "streaming_dsir_gate",
     "events_asof_nearest_click",
     "embeddings_pca_project",
+    # round-5 late additions: feature-store / classifier / graph ops —
+    # the knn graph + label propagation share the banded-LSH edge
+    # volume, the classifier is token-stream keyed joins, the
+    # split audit rides the minhash index, the PIT join is bounded by
+    # per-user version count
+    "events_pit_dimension_join",
+    "embeddings_knn_graph",
+    "embeddings_label_propagation",
+    "embeddings_outlier_filter",
+    "documents_langid_classifier",
+    "documents_split_contamination",
+    "ann_recall_at_k",
 ]
 
 

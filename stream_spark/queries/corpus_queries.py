@@ -913,3 +913,88 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.join(cum, filled.decile == cum.t_decile)
         .select("decile", "new_types", "vocab_size")
     )
+
+
+@register(
+    "documents_source_keywords",
+    oracle="""
+    WITH n AS (SELECT source, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+               FROM documents),
+    tok AS (SELECT source, unnest(string_split_regex(norm, '\\s+')) AS w FROM n),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, w),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM sw GROUP BY source),
+    tw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY w),
+    tot AS (SELECT CAST(SUM(ts) AS BIGINT) AS t FROM st),
+    rates AS (
+        SELECT sw.source, sw.w,
+               CAST(sw.c * 1000000 // st.ts AS BIGINT) AS rate_ppm,
+               CAST((tw.cw - sw.c) * 1000000 // (tot.t - st.ts) AS BIGINT) AS rest_ppm
+        FROM sw JOIN st USING (source) JOIN tw USING (w) CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT source, w AS term, rate_ppm, rest_ppm, rate_ppm - rest_ppm AS lift,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY rate_ppm - rest_ppm DESC, w
+               ) AS BIGINT) AS rnk
+        FROM rates
+    )
+    SELECT source, term, rate_ppm, rest_ppm, lift, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def documents_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive-keyword profile — the "what is this
+    source made of" inspection every mixture decision leans on: for
+    each source, the top-10 tokens by exact integer ppm LIFT
+    (in-source rate minus rest-of-corpus rate, both `cnt·1e6 DIV
+    total` — no libm log-odds, same DIV spelling both engines).
+
+    Scale: token counts are keyed aggregates; the per-source totals ×
+    corpus total live in a ≤|sources|-row eagerly-checkpointed table
+    (no scalar-subquery re-expansion); the per-token rest-rate needs
+    one vocab-keyed join (AQE skew-safe). The top-10 rank is SALTED
+    two-stage: stage 1 takes the top-10 per (source, md5-salt-of-term
+    % 64) — 64-way parallel, no window ever sees a full vocabulary —
+    stage 2 ranks the ≤640 survivors per source. Exact: the global
+    top-10 under the total order (lift desc, term) is contained in the
+    union of per-salt top-10s, so the refinement drops only rows that
+    could never rank ≤10."""
+    from stream_spark.operators.text import md5_long, normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(normalize_text(F.col("text")))).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("c"))
+    st = sw.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
+    tw = sw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    tot = st.agg(F.sum("ts").cast("long").alias("t"))
+    # ≤|sources| rows by construction — checkpoint so the global total
+    # never re-expands as a scalar subquery per downstream reference
+    srcden = (
+        st.crossJoin(F.broadcast(tot))  # broadcast-ok: 1-row corpus total
+        .select("source", "ts", (F.col("t") - F.col("ts")).alias("rest_total"))
+        .localCheckpoint(eager=True)
+    )
+    rates = (
+        sw.join(tw, "w")
+        .join(F.broadcast(srcden), "source")  # broadcast-ok: one row per source
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.expr("c * 1000000 DIV ts").cast("long").alias("rate_ppm"),
+            F.expr("(cw - c) * 1000000 DIV rest_total").cast("long").alias("rest_ppm"),
+        )
+        .withColumn("lift", F.col("rate_ppm") - F.col("rest_ppm"))
+    )
+    salted = Window.partitionBy(
+        "source", F.pmod(md5_long(F.col("term")), F.lit(64))
+    ).orderBy(F.desc("lift"), F.asc("term"))
+    survivors = rates.withColumn("srnk", F.row_number().over(salted)).filter(
+        F.col("srnk") <= 10
+    )
+    final = Window.partitionBy("source").orderBy(F.desc("lift"), F.asc("term"))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(final).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "term", "rate_ppm", "rest_ppm", "lift", "rnk")
+    )

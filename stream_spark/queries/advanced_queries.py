@@ -1274,3 +1274,67 @@ def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("long").alias("delta_ms"),
         "direction",
     )
+
+
+@register(
+    "events_decay_sample",
+    oracle="""
+    WITH ev AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),
+    mx AS (SELECT MAX(ts_ms) AS anchor FROM ev),
+    aged AS (
+        SELECT event_id, ts_ms, (mx.anchor - ts_ms) // 86400000 AS age_days
+        FROM ev CROSS JOIN mx
+    ),
+    kd AS (SELECT event_id, ts_ms, age_days,
+                  LEAST(age_days // 7, 20) AS kk FROM aged)
+    SELECT event_id, ts_ms, CAST(age_days AS BIGINT) AS age_days,
+           CAST(kk AS BIGINT) AS decay_bucket
+    FROM kd
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % (CAST(1 AS BIGINT) << kk) = 0
+    """,
+)
+def events_decay_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted (exponential-decay) deterministic sampling —
+    the recency mixture a continuously-trained model's data pipeline
+    applies to its event firehose: keep probability halves every
+    half-life (7 days), so the sample over-represents fresh data with
+    an EXACT power-of-two rate per age bucket. No RNG state anywhere:
+    keep iff md5(event_id) ≡ 0 (mod 2^bucket) — reproducible across
+    runs, engines, and partitionings, and downstream estimates can
+    reweight by exactly 2^bucket. Bucket capped at 20 (keep ≥ 2^-20,
+    bounds the shift arithmetic).
+
+    Scale: one 1-row anchor aggregate (the only sanctioned
+    single-partition exchange, used once), then a pure map-side filter
+    — no shuffle at all on the corpus path; at 100 TB this is a scan
+    that keeps ~Σ 2^-k of each age band."""
+    from stream_spark.operators.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    mx = ev.agg(F.max("ts_ms").alias("anchor"))
+    aged = (
+        ev.crossJoin(F.broadcast(mx))  # broadcast-ok: 1-row global anchor
+        .select(
+            "event_id", "ts_ms", F.expr("(anchor - ts_ms) DIV 86400000").alias("age_days")
+        )
+    )
+    kd = aged.withColumn(
+        "decay_bucket", F.least(F.expr("age_days DIV 7"), F.lit(20)).cast("long")
+    )
+    # exact 2^k via a 21-entry literal array (F.shiftleft is
+    # literal-shift-only; the array keeps every power exact BIGINT)
+    pow2 = F.element_at(
+        F.array(*[F.lit(1 << i) for i in range(21)]), (F.col("decay_bucket") + 1).cast("int")
+    )
+    return (
+        kd.filter(F.pmod(md5_long(F.col("event_id").cast("string")), pow2) == 0)
+        .select(
+            "event_id",
+            "ts_ms",
+            F.col("age_days").cast("long").alias("age_days"),
+            "decay_bucket",
+        )
+    )

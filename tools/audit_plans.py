@@ -62,6 +62,9 @@ SCALAR_SUBQUERY_OK = {
     # table (one row per label by construction) — a bounded-dimension
     # nested loop, not a pair blowup.
     "documents_langid_classifier",
+    # 1-row global max-timestamp anchor broadcast onto the scan —
+    # scalar by construction.
+    "events_decay_sample",
 }
 
 

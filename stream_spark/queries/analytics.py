@@ -402,3 +402,70 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_user_sequences",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_actions,
+           CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms,
+           md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_md5
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence construction — the event-firehose analog of
+    document packing: each user session (same 30-min gap rule as B5
+    sessionize) becomes ONE ordered action-token sequence, the training
+    row a sequence model over user behavior consumes. The sequence is
+    order-preserved via array_sort over (ts, event_id) structs (no
+    collect-order assumption — shuffle-safe), surfaced as an md5 so the
+    gate pins exact token order, plus length/duration accounting.
+
+    Scale: everything is keyed by user_id (window, running count,
+    grouped fold) — scales with user cardinality; the in-group sort is
+    bounded by per-session event counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > _GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_new").over(wrun).cast("long"))
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_actions"),
+        (F.max("ts_ms") - F.min("ts_ms")).cast("long").alias("duration_ms"),
+        F.md5(F.concat_ws(" ", F.transform(seq, lambda s: s["event_type"]))).alias("seq_md5"),
+    )

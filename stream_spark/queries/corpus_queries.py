@@ -998,3 +998,47 @@ def documents_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("source", "term", "rate_ppm", "rest_ppm", "lift", "rnk")
     )
+
+
+@register(
+    "documents_temperature_sample",
+    oracle="""
+    WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+                 FROM documents GROUP BY source),
+    h AS (SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 1048576 AS hv
+          FROM documents)
+    SELECT h.doc_id, h.source
+    FROM h JOIN cnt USING (source)
+    WHERE CAST(hv AS HUGEINT) * hv * n_s
+          < CAST(2097152 AS HUGEINT) * 2097152
+    """,
+)
+def documents_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (the UNIMAX / mT5
+    multilingual rebalance, α = 0.5): per-source keep probability
+    ∝ 1/√n_source, so over-represented sources are downsampled toward
+    a flatter mixture while small sources keep everything. The √ never
+    appears: keep iff ``h² · n_s < C²`` with h = md5(doc_id) mod 2^20
+    and C = 2^21 — squaring both sides of ``h < C/√n_s`` keeps every
+    comparison EXACT (Spark DECIMAL(38,0) / DuckDB HUGEINT — no float,
+    no isqrt ulp hazard, valid to ~10^24·n_s before precision runs
+    out, i.e. any corpus). Deterministic and reproducible: membership
+    depends only on doc_id and the source's total count.
+
+    Scale: one keyed per-source count (bounded dimension, broadcast
+    back), then a pure map-side filter — no corpus shuffle."""
+    from stream_spark.operators.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    m, c = 1 << 20, 1 << 21
+    return (
+        docs.join(F.broadcast(counts), "source")  # broadcast-ok: one row per source
+        .withColumn("hv", F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(m)))
+        .filter(
+            F.col("hv").cast("decimal(38,0)") * F.col("hv") * F.col("n_s") < F.lit(c * c)
+        )
+        .select("doc_id", "source")
+    )

@@ -1042,3 +1042,52 @@ def documents_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+@register(
+    "documents_shard_assignment",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                          AS n_tokens
+               FROM documents),
+    r AS (SELECT doc_id, n_tokens,
+                 CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN ((rn - 1) // 8) % 2 = 0
+                     THEN (rn - 1) % 8
+                     ELSE 7 - ((rn - 1) % 8) END AS BIGINT) AS shard
+    FROM r
+    """,
+)
+def documents_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced shard assignment for N=8 trainer ranks —
+    the data-parallel "who reads what" table: docs ranked by token
+    count (desc, doc_id tie-break) then dealt in a SNAKE/boustrophedon
+    pattern (round r deals left-to-right when even, right-to-left when
+    odd), the classic LPT-style folding that bounds per-shard token
+    imbalance by one document per round without any sequential greedy
+    state.
+
+    Scale: the global rank is the two-pass partition-offset rownum
+    primitive (range exchange + bounded offsets collect — never a
+    single-partition sort); the snake arithmetic is a map-side CASE.
+    Assignment depends only on the corpus content, so every rank can
+    recompute its own file list independently."""
+    from stream_spark.operators.rownum import with_global_row_number
+    from stream_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).withColumn("_neg", -F.col("n_tokens"))
+    r = with_global_row_number(t, ["_neg", "doc_id"])
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN ((rn - 1) DIV 8) % 2 = 0 THEN (rn - 1) % 8"
+            " ELSE 7 - ((rn - 1) % 8) END AS BIGINT)"
+        ).alias("shard"),
+    )

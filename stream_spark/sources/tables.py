@@ -53,6 +53,12 @@ def _read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
     schema = pq.read_schema(schema_path)
     for field in schema:
         if patypes.is_timestamp(field.type) and field.type.unit == "ns":
+            # INT96 timestamps (Spark's own writer default) surface as
+            # ns in pyarrow but load as real TIMESTAMPs in Spark — only
+            # TIMESTAMP(NANOS) files actually arrive as longs under
+            # nanosAsLong, so gate the conversion on the loaded dtype.
+            if not df.schema[field.name].dataType.typeName().startswith("long"):
+                continue
             df = df.withColumn(
                 field.name,
                 F.expr(f"timestamp_micros(CAST(`{field.name}` DIV 1000 AS BIGINT))"),

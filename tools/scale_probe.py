@@ -85,6 +85,12 @@ PROBE = [
     "documents_langid_classifier",
     "documents_split_contamination",
     "ann_recall_at_k",
+    "documents_source_keywords",
+    "streaming_decontaminate_gate",
+    "events_decay_sample",
+    "events_user_sequences",
+    "documents_temperature_sample",
+    "documents_shard_assignment",
 ]
 
 

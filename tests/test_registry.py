@@ -7,10 +7,20 @@ import re
 from stream_spark.queries import ORACLES, QUERIES
 
 
+#: the ONLY queries allowed to ship without a DuckDB oracle — each
+#: needs a documented reason and a dedicated pytest correctness tier.
+NON_SQL_ORACLE = {
+    # eigendecomposition is not SQL-expressible; contract-tested
+    # against single-machine numpy PCA in tests/test_pca.py
+    "embeddings_pca_project",
+}
+
+
 def test_every_query_has_an_oracle():
     """The all-oracled property: no rows-only fallbacks. A new query
-    without a DuckDB oracle fails here before it weakens the gate."""
-    assert set(ORACLES) == set(QUERIES)
+    without a DuckDB oracle fails here before it weakens the gate —
+    unless it is in the documented NON_SQL_ORACLE exemption list."""
+    assert set(ORACLES) == set(QUERIES) - NON_SQL_ORACLE
     assert len(QUERIES) >= 123
 
 

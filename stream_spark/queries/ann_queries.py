@@ -1300,3 +1300,42 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("recall"),
     )
+
+
+@register(
+    "embeddings_diversity_sample",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_HPB_BANDS},
+    t0 AS (SELECT vec_id, bucket FROM tbuckets WHERE tbl = 0)
+    SELECT bucket, MIN(vec_id) AS keeper_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS region_size
+    FROM t0 GROUP BY bucket
+    """,
+)
+def embeddings_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-preserving diversity downsample: ONE representative
+    (min vec_id) per hyperplane-LSH region — table 0's 12-bit sign
+    code partitions the embedding space into ≤4096 angular cells, and
+    keeping one member per occupied cell preserves the corpus's
+    directional coverage while collapsing dense clusters to a single
+    delegate (the cheap stand-in for k-center / facility-location
+    selection, which is inherently sequential). region_size doubles as
+    the density diagnostic: a handful of huge regions = embedding
+    collapse.
+
+    Scale: the bucket code is a map-side Catalyst projection (same
+    md5-derived plane family as the dedup index — oracle-reproducible),
+    then ONE keyed aggregate on a ≤4096-cardinality key. No pairs, no
+    windows, no collect."""
+    from stream_spark.operators.similarity import banded_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = emb.select(
+        "vec_id",
+        F.element_at(banded_buckets(F.col("embedding")), 1)["bucket"].alias("bucket"),
+    )
+    return t0.groupBy("bucket").agg(
+        F.min("vec_id").alias("keeper_vec_id"),
+        F.count("*").cast("long").alias("region_size"),
+    )

@@ -1011,3 +1011,115 @@ def documents_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_train_dups").isNotNull().alias("is_contaminated"),
         "min_train_dup",
     )
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    h AS (
+        SELECT doc, p, MIN({_MH_PERM}) AS mh
+        FROM sh, unnest(generate_series(0, {PERMS - 1})) t(p)
+        GROUP BY doc, p
+    ),
+    bands AS (
+        SELECT doc, p // {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+        FROM h GROUP BY doc, p // {BAND_SIZE}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ),
+    matches AS (
+        SELECT pr.doc_a, pr.doc_b,
+               CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS BIGINT) AS m
+        FROM pairs pr
+        JOIN h ha ON ha.doc = pr.doc_a
+        JOIN h hb ON hb.doc = pr.doc_b AND hb.p = ha.p
+        GROUP BY pr.doc_a, pr.doc_b
+    ),
+    sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc),
+    common AS (
+        SELECT pr.doc_a, pr.doc_b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs pr
+        JOIN sh s1 ON s1.doc = pr.doc_a
+        JOIN sh s2 ON s2.doc = pr.doc_b AND s2.g = s1.g
+        GROUP BY pr.doc_a, pr.doc_b
+    ),
+    scored AS (
+        SELECT m.doc_a, m.doc_b,
+               CAST(m.m * 1000000 // {PERMS} AS BIGINT) AS est_micro,
+               CAST(COALESCE(c.c, 0) * 1000000
+                    // (sa.sz + sb.sz - COALESCE(c.c, 0)) AS BIGINT) AS jac_micro
+        FROM matches m
+        LEFT JOIN common c ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+        JOIN sizes sa ON m.doc_a = sa.doc
+        JOIN sizes sb ON m.doc_b = sb.doc
+    )
+    SELECT doc_a, doc_b, est_micro, jac_micro,
+           CAST(abs(est_micro - jac_micro) AS BIGINT) AS err_micro
+    FROM scored
+    """,
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration — "measure, don't guess" for the dedup
+    index: for every MinHash-LSH candidate pair, the signature-
+    agreement Jaccard ESTIMATE (matching permutations / {PERMS}) next
+    to the EXACT shingle-set Jaccard, both as exact integer micros,
+    plus the absolute error. This is how a pipeline validates its
+    banding/threshold choice on real data before trusting the sketch
+    at crawl scale (the estimate's stderr ~ 1/√PERMS ≈ 0.25 at 16
+    perms — the query quantifies what that means on THIS corpus).
+
+    Scale: pairs come from the bucket-bounded band index; the match
+    count is a wide-row signature join (2 keyed lookups per pair, 16
+    map-side comparisons); the exact side joins only CANDIDATE pairs'
+    shingles (Σ_pairs doc-size, not corpus²)."""
+    from stream_spark.operators.dedup import PERMS as _P
+    from stream_spark.operators.dedup import minhash_signatures, shingle_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    sigs = minhash_signatures(docs)
+    sa = sigs.select(F.col("doc").alias("doc_a"), *[F.col(f"mh{p}").alias(f"a{p}") for p in range(_P)])
+    sb = sigs.select(F.col("doc").alias("doc_b"), *[F.col(f"mh{p}").alias(f"b{p}") for p in range(_P)])
+    m = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            sum(
+                [F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0) for p in range(_P)],
+                F.lit(0),
+            ).cast("long").alias("mm"),
+        )
+    )
+    sh = shingle_docs(docs)
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("long").alias("sz"))
+    # pair-restricted common count: join shingles of BOTH ends
+    sh_a = sh.select(F.col("doc").alias("doc_a"), "g")
+    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("g").alias("gb"))
+    common = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b"])
+        .filter(F.col("g") == F.col("gb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    out = (
+        m.join(common, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"mm * 1000000 DIV {_P}").cast("long").alias("est_micro"),
+            F.expr("COALESCE(c, 0) * 1000000 DIV (sza + szb - COALESCE(c, 0))")
+            .cast("long")
+            .alias("jac_micro"),
+        )
+    )
+    return out.withColumn("err_micro", F.abs(F.col("est_micro") - F.col("jac_micro")).cast("long"))

@@ -1091,3 +1091,65 @@ def documents_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 7 - ((rn - 1) % 8) END AS BIGINT)"
         ).alias("shard"),
     )
+
+
+@register(
+    "documents_curriculum_order",
+    oracle="""
+    WITH h AS (SELECT doc_id, source,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          AS hkey
+               FROM documents),
+    r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+                      AS BIGINT) AS rs
+          FROM h),
+    s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sr
+          FROM (SELECT DISTINCT source FROM documents)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM s)
+    SELECT r.doc_id, r.source,
+           CAST((r.rs - 1) * n.ns + s.sr AS BIGINT) AS global_pos
+    FROM r JOIN s USING (source) CROSS JOIN n
+    """,
+)
+def documents_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order — the "no
+    source streaks" data ordering a stable training run wants: docs
+    are hash-shuffled WITHIN each source (md5 of doc_id — reproducible,
+    seedless) and sources are dealt round-robin, so any contiguous
+    window of the resulting order has near-proportional source mix.
+    global_pos = (rank_within_source - 1)·n_sources + source_rank is a
+    total order (gaps appear once smaller sources exhaust — it is an
+    ORDERING key, not a contiguous index).
+
+    Scale: within-source rank rides the two-pass global rownum over
+    (source, hash) — one range exchange, NO per-source window over a
+    full partition and no single-partition sort; the per-source offset
+    table and the source-rank table are bounded (≤|sources| rows,
+    driver-built from a bounded-metadata collect)."""
+    from stream_spark.operators.rownum import with_global_row_number
+    from stream_spark.operators.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source").withColumn(
+        "hkey", md5_long(F.col("doc_id").cast("string"))
+    )
+    r = with_global_row_number(t, ["source", "hkey", "doc_id"])
+    offs = r.groupBy("source").agg(F.min("rn").alias("off"))
+    # bounded-metadata collect: the distinct source list (mixture
+    # dimension, ≤|sources| rows by construction)
+    srcs = sorted(x["source"] for x in docs.select("source").distinct().collect())
+    sr_df = spark.createDataFrame(
+        [(s, i + 1) for i, s in enumerate(srcs)], "source string, sr long"
+    )
+    return (
+        r.join(F.broadcast(offs), "source")  # broadcast-ok: one row per source
+        .join(F.broadcast(sr_df), "source")  # broadcast-ok: one row per source
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("rn") - F.col("off")) * len(srcs) + F.col("sr"))
+            .cast("long")
+            .alias("global_pos"),
+        )
+    )

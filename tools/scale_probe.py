@@ -91,6 +91,9 @@ PROBE = [
     "events_user_sequences",
     "documents_temperature_sample",
     "documents_shard_assignment",
+    "dedup_minhash_estimate_error",
+    "embeddings_diversity_sample",
+    "documents_curriculum_order",
 ]
 
 

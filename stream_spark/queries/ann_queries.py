@@ -1324,17 +1324,18 @@ def embeddings_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the density diagnostic: a handful of huge regions = embedding
     collapse.
 
-    Scale: the bucket code is a map-side Catalyst projection (same
-    md5-derived plane family as the dedup index — oracle-reproducible),
-    then ONE keyed aggregate on a ≤4096-cardinality key. No pairs, no
-    windows, no collect."""
-    from stream_spark.operators.similarity import banded_buckets
+    Scale: the bucket code comes from the Arrow-matmul banded index
+    (one numpy matmul per batch — the same machinery as the dedup
+    index; the pure-Catalyst decimal-fold spelling costs ~17 s of
+    interpreted-expression overhead at ANY size, the matmul is
+    milliseconds), then ONE keyed aggregate on a ≤4096-cardinality
+    key. No pairs, no windows, no collect."""
+    from stream_spark.operators.similarity import banded_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    t0 = emb.select(
-        "vec_id",
-        F.element_at(banded_buckets(F.col("embedding")), 1)["bucket"].alias("bucket"),
-    )
+    # n_tables=1 projects only table 0's planes (indices 0..11 of the
+    # same md5 family) — exactly the oracle's tbl=0 slice, 1/8 the work
+    t0 = banded_index(emb, n_tables=1).select(F.col("id").alias("vec_id"), "bucket")
     return t0.groupBy("bucket").agg(
         F.min("vec_id").alias("keeper_vec_id"),
         F.count("*").cast("long").alias("region_size"),

@@ -1340,3 +1340,94 @@ def embeddings_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("keeper_vec_id"),
         F.count("*").cast("long").alias("region_size"),
     )
+
+
+@register(
+    "multimodal_image_neardup_pairs",
+    oracle=f"""
+    WITH {_AHASH_CTES},
+    nib AS (
+        SELECT doc_id, ahash, k, CAST((ahash >> (4 * k)) & 15 AS BIGINT) AS v
+        FROM ahashes, unnest(generate_series(0, 3)) t(k)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM nib a JOIN nib b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.ahash, hb.ahash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN ahashes ha ON ha.doc_id = c.doc_a
+    JOIN ahashes hb ON hb.doc_id = c.doc_b
+    WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 3
+    """,
+)
+def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH image near-dup pairs — completes C51: perceptual aHash
+    (real native decode) pairs within hamming ≤ 3, the visual twin of
+    simhash's pigeonhole join (16 bits / 4 nibbles: ≤3 differing bits
+    ⇒ ≥1 equal nibble ⇒ an equi-join on (nibble_idx, nibble_value)
+    finds every pair — no all-pairs scan).
+
+    Scale: the pair search runs over DISTINCT hashes — a 16-bit aHash
+    space has ≤65 536 rows NO MATTER the corpus size, so the nibble
+    join is bounded by the hash space, not the image count; exact-dup
+    (hamming 0) doc pairs come from one keyed same-hash self-join, and
+    cross-hash candidates fan back out to docs only for surviving
+    near-dup hash pairs (output-bound). Every step is an equi-join."""
+    from stream_spark.operators.multimodal import ahash_image, synthetic_image_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = ahash_image(synthetic_image_table(docs)).select("doc_id", "ahash")
+    # hamming-0 pairs: keyed same-hash self-join
+    same = (
+        h.alias("x")
+        .join(
+            h.alias("y"),
+            (F.col("x.ahash") == F.col("y.ahash")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    # hamming 1..3: nibble-blocked join over the BOUNDED distinct-hash set
+    hd = h.select("ahash").distinct()
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.expr(f"CAST((ahash >> {4 * k}) & 15 AS BIGINT)").alias("v"),
+            )
+            for k in range(4)
+        ]
+    )
+    nib = hd.select("ahash", F.explode(parts).alias("p")).select(
+        "ahash", F.col("p.k").alias("k"), F.col("p.v").alias("v")
+    )
+    hp = (
+        nib.alias("a")
+        .join(
+            nib.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.ahash") < F.col("b.ahash")),
+        )
+        .select(F.col("a.ahash").alias("h1"), F.col("b.ahash").alias("h2"))
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
+        )
+        .filter(F.col("hamming").between(1, 3))
+    )
+    cross = (
+        hp.join(h.select(F.col("doc_id").alias("d1"), F.col("ahash").alias("h1")), "h1")
+        .join(h.select(F.col("doc_id").alias("d2"), F.col("ahash").alias("h2")), "h2")
+        .select(
+            F.least("d1", "d2").alias("doc_a"),
+            F.greatest("d1", "d2").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)

@@ -1342,58 +1342,63 @@ def embeddings_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @register(
-    "multimodal_image_neardup_pairs",
+    "multimodal_image_neardup_groups",
     oracle=f"""
     WITH {_AHASH_CTES},
+    grp AS (
+        SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS rep
+        FROM ahashes GROUP BY ahash
+    ),
     nib AS (
-        SELECT doc_id, ahash, k, CAST((ahash >> (4 * k)) & 15 AS BIGINT) AS v
-        FROM ahashes, unnest(generate_series(0, 3)) t(k)
+        SELECT ahash, k, CAST((ahash >> (4 * k)) & 15 AS BIGINT) AS v
+        FROM grp, unnest(generate_series(0, 3)) t(k)
     ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM nib a JOIN nib b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+        SELECT DISTINCT a.ahash AS h1, b.ahash AS h2
+        FROM nib a JOIN nib b ON a.k = b.k AND a.v = b.v AND a.ahash < b.ahash
+    ),
+    edges AS (
+        SELECT c.h1 AS hash_a, c.h2 AS hash_b,
+               CAST(bit_count(xor(c.h1, c.h2)) AS BIGINT) AS hamming,
+               ga.n AS n_a, gb.n AS n_b, ga.rep AS rep_a, gb.rep AS rep_b
+        FROM cand c JOIN grp ga ON ga.ahash = c.h1 JOIN grp gb ON gb.ahash = c.h2
+        WHERE bit_count(xor(c.h1, c.h2)) <= 3
+    ),
+    selfies AS (
+        SELECT ahash AS hash_a, ahash AS hash_b, CAST(0 AS BIGINT) AS hamming,
+               n AS n_a, n AS n_b, rep AS rep_a, rep AS rep_b
+        FROM grp WHERE n >= 2
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(ha.ahash, hb.ahash)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN ahashes ha ON ha.doc_id = c.doc_a
-    JOIN ahashes hb ON hb.doc_id = c.doc_b
-    WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 3
+    SELECT * FROM edges UNION ALL SELECT * FROM selfies
     """,
 )
-def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCH image near-dup pairs — completes C51: perceptual aHash
-    (real native decode) pairs within hamming ≤ 3, the visual twin of
-    simhash's pigeonhole join (16 bits / 4 nibbles: ≤3 differing bits
-    ⇒ ≥1 equal nibble ⇒ an equi-join on (nibble_idx, nibble_value)
-    finds every pair — no all-pairs scan).
+def multimodal_image_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH image near-dup structure — completes C51 at the
+    HASH-GROUP level, the only level that survives crawl scale:
+    perceptual aHash groups (real native decode) plus hamming ≤ 3
+    edges BETWEEN groups via the simhash-style nibble pigeonhole
+    (16 bits / 4 nibbles: ≤3 differing bits ⇒ ≥1 equal nibble ⇒
+    equi-join). Self-rows (hash_a = hash_b, hamming 0, n ≥ 2) report
+    exact-duplicate swarms as (size, keeper) instead of enumerating
+    n² doc pairs — the r5 probe measured 4×10⁸ doc pairs on the sf1
+    swarm corpus (47 distinct hashes over 50 k images), so DOC-level
+    pair output is quadratic-in-group-size by definition and is
+    deliberately not offered; downstream keeper selection / connected
+    components run on these group edges.
 
-    Scale: the pair search runs over DISTINCT hashes — a 16-bit aHash
-    space has ≤65 536 rows NO MATTER the corpus size, so the nibble
-    join is bounded by the hash space, not the image count; exact-dup
-    (hamming 0) doc pairs come from one keyed same-hash self-join, and
-    cross-hash candidates fan back out to docs only for surviving
-    near-dup hash pairs (output-bound). Every step is an equi-join."""
+    Scale: everything after the map-only decode+hash runs on the
+    DISTINCT-hash table — ≤65 536 rows at ANY corpus size (16-bit hash
+    space) — so the nibble join, the edge filter, and the group stats
+    are all bounded by the hash space, not the image count."""
     from stream_spark.operators.multimodal import ahash_image, synthetic_image_table
 
     docs = load_table(spark, sf_dir, "documents")
     h = ahash_image(synthetic_image_table(docs)).select("doc_id", "ahash")
-    # hamming-0 pairs: keyed same-hash self-join
-    same = (
-        h.alias("x")
-        .join(
-            h.alias("y"),
-            (F.col("x.ahash") == F.col("y.ahash")) & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(0).cast("long").alias("hamming"),
-        )
+    grp = h.groupBy("ahash").agg(
+        F.count("*").cast("long").alias("n"), F.min("doc_id").alias("rep")
     )
-    # hamming 1..3: nibble-blocked join over the BOUNDED distinct-hash set
-    hd = h.select("ahash").distinct()
     parts = F.array(
         *[
             F.struct(
@@ -1403,10 +1408,10 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             for k in range(4)
         ]
     )
-    nib = hd.select("ahash", F.explode(parts).alias("p")).select(
+    nib = grp.select("ahash", F.explode(parts).alias("p")).select(
         "ahash", F.col("p.k").alias("k"), F.col("p.v").alias("v")
     )
-    hp = (
+    cand = (
         nib.alias("a")
         .join(
             nib.alias("b"),
@@ -1414,20 +1419,30 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.ahash") < F.col("b.ahash")),
         )
-        .select(F.col("a.ahash").alias("h1"), F.col("b.ahash").alias("h2"))
+        .select(F.col("a.ahash").alias("hash_a"), F.col("b.ahash").alias("hash_b"))
         .distinct()
         .withColumn(
-            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
-        )
-        .filter(F.col("hamming").between(1, 3))
-    )
-    cross = (
-        hp.join(h.select(F.col("doc_id").alias("d1"), F.col("ahash").alias("h1")), "h1")
-        .join(h.select(F.col("doc_id").alias("d2"), F.col("ahash").alias("h2")), "h2")
-        .select(
-            F.least("d1", "d2").alias("doc_a"),
-            F.greatest("d1", "d2").alias("doc_b"),
             "hamming",
+            F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b"))).cast("long"),
         )
+        .filter(F.col("hamming") <= 3)
     )
-    return same.unionByName(cross)
+    ga = grp.select(
+        F.col("ahash").alias("hash_a"), F.col("n").alias("n_a"), F.col("rep").alias("rep_a")
+    )
+    gb = grp.select(
+        F.col("ahash").alias("hash_b"), F.col("n").alias("n_b"), F.col("rep").alias("rep_b")
+    )
+    edges = cand.join(ga, "hash_a").join(gb, "hash_b").select(
+        "hash_a", "hash_b", "hamming", "n_a", "n_b", "rep_a", "rep_b"
+    )
+    selfies = grp.filter(F.col("n") >= 2).select(
+        F.col("ahash").alias("hash_a"),
+        F.col("ahash").alias("hash_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+    )
+    return edges.unionByName(selfies)

@@ -94,6 +94,7 @@ PROBE = [
     "dedup_minhash_estimate_error",
     "embeddings_diversity_sample",
     "documents_curriculum_order",
+    "multimodal_image_neardup_groups",
 ]
 
 

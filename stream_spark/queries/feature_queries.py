@@ -286,3 +286,42 @@ def documents_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("lang_c").alias("pred_lang"))
         .select("doc_id", "lang", "pred_lang", (F.col("pred_lang") == F.col("lang")).alias("is_correct"))
     )
+
+
+@register(
+    "events_value_quantile_transform",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, value,
+               CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
+        FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM events)
+    SELECT r.event_id, r.value,
+           CAST((r.rn - 1) * 1000000 // (n.nn - 1) AS BIGINT) AS q_ppm
+    FROM r CROSS JOIN n
+    """,
+)
+def events_value_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a feature column — the
+    distribution-free preprocessing transform (sklearn
+    QuantileTransformer's rank step): each value maps to its corpus
+    rank as exact integer ppm of [0, 1e6], so downstream models see a
+    uniform marginal regardless of the raw distribution, and the
+    mapping is identical on any engine (ties broken by event_id — a
+    deterministic total order, no interpolation ulp hazard).
+
+    Scale: the global rank is the two-pass partition-offset rownum
+    (range exchange + bounded offsets — never a single-partition
+    sort); the denominator is a driver-side bounded count; the ppm
+    arithmetic is a map-side exact DIV."""
+    from stream_spark.operators.rownum import with_global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    r = with_global_row_number(ev, ["value", "event_id"])
+    nn = r.count()  # driver-side bounded count (one scalar)
+    return r.select(
+        "event_id",
+        "value",
+        F.expr(f"(rn - 1) * 1000000 DIV {nn - 1}").cast("long").alias("q_ppm"),
+    )

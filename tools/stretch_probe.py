@@ -41,6 +41,13 @@ PROBE = {
     "dedup_embedding_cosine": "table:embeddings",
     "embedding_dedup_clusters": "table:embeddings",
     "streaming_dedup_embedding": "table:embeddings",
+    # r5: the knn-graph family was the sf1 probe's worst ratio (13x on
+    # 10x docs) — its true input is the banded CANDIDATE EDGE volume,
+    # which the replica generator grows ~9x per 3x docs (cliques 10 ->
+    # 30 members); dedup_embedding_cosine's pair output tracks that
+    # same clique volume, so it is the honest axis.
+    "embeddings_knn_graph": "query:dedup_embedding_cosine",
+    "embeddings_label_propagation": "query:dedup_embedding_cosine",
 }
 
 

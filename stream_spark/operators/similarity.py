@@ -665,6 +665,12 @@ def topk_ivf(
         .limit(n_cells)
         .collect()  # bounded metadata collect: n_cells rows by contract
     )
+    if not cents:
+        # empty corpus: no cells, no neighbors — a literal F.array() of
+        # zero centroid entries is type VOID and fails analysis
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
 
     def cell_scores(vec: Column) -> Column:

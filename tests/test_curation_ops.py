@@ -126,3 +126,39 @@ def test_shard_assignment_snake_balances_exactly(spark):
     # rank r holds 18-r tokens; shard s pairs ranks s+1 and 16-s:
     # (17-s) + (2+s) = 19 for every shard
     assert all(v == 19 for v in sums.values())
+
+
+def test_new_curation_queries_on_empty_tables(spark):
+    """Every late-round-5 batch query must return an empty result on
+    empty tables, not crash — at 100 TB a pruned branch can
+    legitimately be empty (same contract test_empty_inputs.py pins for
+    the operator layer). Streaming queries are exercised elsewhere."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        for name in [
+            "documents_langid_classifier",
+            "documents_split_contamination",
+            "embeddings_label_propagation",
+            "ann_recall_at_k",
+            "documents_source_keywords",
+            "events_decay_sample",
+            "events_user_sequences",
+            "documents_temperature_sample",
+            "documents_shard_assignment",
+            "dedup_minhash_estimate_error",
+            "embeddings_diversity_sample",
+            "documents_curriculum_order",
+            "multimodal_image_neardup_groups",
+            "events_value_quantile_transform",
+            "events_pit_dimension_join",
+        ]:
+            assert QUERIES[name](spark, d).count() == 0, name

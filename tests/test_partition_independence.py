@@ -19,6 +19,11 @@ SENSITIVE = [
     "corpus_bpe_merges",           # global top-1 + greedy fold (r4)
     "corpus_token_drift",          # top-V vocab + integer rates (r4)
     "ann_topk_ivfpq",              # coarse cells + LUT ranks (r4)
+    "events_user_sequences",       # order-preserved collect fold (r5)
+    "documents_curriculum_order",  # two-pass rownum interleave (r5)
+    "documents_shard_assignment",  # global rank snake deal (r5)
+    "documents_source_keywords",   # salted two-stage top-k (r5)
+    "events_value_quantile_transform",  # global rank ppm (r5)
 ]
 
 

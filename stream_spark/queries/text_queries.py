@@ -864,3 +864,62 @@ def documents_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("cum_tokens", F.sum("n_tokens").over(wsum).cast("long"))
         .withColumn("kept", F.when(F.col("cum_tokens") <= 500, 1).otherwise(0).cast("long"))
     )
+
+
+@register(
+    "documents_blocklist_filter",
+    oracle=f"""
+    WITH bl AS (
+        SELECT unnest(['casino', 'viagra', 'lottery', 'jackpot', 'xxx',
+                       'warez', 'phishing', 'clickbait']) AS bad
+    ),
+    t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tok AS (SELECT DISTINCT doc_id, lower(unnest(toks)) AS w FROM t),
+    hits AS (
+        SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bad,
+               MIN(tok.w) AS first_bad
+        FROM tok JOIN bl ON tok.w = bl.bad
+        GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_bad, 0) AS n_bad_terms,
+           h.first_bad,
+           (h.doc_id IS NULL) AS is_kept
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def documents_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2's
+    "dirty/obscene word list" rule): a document containing ANY
+    blocklisted term is dropped; output is the full audit table (per
+    doc: distinct bad-term count, the first offending term as
+    evidence, keep flag) rather than a silent filter, because at
+    curation scale the REVIEW of what a blocklist removes matters as
+    much as the removal. Terms here are a fixed demo list — the
+    operator shape (broadcast term set, distinct-token equi-join) is
+    what a production list drops into.
+
+    Scale: the blocklist is a bounded broadcast dimension; the probe
+    is one equi-join on the distinct-token stream (corpus-linear, no
+    regex scan of full text per term — token granularity keeps the
+    match vocabulary-bounded) and one keyed count."""
+    from stream_spark.operators.text import tokens
+
+    _BLOCK = ["casino", "viagra", "lottery", "jackpot", "xxx", "warez", "phishing", "clickbait"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w0")
+    ).select("doc_id", F.lower("w0").alias("w")).distinct()
+    bl = spark.createDataFrame([(b,) for b in _BLOCK], "w string")
+    hits = (
+        tok.join(F.broadcast(bl), "w")  # broadcast-ok: fixed blocklist dimension
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_bad"), F.min("w").alias("first_bad"))
+    )
+    return docs.select("doc_id").join(hits.withColumnRenamed("doc_id", "hid"),
+                                      F.col("doc_id") == F.col("hid"), "left").select(
+        "doc_id",
+        F.coalesce("n_bad", F.lit(0).cast("long")).alias("n_bad_terms"),
+        "first_bad",
+        F.col("hid").isNull().alias("is_kept"),
+    )

@@ -128,6 +128,9 @@ for _fn, _agg in [
     ("avg", _DAVG),
     ("max", "MAX(value)"),
     ("min", "MIN(value)"),
+    # count closes the last cell of the reference's function×window
+    # dispatch (aggregators.go:50-67 NewSlidingWindow supports count)
+    ("count", "CAST(COUNT(*) AS BIGINT)"),
 ]:
     register(f"agg_sliding_count_{_fn}", oracle=_sliding_count_oracle(_agg, 50, 10))(
         _sliding_count(_fn, 50, 10)

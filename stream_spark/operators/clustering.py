@@ -26,6 +26,15 @@ from stream_spark.operators.similarity import dot, norm
 def _assign(base: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """One map-only assignment pass: cosine against every centroid
     literal, first-max argmax (ties → lowest cell)."""
+    if not cents:
+        # empty corpus ⇒ no centroids; a zero-entry F.array() literal
+        # is NULL-typed and fails analysis — emit the empty typed frame
+        return (
+            base.withColumn("_coss", F.array().cast("array<double>"))
+            .withColumn("cluster", F.lit(None).cast("bigint"))
+            .withColumn("cos", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+        )
     coss = F.array(
         *[
             dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cv]))

@@ -613,8 +613,10 @@ def simhash_pairs(
 #: 31-bit selection hash + 24-bit position fit in 55 bits, so window
 #: MINs stay exact BIGINT in any engine; positions are bounded by
 #: 2^24-1 grams per document (a 16M-token document — far beyond any
-#: crawl page; the bound is documented, not enforced, because checking
-#: it would cost a pass).
+#: crawl page). ENFORCED since r6: a pathological document past the
+#: bound would make (2^24-1-pos) negative and silently corrupt the
+#: window-min key, so the pos projection raises instead — a WHEN on a
+#: column already computed per row, no extra pass.
 WINNOW_POSBITS = 16_777_216
 
 
@@ -662,6 +664,15 @@ def winnow_fingerprints(
     # explode quadratic per doc (measured 70x at sf0.1). ng and the
     # full-window validity test are recovered from window functions
     # over the exploded rows instead.
+    pb = F.lit(WINNOW_POSBITS)
+    # guard: pos must fit the 24-bit field or the min-key arithmetic
+    # silently corrupts — raise on the (already computed) column
+    pos_raw = F.col("pos0") + 1
+    pos_ok = F.when(pos_raw < pb, pos_raw).otherwise(
+        F.raise_error(
+            F.lit("winnow_fingerprints: document exceeds 2^24-1 grams (position encoding)")
+        ).cast("int")
+    )
     g = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -669,9 +680,8 @@ def winnow_fingerprints(
         )
         .repartition(par, "doc")
         .select("doc", F.posexplode(word_ngrams_all(F.col("ws"), k)).alias("pos0", "g"))
-        .select("doc", (F.col("pos0") + 1).alias("pos"), md5_long(F.col("g")).alias("fp"))
+        .select("doc", pos_ok.alias("pos"), md5_long(F.col("g")).alias("fp"))
     )
-    pb = F.lit(WINNOW_POSBITS)
     key = (F.col("fp") % F.lit(MERSENNE31)) * pb + (pb - 1 - F.col("pos"))
     win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
     # pos is a valid window start iff its frame holds w rows (full

@@ -101,7 +101,8 @@ def dsir_score_rows(
     are dropped, matching the expression path's NULL filter).
     """
     import hashlib
-    import re
+
+    from stream_spark.operators.text import normalized_tokens_py
 
     w = dict(weights)
 
@@ -113,7 +114,10 @@ def dsir_score_rows(
                 continue
             scores, keeps = [], {c: [] for c in keep_cols}
             for idx, text in enumerate(pdf[text_col]):
-                ws = re.sub(r"\s+", " ", str(text).strip().lower()).split(" ")
+                # pinned to Spark semantics (trim ' ' only, ASCII \s) —
+                # Python str.strip()/\s are Unicode-aware and diverge
+                # on leading tabs / NBSP (see text.normalized_tokens_py)
+                ws = normalized_tokens_py(str(text))
                 if len(ws) < 2:
                     continue
                 total = 0

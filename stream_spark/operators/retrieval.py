@@ -44,6 +44,10 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 10) -> DataFrame:
     (doc_id, matched_terms, score_scaled, bm25, rank), rank 1-based,
     ties broken by doc_id.
     """
+    if not terms:
+        # F.isin() with zero arguments dies deep in py4j with a cryptic
+        # TypeError — fail at the API boundary instead
+        raise ValueError("bm25_topk: terms must be non-empty")
     tok = docs.select(
         "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
     )

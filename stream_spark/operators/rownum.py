@@ -10,7 +10,10 @@ at 60k rows, fatal at 100 TB. Instead, two-pass partition-offset
 numbering:
 
 1. ``repartitionByRange`` on the order columns → partitions hold
-   contiguous, sorted ranges (each bounded by maxPartitionBytes).
+   contiguous, sorted ranges. The partition COUNT is sized from the
+   input data (``sized_partitions``: optimized-plan bytes / ~128 MB,
+   floored at defaultParallelism) — a data-independent constant would
+   leave each range partition at data/N bytes, unbounded at 100 TB.
 2. Count rows per partition (cheap scan), compute cumulative offsets
    on the driver (one tiny array — #partitions entries).
 3. Local ``row_number`` within each range partition + broadcast-joined
@@ -23,6 +26,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: ~128 MB per range partition — the same budget maxPartitionBytes
+#: gives scan splits, applied to the explicit exchange.
+TARGET_PARTITION_BYTES = 128 << 20
+#: ceiling on the explicit range-partition count (at 100 TB / 128 MB
+#: the uncapped count is ~800k tasks; past ~128k the scheduler, not
+#: the data, is the bottleneck — beyond that let partitions grow).
+MAX_RANGE_PARTITIONS = 131_072
+
+
+def sized_partitions(df: DataFrame, target_bytes: int = TARGET_PARTITION_BYTES) -> int:
+    """Range-partition count sized by the INPUT DATA, not a constant.
+
+    ``defaultParallelism`` alone is wrong at scale: an N-way range
+    exchange slices data/N per partition REGARDLESS of volume (the
+    maxPartitionBytes budget bounds scan splits, not explicit
+    exchanges), so the pass-2 local sort+window would grow unboundedly
+    with the corpus. Size from Catalyst's optimized-plan sizeInBytes
+    (file-based for scans, propagated for derived frames), targeting
+    ~``target_bytes`` per partition, floored at defaultParallelism
+    (never UNDER-parallelize small inputs) and capped at
+    ``MAX_RANGE_PARTITIONS`` (Catalyst returns a Long.MaxValue-ish
+    sentinel when it knows nothing — the cap keeps the exchange sane).
+    """
+    spark = df.sparkSession
+    floor = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover — py4j/connect variance
+        return floor
+    want = -(-size // max(1, target_bytes))  # ceil
+    return int(min(MAX_RANGE_PARTITIONS, max(floor, want)))
 
 
 def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn") -> DataFrame:
@@ -39,7 +74,7 @@ def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn"
     # counted by the ContextCleaner and freed as soon as the result
     # DataFrame is garbage-collected (tests/test_operators_misc.py
     # asserts the release).
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = sized_partitions(df)
     ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
     ranged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
 
@@ -79,7 +114,7 @@ def with_global_cumsum(
     prefix sum; subtract the row's value for the exclusive form.
     """
     spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = sized_partitions(df)
     ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
     # eager localCheckpoint for the same two reasons as
     # with_global_row_number: layout consistency across the two jobs,
@@ -128,7 +163,7 @@ def with_global_cummax(
     running max.
     """
     spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = sized_partitions(df)
     ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
     # eager localCheckpoint for the same two reasons as
     # with_global_row_number: layout consistency across the two jobs,

@@ -371,7 +371,14 @@ def topk_bruteforce(
             sims = (qm @ cmat.T) / (qn[:, None] * cnorm[None, :])  # (n_q, batch)
             nb = pdf[id_col].to_numpy(dtype=np.int64)
             top = min(m, sims.shape[1])
-            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            # total order (fcos desc, neighbor_id asc) — the SAME order
+            # the global survivor window uses, so the local cut commutes
+            # with it and the survivor set is a pure function of the
+            # data, never of Arrow batch boundaries. A bare argpartition
+            # on fcos alone made tie survival (exact-duplicate swarms)
+            # depend on file layout. lexsort: last key is primary.
+            order = np.lexsort((np.broadcast_to(nb, sims.shape), -sims), axis=-1)
+            part = order[:, :top]
             flat = part.ravel()
             yield pd.DataFrame(
                 {

@@ -34,6 +34,31 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+#: Java-regex \s is ASCII-only ([ \t\n\x0b\f\r]) while Python \s is
+#: Unicode-aware, and F.trim strips ONLY ' ' — every Python replay of
+#: the Catalyst tokenizers must use these spellings or a leading tab /
+#: NBSP silently diverges the per-row arithmetic from the batch oracle.
+import re as _re
+
+_ASCII_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def tokens_py(text: str) -> list:
+    """Bit-parity Python replay of ``tokens(col)`` =
+    F.split(F.trim(col), r"\\s+"): strip spaces only, split on the
+    ASCII whitespace class, keep leading/trailing empty tokens exactly
+    as Spark's split (limit -1) does."""
+    return _ASCII_WS.split(text.strip(" "))
+
+
+def normalized_tokens_py(text: str) -> list:
+    """Bit-parity Python replay of ``tokens(normalize_text(col))``:
+    lower → trim(' ') → collapse ASCII whitespace to ' ' → trim(' ')
+    → split(' ')."""
+    norm = _ASCII_WS.sub(" ", text.lower().strip(" ")).strip(" ")
+    return norm.split(" ")
+
+
 def word_ngrams_all(toks: Column, n: int) -> Column:
     """All word n-grams in document order (duplicates kept); empty
     array when fewer than n tokens. Basis for repetition scoring."""
@@ -442,12 +467,12 @@ def ngram_hits_rows(
     count of its DISTINCT word n-grams present in the set. No state
     store, no shuffle — streaming-legal ahead of a dashboard aggregate.
 
-    Tokenization replays `tokens()` exactly (trim + whitespace split,
-    no lowering — the same TOKS spelling the batch oracle uses), so the
+    Tokenization replays `tokens()` exactly via ``tokens_py`` (trim of
+    ' ' only + ASCII-whitespace split, no lowering — the same TOKS
+    spelling the batch oracle uses; Python str.strip()/\\s are
+    Unicode-aware and would diverge on leading tabs / NBSP), so the
     per-doc hit count is bit-identical to the batch join path.
     """
-    import re
-
     bset = frozenset(bench_grams)
     schema = ", ".join([f"{c} string" for c in keep_cols] + ["n_hits long"])
 
@@ -459,9 +484,7 @@ def ngram_hits_rows(
                 continue
             hits, keeps = [], {c: [] for c in keep_cols}
             for idx in range(len(pdf)):
-                text = str(pdf[text_col].iloc[idx])
-                stripped = text.strip()
-                ws = re.split(r"\s+", stripped) if stripped else []
+                ws = tokens_py(str(pdf[text_col].iloc[idx]))
                 grams = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
                 hits.append(len(grams & bset))
                 for c in keep_cols:

@@ -551,3 +551,37 @@ def test_knn_graph_contract_and_planted_duplicates(spark):
 
 def by_node_rows(rows):
     return [r.asDict() for r in rows]
+
+
+def test_topk_bruteforce_tie_break_partition_independent(spark):
+    """Exact-duplicate swarms (40 identical vectors, k=3, m=10) make
+    the float prerank all-ties: which candidates survive the per-batch
+    cut must NOT depend on Arrow batch boundaries or input layout.
+    r6 fix: the local cut orders by (fcos desc, neighbor_id asc) — the
+    same total order as the global cut (r5 advice, similarity.py:374)."""
+    from stream_spark.operators.similarity import topk_bruteforce
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, base) for i in range(100, 140)]  # identical swarm
+    rows += [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(40)]  # fillers
+    queries = spark.createDataFrame([(0, base)], "vec_id long, embedding array<double>")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # tiny batches: the swarm spans many Arrow batches, so any
+        # batch-boundary tie sensitivity becomes visible
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        results = []
+        for nparts in (1, 4, 16):
+            corpus = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).repartition(nparts)
+            got = [
+                (r["neighbor_id"], r["rank"])
+                for r in topk_bruteforce(queries, corpus, k=3).orderBy("rank").collect()
+            ]
+            results.append(got)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert results[0] == results[1] == results[2]
+    # ties on cosine must resolve to the LOWEST neighbor_ids
+    assert results[0] == [(100, 1), (101, 2), (102, 3)]

@@ -75,3 +75,41 @@ def test_orders_daily_moving_avg_plan_has_no_single_partition(spark):
     df = orders_daily_moving_avg(spark, os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+DEEP_CHAIN_WINDOW_PLAN = """\
+*(4) Project [day_ms#10L, avg7#22]
++- Window [avg(total#12) windowspecdefinition(day_ms#10L ASC NULLS FIRST, specifiedwindowframe(RowFrame, -6, currentrow$())) AS avg7#22], [day_ms#10L ASC NULLS FIRST]
+   +- Project [day_ms#10L, total#12]
+      +- Sort [day_ms#10L ASC NULLS FIRST], false, 0
+         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=77]
+            +- HashAggregate(keys=[day_ms#10L], functions=[sum(total#8)])
+"""
+
+SIBLING_EXCHANGE_PLAN = """\
+*(5) SortMergeJoin [k#1L], [k#2L], Inner
+:- Window [row_number() windowspecdefinition(k#1L, ts#3L ASC NULLS FIRST) AS rn#9], [k#1L], [ts#3L ASC NULLS FIRST]
+:  +- Sort [k#1L ASC NULLS FIRST, ts#3L ASC NULLS FIRST], false, 0
+:     +- Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS, [plan_id=11]
+:        +- Scan parquet [k#1L, ts#3L]
++- HashAggregate(keys=[], functions=[sum(x#4L)])
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=12]
+      +- HashAggregate(keys=[], functions=[partial_sum(x#4L)])
+         +- Scan parquet [k#2L, x#4L]
+"""
+
+
+def test_deep_chain_single_partition_under_window_flagged():
+    """Window -> Project -> Sort -> Exchange SinglePartition (two
+    intermediate lines) must be flagged — the r5 fixed-lookahead regex
+    let it escape (r5 advice, audit_plans.py:89)."""
+    flags = audit("q", DEEP_CHAIN_WINDOW_PLAN)
+    assert any("global-ordered WindowExec" in f for f in flags), flags
+
+
+def test_single_partition_in_sibling_subtree_not_window_flagged():
+    """A SinglePartition exchange in a SIBLING subtree (global agg on
+    the other join side) is NOT under the Window — the indent-aware
+    scan must not false-flag it."""
+    flags = audit("q", SIBLING_EXCHANGE_PLAN)
+    assert not any("global-ordered WindowExec" in f for f in flags), flags

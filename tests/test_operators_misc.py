@@ -463,3 +463,45 @@ def test_asof_nearest_exact_tie_prefers_backward(spark):
     right = spark.createDataFrame([("u", 90), ("u", 110)], "k string, ts long")
     r = asof_nearest(left, right, "k", "ts", "ts").collect()[0]
     assert (r["near_ts"], r["direction"], r["delta"]) == (90, "backward", 10)
+
+
+def test_sized_partitions_grows_with_input_bytes(spark, tmp_path):
+    """r6 (VERDICT item 2): the two-pass rownum primitives size their
+    range-exchange partition count from INPUT BYTES (target ~128 MB per
+    partition), floored at defaultParallelism and capped — never the
+    data-independent defaultParallelism constant alone."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.rownum import MAX_RANGE_PARTITIONS, sized_partitions
+
+    sp, bp = str(tmp_path / "s"), str(tmp_path / "b")
+    pad = F.repeat(F.sha2(F.col("id").cast("string"), 256), 4)
+    spark.range(500).withColumn("pad", pad).write.parquet(sp)
+    spark.range(100_000).withColumn("pad", pad).write.parquet(bp)
+    small, big = spark.read.parquet(sp), spark.read.parquet(bp)
+    floor = spark.sparkContext.defaultParallelism
+
+    s = sized_partitions(small, target_bytes=1024)
+    b = sized_partitions(big, target_bytes=1024)
+    assert b > s >= floor, (s, b, floor)
+    # cap: a 1-byte target on a multi-MB file must clamp, not explode
+    assert sized_partitions(big, target_bytes=1) == MAX_RANGE_PARTITIONS
+    # at test scale the default 128 MB target leaves the floor in
+    # charge — the r5 plans (and the sf1 probe) are unchanged
+    assert sized_partitions(big) == floor
+
+
+def test_rownum_correct_under_sized_partitions(spark, tmp_path):
+    """Global rn/cumsum stay exact when the sized count exceeds the
+    floor (many partitions, some possibly empty)."""
+    from pyspark.sql import functions as F
+
+    import stream_spark.operators.rownum as rn
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("ts"), F.col("id").alias("event_id")
+    )
+    out = rn.with_global_row_number(df, ["ts", "event_id"])
+    rows = out.orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 10_001))
+    assert rows == sorted(rows, key=lambda r: (r["ts"], r["event_id"]))

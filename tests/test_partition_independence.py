@@ -24,6 +24,7 @@ SENSITIVE = [
     "documents_shard_assignment",  # global rank snake deal (r5)
     "documents_source_keywords",   # salted two-stage top-k (r5)
     "events_value_quantile_transform",  # global rank ppm (r5)
+    "ann_topk_bruteforce",         # per-batch prerank tie cut (r6)
 ]
 
 

@@ -7,6 +7,15 @@ Checks:
 - Exchange SinglePartition outside a final global aggregate / top-N
 - BatchEvalPython (row-at-a-time Python UDF) anywhere
 - parquet scans with no pushed filters AND no column pruning
+
+Frozen-plan regression gate (r6, VERDICT item 3): the same pass diffs
+each query's NORMALIZED executedPlan (expr/plan/codegen ids, hex, temp
+paths masked) against the committed snapshot in ``PLANS/``. Any
+unacknowledged plan-shape change fails CI; acknowledge a deliberate
+change by re-running with ``--update-plans`` and committing the diff.
+The r4→r5 and r3→r4 bench-drift adjudications were done by hand with
+exactly this normalization — now every future bench delta is
+attributable in minutes (plan changed vs machine band).
 """
 
 from __future__ import annotations
@@ -86,10 +95,41 @@ def audit(name: str, plan: str) -> list[str]:
     # legal, even once: global aggregates/top-N emit bounded rows, a
     # window emits every input row. r5: the last sanctioned use
     # (orders_daily_moving_avg) now runs the two-pass rownum primitive,
-    # so this is a hard zero across the registry.
-    if re.search(r"Window .*\n(?:[^\n]*\n)?\s*[+:]- Exchange SinglePartition", plan):
+    # so this is a hard zero across the registry. r6: the check walks
+    # the Window operator's whole indented subtree (any number of
+    # intermediate Project/Sort lines), not a fixed 0-1 line lookahead.
+    if _single_partition_under_window(plan):
         flags.append("global-ordered WindowExec (Exchange SinglePartition under Window)")
     return flags
+
+
+def _plan_depth(line: str) -> int | None:
+    """Column of the ``+-``/``:-`` branch marker, or None for a
+    marker-less line (the plan root / header text)."""
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else None
+
+
+def _single_partition_under_window(plan: str) -> bool:
+    """True iff an ``Exchange SinglePartition`` appears anywhere INSIDE
+    a Window operator's subtree. Indent-aware: children print with a
+    strictly deeper branch marker, so the subtree is the maximal run of
+    deeper-marked lines following the Window line — a fixed-lookahead
+    regex misses Window -> Project -> Sort -> Exchange chains."""
+    lines = plan.split("\n")
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow\b|\bWindowGroupLimit\b", line):
+            continue
+        d = _plan_depth(line)
+        if d is None:
+            d = -1  # Window at the plan root: everything below is its subtree
+        for j in range(i + 1, len(lines)):
+            dj = _plan_depth(lines[j])
+            if dj is None or dj <= d:
+                break
+            if "Exchange SinglePartition" in lines[j]:
+                return True
+    return False
 
 
 def audit_broadcast_hints(pkg_root: str) -> list[str]:
@@ -120,8 +160,86 @@ def audit_broadcast_hints(pkg_root: str) -> list[str]:
     return flags
 
 
+def normalize_plan(plan: str) -> str:
+    """Mask everything that varies run-to-run while preserving the plan
+    SHAPE (operators, join strategies, exchanges, pushed filters,
+    read schemas): expression ids, plan/stage ids, codegen spans,
+    uuid/hex fragments, temp paths, statistics annotations. Two runs of
+    the same code on the same data must produce byte-identical output —
+    that's what makes the PLANS/ snapshot a usable regression artifact."""
+    p = plan
+    p = re.sub(r"#\d+", "#N", p)
+    p = re.sub(r"plan_id=\d+", "plan_id=N", p)
+    p = re.sub(r"\*\(\d+\)", "*(N)", p)
+    p = re.sub(r"Statistics\([^)]*\)", "Statistics(MASKED)", p)
+    # temp/scratch locations (uuid-suffixed dirs, /tmp, RAM-fs)
+    p = re.sub(r"(/tmp|/dev/shm|\S*\.scratch|\S*spark-warehouse)[^\s,\]\)]*", "TMPPATH", p)
+    # long hex runs (uuids, checkpoint ids, shuffle ids in file names).
+    # require at least one a-f so big DECIMAL literals (window millis,
+    # integer scales) stay visible — those are plan semantics.
+    p = re.sub(r"\b(?=[0-9a-f]*[a-f])[0-9a-f]{8,}\b", "HEX", p)
+    # truncated operator lists print "... N more fields" with N stable,
+    # but InMemoryFileIndex previews N of M paths where M varies with
+    # writer parallelism on staged inputs — mask the counts
+    p = re.sub(r"\d+ paths", "N paths", p)
+    return p
+
+
+def plans_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS")
+
+
+def check_frozen(built: dict[str, str], update: bool) -> int:
+    """Diff built normalized plans against PLANS/ snapshots (or rewrite
+    them with --update-plans). Returns 0 when clean/updated."""
+    d = plans_dir()
+    if update:
+        os.makedirs(d, exist_ok=True)
+        for f in os.listdir(d):
+            if f.endswith(".txt") and f[:-4] not in built:
+                os.remove(os.path.join(d, f))
+                print(f"PLANS removed stale {f}")
+        for name, plan in built.items():
+            with open(os.path.join(d, f"{name}.txt"), "w") as fh:
+                fh.write(plan)
+        print(f"PLANS updated: {len(built)} snapshots in PLANS/")
+        return 0
+    if not os.path.isdir(d):
+        print("PLANS/ missing — run with --update-plans to create the baseline")
+        return 1
+    rc = 0
+    frozen = {f[:-4] for f in os.listdir(d) if f.endswith(".txt")}
+    for name in sorted(frozen - set(built)):
+        print(f"PLANDIFF {name}: snapshot exists but query not in registry (stale)")
+        rc = 1
+    for name, plan in built.items():
+        path = os.path.join(d, f"{name}.txt")
+        if not os.path.exists(path):
+            print(f"PLANDIFF {name}: NEW query, no snapshot — acknowledge with --update-plans")
+            rc = 1
+            continue
+        with open(path) as fh:
+            want = fh.read()
+        if want != plan:
+            import difflib
+
+            diff = list(
+                difflib.unified_diff(
+                    want.splitlines(), plan.splitlines(), "frozen", "built", lineterm="", n=1
+                )
+            )
+            print(f"PLANDIFF {name}: plan shape changed ({len(diff)} diff lines)")
+            for line in diff[:12]:
+                print(f"    {line}")
+            rc = 1
+    return rc
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    update = "--update-plans" in sys.argv
+    skip_frozen = "--no-frozen" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     from stream_spark.queries import QUERIES
     from stream_spark.session import get_spark
 
@@ -133,6 +251,7 @@ def main() -> int:
     for flag in audit_broadcast_hints(pkg):
         print(f"FLAG  {flag}")
         worst = 1
+    built: dict[str, str] = {}
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, sf_dir)
@@ -141,12 +260,15 @@ def main() -> int:
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             worst = 1
             continue
+        built[name] = normalize_plan(plan)
         flags = audit(name, plan)
         if flags:
             print(f"FLAG  {name}: {'; '.join(flags)}")
             worst = 1
         else:
             print(f"clean {name}")
+    if not skip_frozen:
+        worst = max(worst, check_frozen(built, update))
     return worst
 
 

@@ -117,22 +117,34 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
         streaming_tumbling_time_window,
     )
 
+    import uuid
+
     ev = load_table(spark, sf_dir, "events")
     n_rows = ev.count()
     stage = "/root/repo/.scratch/bench_stream"
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/root/repo/.scratch"
     best = None
-    for _rep in range(2):  # first run warms the streaming codepaths
+    # r6: the two levers the minhash tier already uses, applied here —
+    # offset/commit/state logs on RAM-fs (the per-trigger fsyncs are
+    # fixed-cost housekeeping, not engine work) and 3 reps (the
+    # streaming runner JITs later than batch plans; the r4→r5 driver
+    # delta on this metric adjudicated to session noise on identical
+    # code — min-of-3 narrows the band).
+    for _rep in range(3):
         shutil.rmtree(stage, ignore_errors=True)
         stream = file_replay_stream(spark, ev, stage, n_slices=4, max_files_per_trigger=2)
+        ckpt = f"{ckpt_base}/bench_replay_ckpt_{uuid.uuid4().hex[:8]}"
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         out = run_stream_to_memory(
             streaming_tumbling_time_window(stream, "ts", "value", "sum", 3_600_000),
             output_mode="complete",
             state_partitions=8,
+            checkpoint_dir=ckpt,
         )
         out.count()
         dt = time.time() - t0
+        shutil.rmtree(ckpt, ignore_errors=True)
         best = dt if best is None or dt < best else best
     return round(n_rows / best, 1)
 

@@ -9,7 +9,10 @@ covering the C-block operators the headliners miss (pagerank, packing,
 embedding dedup, k-means, boilerplate, ...) plus one streaming
 replay-throughput measurement rides along under the "tier2" key of the
 SAME json line — run ``python bench.py --tier2`` to execute only that
-tier while iterating.
+tier while iterating. ``--sf1-streaming`` additionally emits the
+crawl-scale streaming throughputs (replay rows/s, minhash docs/s at
+sf1 under ``sf1_streaming``) — the numbers where per-trigger fixed
+cost amortizes; requires ``tools/make_sf1.py`` to have run.
 """
 
 from __future__ import annotations
@@ -257,6 +260,27 @@ def main() -> None:
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     payload: dict = {"tier2": tier2, "sf": sf}
+
+    if "--sf1-streaming" in sys.argv:
+        # crawl-scale streaming tier (r6, VERDICT item 6): the honest
+        # throughput numbers — where triggers are 10x larger and the
+        # per-trigger fixed cost amortizes — emitted in the JSON line
+        # instead of living only in BASELINE.md prose, so round-over-
+        # round streaming comparisons stop depending on narrative.
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.scratch/sf1")
+        if os.path.isdir(sf1_dir):
+            s1_rps = _streaming_throughput(spark, sf1_dir)
+            print(f"# sf1 streaming replay: {s1_rps} rows/s", file=sys.stderr)
+            s1_mh = _streaming_minhash_throughput(spark, sf1_dir)
+            print(f"# sf1 streaming minhash: {s1_mh} docs/s", file=sys.stderr)
+            payload["sf1_streaming"] = {
+                "replay_rows_per_sec": s1_rps,
+                "minhash_docs_per_sec": s1_mh,
+            }
+        else:
+            payload["sf1_streaming"] = {
+                "error": f"{sf1_dir} missing — run tools/make_sf1.py first"
+            }
     if tier2_only:
         # no headline timings ran — marking the record (instead of
         # emitting value=0.0 with the frozen keys) keeps a redirected

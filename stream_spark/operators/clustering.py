@@ -18,6 +18,8 @@ surfaces as DOUBLE; argmax ties resolve to the lowest cell index
 
 from __future__ import annotations
 
+from stream_spark.operators.rownum import cpu_partitions
+
 from pyspark.sql import DataFrame, functions as F
 
 from stream_spark.operators.similarity import dot, norm
@@ -209,7 +211,7 @@ def _assign_arrow(base: DataFrame, cells, mat, id_type: str) -> DataFrame:
 
     # repartition first: a single-split parquet would score the whole
     # corpus in one task otherwise (map-only either way)
-    par = base.sparkSession.sparkContext.defaultParallelism
+    par = cpu_partitions(base)
     return (
         base.select("_id", "v")
         .repartition(par, F.col("_id"))

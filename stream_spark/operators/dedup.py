@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stream_spark.operators.rownum import cpu_partitions
 from stream_spark.operators.text import md5_long, normalize_text, tokens, word_ngrams
 
 PERMS = 16
@@ -61,7 +62,7 @@ def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     # explicit partition count: AQE would coalesce this ~10 MB shuffle
     # to 1-2 partitions by size, but the downstream explode+hash work is
     # CPU-bound — spread it over every core
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = cpu_partitions(df)
     return toks.repartition(par, F.col("doc")).select(
         "doc", F.explode(word_ngrams(F.col("ws"), n)).alias("g")
     )
@@ -159,7 +160,7 @@ def _gram_fingerprints(
         F.col(id_col).alias("doc"),
         tokens(normalize_text(F.col(text_col))).alias("ws"),
     )
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = cpu_partitions(df)
     # same exchange rationale as shingle_docs: materialize the token
     # array once behind a hash repartition, spread the explode+hash
     return toks.repartition(par, F.col("doc")).select(
@@ -381,7 +382,7 @@ def minhash_band_rows_stateless(
         tokens(normalize_text(F.col(text_col))).alias("ws"),
     )
     if parallelism != 0:
-        par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+        par = parallelism or cpu_partitions(df)
         toks = toks.repartition(par, F.col("doc"))
     return (
         toks.filter(F.size(F.col("ws")) >= n)  # word_ngrams empty iff < n tokens
@@ -504,7 +505,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             F.col(id_col).alias("doc"),
             F.array_distinct(tokens(normalize_text(F.col(text_col)))).alias("ws"),
         )
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("doc"))
+        .repartition(cpu_partitions(df), F.col("doc"))
         .select("doc", F.explode(F.col("ws")).alias("w"))
         .withColumn("h", md5_long(F.col("w")))
     )
@@ -657,7 +658,7 @@ def winnow_fingerprints(
 
     from stream_spark.operators.text import md5_long, normalize_text, tokens, word_ngrams_all
 
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = cpu_partitions(df)
     # NOTE: do NOT carry size(gram_array) through the explode — project
     # collapsing rebuilds the whole inlined gram array (including the
     # tokenization regex) per OUTPUT row of the Generate, turning the

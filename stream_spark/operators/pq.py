@@ -110,6 +110,22 @@ def _codebooks(corpus: DataFrame, id_col: str, vec_col: str, n_sub: int, k: int,
     ]
 
 
+def _code_entries(vec: Column, books, n_sub: int, k: int, dim: int) -> Column:
+    """array<struct<sub,code>> PQ encoding expression for one vector —
+    the shared spelling pq_codes and topk_ivfpq both project, so the
+    IVF-PQ plan can fuse encoding with cell assignment in a single
+    corpus scan instead of joining two separately-scanned frames."""
+    sub = dim // n_sub
+    entries = []
+    for s in range(n_sub):
+        part = F.slice(vec, s * sub + 1, sub)
+        books_lit = F.array(*[F.array(*[F.lit(w) for w in books[s][c]]) for c in range(k)])
+        entries.append(
+            F.struct(F.lit(s).alias("sub"), _argmin_code(part, books_lit, k).alias("code"))
+        )
+    return F.array(*entries)
+
+
 def pq_codes(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -121,16 +137,9 @@ def pq_codes(
     """(id, sub, code) PQ encoding of every corpus vector — map-only,
     exact-decimal argmin, ties to the smaller code."""
     books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
-    sub = dim // n_sub
-    entries = []
-    for s in range(n_sub):
-        part = F.slice(F.col(vec_col), s * sub + 1, sub)
-        books_lit = F.array(*[F.array(*[F.lit(w) for w in books[s][c]]) for c in range(k)])
-        entries.append(
-            F.struct(F.lit(s).alias("sub"), _argmin_code(part, books_lit, k).alias("code"))
-        )
     return corpus.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("sc")
+        F.col(id_col).alias("id"),
+        F.explode(_code_entries(F.col(vec_col), books, n_sub, k, dim)).alias("sc"),
     ).select("id", F.col("sc.sub").alias("sub"), F.col("sc.code").cast("long").alias("code"))
 
 
@@ -180,6 +189,17 @@ def topk_ivfpq(
             entries.append(F.struct(cosine(vec, lit).alias("c"), F.lit(-j).alias("nj")))
         return F.array(*entries)
 
+    # Two separate corpus scans (assignment; encoding) joined on
+    # neighbor_id — MEASURED faster than the single-scan fusion that
+    # projects cell + all 8 code argmins in one operator (r6 A/B at
+    # sf0.1: split 3.1-3.7 s vs fused 4.8-6.4 s, fresh sessions,
+    # min-of-3; with wholestage codegen disabled the two tie at
+    # ~3.5 s, so the fused stage's generated mega-method deoptimizes
+    # the JIT — and spark.sql.codegen.hugeMethodLimit=8000 did not
+    # recover it). At 100 TB the codes side is a PREBUILT stored index
+    # (FAISS practice — encode once, probe many), so this join is an
+    # index probe, not a redundant scan.
+    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         assign_cell_two_phase(F.col(vec_col), cent_vecs).alias("cell"),
@@ -198,7 +218,6 @@ def topk_ivfpq(
         .select("query_id", (-F.col("t.nj")).alias("cell"))
     )
 
-    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
     sub = dim // n_sub
     lut_entries = []
     for s in range(n_sub):

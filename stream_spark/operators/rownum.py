@@ -56,8 +56,34 @@ def sized_partitions(df: DataFrame, target_bytes: int = TARGET_PARTITION_BYTES) 
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # pragma: no cover — py4j/connect variance
         return floor
+    # Catalyst returns a Long.MaxValue-ish sentinel when it cannot
+    # estimate (LogicalRDD from localCheckpoint, some streaming
+    # relations). Treating the sentinel as "huge input" once turned a
+    # checkpointed 2k-row frame into a 131072-partition exchange (26
+    # minutes of per-partition Python overhead in local[4]) — unknown
+    # size means fall back to the floor, not the cap.
+    if size <= 0 or size >= (1 << 60):
+        return floor
     want = -(-size // max(1, target_bytes))  # ceil
     return int(min(MAX_RANGE_PARTITIONS, max(floor, want)))
+
+
+#: CPU-heavy explode/UDF stages spread best at ~32 MB/partition: the
+#: downstream per-byte cost (tokenize + n-gram explode + hash, or a
+#:  matmul batch) is several times a plain scan's, so partitions sized
+#: for scanning run minutes-long tasks.
+CPU_TARGET_PARTITION_BYTES = 32 << 20
+
+
+def cpu_partitions(df: DataFrame) -> int:
+    """Partition count for the explicit hash exchange ahead of a
+    CPU-heavy explode or Arrow UDF (the CLAUDE.md scale rule: AQE
+    coalesces small shuffles by BYTES, blind to downstream CPU).
+    Data-sized like ``sized_partitions`` but targeting ~32 MB — at test
+    SF this returns defaultParallelism exactly as the old constant did
+    (plans unchanged), at 100 TB it scales with the corpus instead of
+    collapsing the scan's parallelism to the core count."""
+    return sized_partitions(df, CPU_TARGET_PARTITION_BYTES)
 
 
 def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn") -> DataFrame:

@@ -21,6 +21,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_spark.operators.rownum import cpu_partitions
+
 N_PLANES = 4
 DIM = 64
 
@@ -267,7 +269,7 @@ def banded_index(
 
     # repartition first: a single-split parquet would project the whole
     # corpus in one task otherwise (map-only either way)
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = cpu_partitions(df)
     return (
         df.select(F.col(id_col).alias(id_col), F.col(vec_col))
         .repartition(par, F.col(id_col))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_spark.operators.rownum import cpu_partitions
+
 #: small multilingual stopword lists for the lang-id heuristic
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is"),
@@ -221,7 +223,7 @@ def boilerplate_share(
     # explicit repartition before the CPU-heavy tokenize+explode: a
     # small parquet arrives as ONE split and would n-gram the whole
     # corpus single-threaded (same rationale as dedup.shingle_docs)
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = cpu_partitions(df)
     grams = (
         df.repartition(par, F.col(id_col))
         .select(

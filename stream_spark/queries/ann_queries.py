@@ -1446,3 +1446,155 @@ def multimodal_image_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("rep").alias("rep_b"),
     )
     return edges.unionByName(selfies)
+
+
+# shared brute-force ground-truth CTE for the recall self-evaluations:
+# exact cosine top-K of the bounded query sample vs the corpus.
+_BF_TOP = f"""
+    bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+        JOIN norms nq ON q.vec_id = nq.vec_id
+        JOIN norms nc ON c.vec_id = nc.vec_id
+        GROUP BY query_id, neighbor_id, nq.nrm, nc.nrm
+    ),
+    bftop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM bscored
+        ) WHERE rank <= {_K}
+    )
+"""
+
+
+@register(
+    "ann_recall_pq_paths",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_BF_TOP},
+    ivfc AS (
+        SELECT vec_id AS cent_vid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT {N_CELLS})
+    ),
+    ivf0 AS (SELECT ct.cell, e.i, e.x FROM ivfc ct JOIN e ON e.vec_id = ct.cent_vid),
+    ivf0n AS (SELECT cell, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+              FROM ivf0 GROUP BY cell),
+    icos AS (
+        SELECT v.vec_id, c.cell,
+               CAST(SUM(CAST(v.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (n.nrm * cn.nrm) AS cos
+        FROM e v JOIN ivf0 c ON c.i = v.i
+        JOIN norms n ON n.vec_id = v.vec_id JOIN ivf0n cn ON cn.cell = c.cell
+        GROUP BY v.vec_id, c.cell, n.nrm, cn.nrm
+    ),
+    iassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM icos WHERE vec_id >= 10
+        ) WHERE rn = 1
+    ),
+    iprobe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM icos WHERE vec_id < 10
+        ) WHERE rn <= {N_PROBE}
+    ),
+    {_PQ_CODES.format(corpus_pred="vec_id >= 10", code_pred="v.vec_id >= 10")},
+    lut AS (
+        SELECT q.vec_id AS query_id, cb.sub, cb.code,
+               CAST(SUM(CAST((q.x - cb.w) * (q.x - cb.w) AS DECIMAL(28,12))) AS DECIMAL(30,12)) AS d
+        FROM e q JOIN cb ON (q.i - 1) // 8 = cb.sub AND (q.i - 1) % 8 = cb.j
+        WHERE q.vec_id < 10
+        GROUP BY query_id, cb.sub, cb.code
+    ),
+    pqscored AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS DECIMAL(30,12)) AS adist
+        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        GROUP BY l.query_id, neighbor_id
+    ),
+    pqtop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+            FROM pqscored
+        ) WHERE rank <= {_K}
+    ),
+    ivscored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, CAST(SUM(l.d) AS DECIMAL(30,12)) AS adist
+        FROM iprobe p
+        JOIN iassign a ON a.cell = p.cell
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+        GROUP BY p.query_id, neighbor_id
+    ),
+    ivtop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+            FROM ivscored
+        ) WHERE rank <= {_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS pq_recall,
+           CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivfpq_hits,
+           CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS ivfpq_recall
+    FROM bftop b
+    LEFT JOIN pqtop p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+    LEFT JOIN ivtop iv ON b.query_id = iv.query_id AND b.neighbor_id = iv.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_pq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the COMPRESSED rankings — PQ asymmetric-LUT and
+    IVF-PQ (coarse probe × LUT) — against the exact brute-force ground
+    truth on the bounded query sample, per query. Completes the
+    C43/C71 family's self-evaluation: `ann_recall_at_k` measures the
+    IVF pruning loss alone; this measures the quantization loss (PQ)
+    and the combined pruning+quantization loss (IVF-PQ), so the
+    compression/recall trade-off is MEASURED, not assumed (the FAISS
+    practice: every deployed index ships with its recall curve).
+
+    Scale: the exact scan is paid only on the contract-bounded query
+    sample (the sanctioned place); both approximate sides are the
+    production-shaped gated operators; the comparison is a k-row-per-
+    query double left join — bounded by |queries|·k rows.
+    """
+    from stream_spark.operators.pq import topk_ivfpq, topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = topk_bruteforce(q, c, _K).select("query_id", "neighbor_id")
+    pq = topk_pq(q, c, _K).select(
+        F.col("query_id").alias("pq_q"), F.col("neighbor_id").alias("pq_n"),
+        F.lit(1).alias("pq_hit"),
+    )
+    iv = topk_ivfpq(q, c, _K).select(
+        F.col("query_id").alias("iv_q"), F.col("neighbor_id").alias("iv_n"),
+        F.lit(1).alias("iv_hit"),
+    )
+    joined = (
+        exact.join(
+            pq, (F.col("query_id") == F.col("pq_q")) & (F.col("neighbor_id") == F.col("pq_n")), "left"
+        ).join(
+            iv, (F.col("query_id") == F.col("iv_q")) & (F.col("neighbor_id") == F.col("iv_n")), "left"
+        )
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.coalesce(F.col("pq_hit"), F.lit(0))).cast("long").alias("pq_hits"),
+        (
+            F.sum(F.coalesce(F.col("pq_hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("pq_recall"),
+        F.sum(F.coalesce(F.col("iv_hit"), F.lit(0))).cast("long").alias("ivfpq_hits"),
+        (
+            F.sum(F.coalesce(F.col("iv_hit"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("ivfpq_recall"),
+    )

@@ -16,6 +16,7 @@ from stream_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from stream_spark.operators.rownum import cpu_partitions
 from stream_spark.queries.registry import register
 from stream_spark.sources import load_table
 
@@ -886,7 +887,7 @@ def documents_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_spark.operators.text import md5_long, normalize_text, tokens, word_ngrams_all
 
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
+    par = cpu_partitions(docs)
     base = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("ws")
     ).repartition(par, "doc_id")

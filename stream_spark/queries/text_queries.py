@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stream_spark.operators.rownum import cpu_partitions
+
 from stream_spark.operators.text import (
     STOPWORDS,
     QUALITY_STOPWORDS,
@@ -227,8 +229,8 @@ def documents_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine has no corpus-level text operators — this extends SURVEY §2
     block C (training-data pipeline), same family as C33 boilerplate.
     """
-    par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents")
+    par = cpu_partitions(docs)
     chunked = (
         docs.repartition(par, "doc_id")
         .select(
@@ -735,7 +737,7 @@ def documents_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_spark.operators.text import md5_long, normalize_text, word_ngrams_all
 
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
+    par = cpu_partitions(docs)
     bg = (
         docs.select("doc_id", "lang", tokens(normalize_text(F.col("text"))).alias("ws"))
         .repartition(par, "doc_id")

@@ -505,3 +505,39 @@ def test_rownum_correct_under_sized_partitions(spark, tmp_path):
     rows = out.orderBy("rn").collect()
     assert [r["rn"] for r in rows] == list(range(1, 10_001))
     assert rows == sorted(rows, key=lambda r: (r["ts"], r["event_id"]))
+
+
+def test_cpu_partitions_floor_and_scaling(spark, tmp_path):
+    """The explode-feeding exchanges (shingle/fingerprint/banded-index
+    repartitions) are data-sized too (r6): floor = defaultParallelism
+    at test SF (plans unchanged), scaling with bytes at its ~32 MB
+    target exactly like sized_partitions."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.rownum import (
+        CPU_TARGET_PARTITION_BYTES,
+        cpu_partitions,
+        sized_partitions,
+    )
+
+    p = str(tmp_path / "d")
+    pad = F.repeat(F.sha2(F.col("id").cast("string"), 256), 4)
+    spark.range(50_000).withColumn("pad", pad).write.parquet(p)
+    df = spark.read.parquet(p)
+    floor = spark.sparkContext.defaultParallelism
+    assert cpu_partitions(df) == sized_partitions(df, CPU_TARGET_PARTITION_BYTES)
+    assert cpu_partitions(df) == floor  # test-SF inputs stay at the floor
+    assert sized_partitions(df, 1024) > floor  # …but the count is data-driven
+
+
+def test_sized_partitions_unknown_stats_fall_back_to_floor(spark):
+    """A localCheckpoint'ed frame reports Catalyst's Long.MaxValue
+    stats sentinel — that must mean 'unknown → floor', never 'huge →
+    cap' (the r6 bug: a 2k-row checkpointed frame got a
+    131072-partition exchange)."""
+    from stream_spark.operators.rownum import cpu_partitions, sized_partitions
+
+    df = spark.range(2000).localCheckpoint(eager=True)
+    floor = spark.sparkContext.defaultParallelism
+    assert sized_partitions(df) == floor
+    assert cpu_partitions(df) == floor

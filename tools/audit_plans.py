@@ -39,6 +39,7 @@ PAIRWISE_OK = {
     # recall measurement: the exact ground-truth side IS bruteforce on
     # the contract-bounded query sample (the one sanctioned exact scan).
     "ann_recall_at_k",
+    "ann_recall_pq_paths",
 }
 
 #: queries realizing an ANSI scalar subquery as a 1-row aggregate

@@ -95,6 +95,10 @@ PROBE = [
     "embeddings_diversity_sample",
     "documents_curriculum_order",
     "multimodal_image_neardup_groups",
+    # round-6 addition: the compressed-ranking recall self-evaluation
+    # (brute ground truth bounded by the query contract; PQ + IVF-PQ
+    # sides must stay corpus-linear)
+    "ann_recall_pq_paths",
 ]
 
 

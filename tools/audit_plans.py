@@ -170,6 +170,11 @@ def normalize_plan(plan: str) -> str:
     that's what makes the PLANS/ snapshot a usable regression artifact."""
     p = plan
     p = re.sub(r"#\d+", "#N", p)
+    # HOF lambda variables are numbered by a session-GLOBAL counter
+    # (lambda x_3906), so the same plan built later in a session (or
+    # after a registry addition) renames every lambda var — mask the
+    # counter, keep the var letter
+    p = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_N", p)
     p = re.sub(r"plan_id=\d+", "plan_id=N", p)
     p = re.sub(r"\*\(\d+\)", "*(N)", p)
     p = re.sub(r"Statistics\([^)]*\)", "Statistics(MASKED)", p)

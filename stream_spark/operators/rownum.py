@@ -52,17 +52,27 @@ def sized_partitions(df: DataFrame, target_bytes: int = TARGET_PARTITION_BYTES) 
     """
     spark = df.sparkSession
     floor = spark.sparkContext.defaultParallelism
+    # Size from the SUM OF LEAF relations, never the whole-plan
+    # estimate: Catalyst's derived-plan sizeInBytes multiplies join
+    # cardinalities into garbage-large numbers (a joined+aggregated
+    # frame at sf1 estimated thousands of range partitions and turned
+    # documents_dsir_selection 38x super-linear — 382 s of empty-task
+    # scheduling), and returns a Long.MaxValue sentinel for plans it
+    # cannot estimate at all (LogicalRDD from localCheckpoint — which
+    # once turned a 2k-row frame into a 131072-partition exchange).
+    # Leaf stats are file-based and reliable; the leaf sum is monotone
+    # in corpus volume, which is the property the partition count
+    # needs. Sentinel/unknown leaves are skipped; all-unknown → floor.
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        size = 0
+        for i in range(leaves.size()):
+            s = int(leaves.apply(i).stats().sizeInBytes())
+            if 0 < s < (1 << 60):
+                size += s
     except Exception:  # pragma: no cover — py4j/connect variance
         return floor
-    # Catalyst returns a Long.MaxValue-ish sentinel when it cannot
-    # estimate (LogicalRDD from localCheckpoint, some streaming
-    # relations). Treating the sentinel as "huge input" once turned a
-    # checkpointed 2k-row frame into a 131072-partition exchange (26
-    # minutes of per-partition Python overhead in local[4]) — unknown
-    # size means fall back to the floor, not the cap.
-    if size <= 0 or size >= (1 << 60):
+    if size <= 0:
         return floor
     want = -(-size // max(1, target_bytes))  # ceil
     return int(min(MAX_RANGE_PARTITIONS, max(floor, want)))

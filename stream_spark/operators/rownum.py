@@ -63,17 +63,27 @@ def sized_partitions(df: DataFrame, target_bytes: int = TARGET_PARTITION_BYTES) 
     # Leaf stats are file-based and reliable; the leaf sum is monotone
     # in corpus volume, which is the property the partition count
     # needs. Sentinel/unknown leaves are skipped; all-unknown → floor.
+    # The usable size is min(whole-plan estimate, leaf sum): aggregates
+    # legitimately SHRINK the whole-plan estimate below the leaf sum (a
+    # daily rollup of a 30 TB fact is a few thousand rows — it must not
+    # inherit the fact table's partition count), while join inflation
+    # only ever pushes the whole-plan estimate ABOVE the leaf sum,
+    # where the leaf sum wins.
     try:
-        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-        size = 0
+        plan = df._jdf.queryExecution().optimizedPlan()
+        leaves = plan.collectLeaves()
+        leaf_sum = 0
         for i in range(leaves.size()):
             s = int(leaves.apply(i).stats().sizeInBytes())
             if 0 < s < (1 << 60):
-                size += s
+                leaf_sum += s
+        whole = int(plan.stats().sizeInBytes())
+        candidates = [v for v in (leaf_sum, whole) if 0 < v < (1 << 60)]
     except Exception:  # pragma: no cover — py4j/connect variance
         return floor
-    if size <= 0:
+    if not candidates:
         return floor
+    size = min(candidates)
     want = -(-size // max(1, target_bytes))  # ceil
     return int(min(MAX_RANGE_PARTITIONS, max(floor, want)))
 

@@ -172,7 +172,7 @@ def topk_ivfpq(
     the LUT is bounded (queries × n_sub × k) and broadcast."""
     from pyspark.sql import Window
 
-    from stream_spark.operators.similarity import assign_cell_two_phase, cosine
+    from stream_spark.operators.similarity import cosine
 
     cents = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -180,6 +180,12 @@ def topk_ivfpq(
         .limit(n_cells)
         .collect()  # bounded metadata collect: n_cells rows by contract
     )
+    if not cents:
+        # empty corpus: a zero-entry F.array() of cell scores is type
+        # VOID and fails analysis — short-circuit to an empty result
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adist double, rank long"
+        )
     cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
 
     def cell_scores(vec):
@@ -189,25 +195,16 @@ def topk_ivfpq(
             entries.append(F.struct(cosine(vec, lit).alias("c"), F.lit(-j).alias("nj")))
         return F.array(*entries)
 
-    # Two separate corpus scans (assignment; encoding) joined on
-    # neighbor_id — MEASURED faster than the single-scan fusion that
-    # projects cell + all 8 code argmins in one operator (r6 A/B at
-    # sf0.1: split 3.1-3.7 s vs fused 4.8-6.4 s, fresh sessions,
-    # min-of-3; with wholestage codegen disabled the two tie at
-    # ~3.5 s, so the fused stage's generated mega-method deoptimizes
-    # the JIT — and spark.sql.codegen.hugeMethodLimit=8000 did not
-    # recover it). At 100 TB the codes side is a PREBUILT stored index
-    # (FAISS practice — encode once, probe many), so this join is an
-    # index probe, not a redundant scan.
-    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        assign_cell_two_phase(F.col(vec_col), cent_vecs).alias("cell"),
+    # Fused Arrow index build (r6): ONE numpy pass per batch computes
+    # the coarse cell AND the 8 PQ codes — no second corpus scan, no
+    # corpus-sized join, and unlike the Catalyst fusion of the same two
+    # computations (tried and reverted: its giant projection
+    # deoptimized wholestage codegen, 4.8-6.4 s vs 3.1-3.7 s split),
+    # numpy has no codegen cliff. Bit-parity with the Catalyst
+    # spellings is pytest-asserted including planted exact ties.
+    cell_codes = ivfpq_corpus_rows(
+        corpus, cent_vecs, id_col, vec_col, n_sub, k, dim
     )
-    codes = pq_codes(corpus, id_col, vec_col, n_sub, k, dim).withColumnRenamed(
-        "id", "neighbor_id"
-    )
-    cell_codes = codes.join(assigned, "neighbor_id")
 
     probes = (
         queries.select(
@@ -218,6 +215,7 @@ def topk_ivfpq(
         .select("query_id", (-F.col("t.nj")).alias("cell"))
     )
 
+    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
     sub = dim // n_sub
     lut_entries = []
     for s in range(n_sub):
@@ -273,8 +271,15 @@ def topk_pq(
     from pyspark.sql import Window
 
     books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    if not books[0]:
+        # empty corpus: no codebook seeds — indexing books[s][c] for the
+        # LUT literals would IndexError; short-circuit to an empty result
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adist double, rank long"
+        )
     sub = dim // n_sub
-    codes = pq_codes(corpus, id_col, vec_col, n_sub, k, dim).withColumnRenamed("id", "neighbor_id")
+    # Arrow encode (bit-parity pytested vs the Catalyst pq_codes spelling)
+    codes = pq_codes_arrow(corpus, id_col, vec_col, n_sub, k, dim).withColumnRenamed("id", "neighbor_id")
     lut_entries = []
     for s in range(n_sub):
         part = F.slice(F.col(vec_col), s * sub + 1, sub)
@@ -305,4 +310,159 @@ def topk_pq(
             F.col("_ad").cast("double").alias("adist"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def _arrow_codes_for_batch(V, books_np, n_sub, k, sub):
+    """Per-batch PQ codes via numpy two-phase argmin — the Arrow twin
+    of ``_argmin_code`` under the identical exactness contract: float
+    squared distances rank all codes, any code within 1e-9 of the float
+    minimum is re-resolved with the exact decimal distance (per-term
+    (x-w)² as IEEE double, quantized to DECIMAL(28,12) HALF_UP — the
+    double→decimal cast Spark applies — summed exactly, compared AS
+    DECIMAL), ties to the smaller code. Codes outside the 1e-9 margin
+    can never win the decimal phase (float error ≪ 1e-9), so fold-order
+    differences at the margin boundary are harmless. Returns an
+    (n, n_sub) int64 code matrix."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal(1).scaleb(-12)
+    n = V.shape[0]
+    codes = np.empty((n, n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        Vs = V[:, s * sub : (s + 1) * sub]           # (n, sub)
+        Bs = books_np[s]                              # (k, sub)
+        D = ((Vs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        fmin = D.min(axis=1)
+        cand = D <= (fmin[:, None] + 1e-9)
+        codes[:, s] = cand.argmax(axis=1)             # lowest candidate
+        for r in np.where(cand.sum(axis=1) > 1)[0]:
+            best = None
+            for c in np.where(cand[r])[0]:
+                tot = Decimal(0)
+                for x, w in zip(Vs[r], Bs[c]):
+                    d = float(x) - float(w)
+                    tot += Decimal(d * d).quantize(q12, rounding=ROUND_HALF_UP)
+                key = (tot, int(c))                   # decimal compare, ties → smaller code
+                if best is None or key < best:
+                    best = key
+            codes[r, s] = best[1]
+    return codes
+
+
+def pq_codes_arrow(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = N_SUB,
+    k: int = K_CODES,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, sub, code) PQ encoding via one numpy pass per Arrow batch —
+    bit-identical to the Catalyst ``pq_codes`` spelling (pytest asserts
+    equality including planted exact-tie codebooks; the oracle gate
+    re-verifies against DuckDB). The Catalyst path pays n_sub×k
+    interpreted decimal folds per row; this is the encode shape a real
+    index build takes — map-only, BLAS-batched, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    books_np = [np.array(b, dtype=np.float64) for b in books]
+    sub = dim // n_sub
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = _arrow_codes_for_batch(V, books_np, n_sub, k, sub)
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_sub),
+                    "sub": np.tile(np.arange(n_sub, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, "id long, sub int, code long"
+    )
+
+
+def ivfpq_corpus_rows(
+    corpus: DataFrame,
+    cent_vecs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = N_SUB,
+    k: int = K_CODES,
+    dim: int = 64,
+) -> DataFrame:
+    """Fused IVF-PQ corpus index build: ONE Arrow pass computes the
+    coarse cell (``assign_cells_arrow`` arithmetic) AND the PQ codes
+    per vector, emitting (neighbor_id, cell, sub, code) — no second
+    corpus scan, no corpus-sized join, no giant Catalyst projection
+    (the Catalyst fusion of the same two computations deoptimized
+    wholestage codegen; numpy has no such cliff). Exactness contracts
+    identical to ``assign_cell_two_phase`` + ``pq_codes`` (1e-6 / 1e-9
+    margins, decimal escape, lowest-cell / smallest-code ties)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    books_np = [np.array(b, dtype=np.float64) for b in books]
+    sub = dim // n_sub
+    cents = np.array(cent_vecs, dtype=np.float64)
+    cfn = np.array([sum(w * w for w in cv) ** 0.5 for cv in cent_vecs])
+    q12 = Decimal(1).scaleb(-12)
+
+    def _dec_sum_products(xs, ys):
+        tot = Decimal(0)
+        for x, y in zip(xs, ys):
+            tot += Decimal(float(x) * float(y)).quantize(q12, rounding=ROUND_HALF_UP)
+        return tot
+
+    dnc = [math.sqrt(float(_dec_sum_products(cv, cv))) for cv in cent_vecs]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            fnv = np.sqrt((V * V).sum(axis=1))
+            FC = (V @ cents.T) / (fnv[:, None] * cfn[None, :])
+            fmax = FC.max(axis=1)
+            cand = FC >= (fmax[:, None] - 1e-6)
+            cells = cand.argmax(axis=1).astype(np.int32)
+            for r in np.where(cand.sum(axis=1) > 1)[0]:
+                vrow = V[r]
+                dnv = math.sqrt(float(_dec_sum_products(vrow, vrow)))
+                best = None
+                for j in np.where(cand[r])[0]:
+                    cosv = float(_dec_sum_products(vrow, cent_vecs[j])) / (dnv * dnc[j])
+                    key = (cosv, -int(j))
+                    if best is None or key > best[0]:
+                        best = (key, int(j))
+                cells[r] = best[1]
+            codes = _arrow_codes_for_batch(V, books_np, n_sub, k, sub)
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(ids, n_sub),
+                    "cell": np.repeat(cells, n_sub),
+                    "sub": np.tile(np.arange(n_sub, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, "neighbor_id long, cell int, sub int, code long"
     )

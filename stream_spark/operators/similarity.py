@@ -691,10 +691,10 @@ def topk_ivf(
         return F.array(*entries)
 
     for _ in range(refine_iters):
-        assigned_r = corpus.select(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-            assign_cell_two_phase(F.col(vec_col), cent_vecs).alias("cell"),
-        )
+        # Arrow assignment (bit-parity pytested vs assign_cell_two_phase)
+        assigned_r = assign_cells_arrow(
+            corpus, cent_vecs, id_col, vec_col, keep_vec=True, vec_out="v"
+        ).select("v", "cell")
         rows = (
             assigned_r.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
@@ -709,10 +709,8 @@ def topk_ivf(
             for j in range(len(cent_vecs))
         ]
 
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        assign_cell_two_phase(F.col(vec_col), cent_vecs).alias("cell"),
+    assigned = assign_cells_arrow(
+        corpus, cent_vecs, id_col, vec_col, id_out="neighbor_id", keep_vec=True, vec_out="cv"
     )
     probes = (
         queries.select(
@@ -767,3 +765,83 @@ def topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    cent_vecs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_out: str = "neighbor_id",
+    keep_vec: bool = False,
+    vec_out: str = "cv",
+) -> DataFrame:
+    """Corpus→cell assignment as ONE numpy matmul per Arrow batch —
+    bit-identical to ``assign_cell_two_phase`` by the same two-phase
+    contract: float cosines rank all cells, any cell within 1e-6 of the
+    float maximum is re-resolved with the exact decimal cosine (per-
+    product double→DECIMAL(28,12) HALF_UP quantization — Spark's cast —
+    summed exactly, surfaced as IEEE double), ties to the LOWEST cell.
+    Cells outside the 1e-6 margin can never win the decimal phase
+    (float error ≪ 1e-6), so numpy-vs-JVM fold-order differences at the
+    margin boundary are harmless — the same argument ``banded_index``
+    documents. The Catalyst spelling costs ~n_cells decimal folds per
+    row in interpreted HOF evaluation; the matmul is milliseconds per
+    batch and is the map-only, shuffle-free shape a 100 TB assignment
+    pass takes. pytest asserts row-for-row equality against the
+    Catalyst path including planted exact-tie corpora.
+
+    Output: (id_out, cell int) + optionally the vector as
+    array<double> (float→double widening is exact, and every consumer
+    casts per-element to double anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.array(cent_vecs, dtype=np.float64)
+    # float norms with the same driver-side spelling assign_cell_two_phase uses
+    cfn = np.array([sum(w * w for w in cv) ** 0.5 for cv in cent_vecs])
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal(1).scaleb(-12)
+
+    def _dec_sum_products(xs, ys):
+        tot = Decimal(0)
+        for x, y in zip(xs, ys):
+            tot += Decimal(float(x) * float(y)).quantize(q12, rounding=ROUND_HALF_UP)
+        return tot
+
+    # decimal centroid norms once per call (k of them, bounded)
+    import math
+
+    dnc = [math.sqrt(float(_dec_sum_products(cv, cv))) for cv in cent_vecs]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            fnv = np.sqrt((V * V).sum(axis=1))
+            FC = (V @ cents.T) / (fnv[:, None] * cfn[None, :])
+            fmax = FC.max(axis=1)
+            cand = FC >= (fmax[:, None] - 1e-6)
+            cells = cand.argmax(axis=1).astype(np.int32)  # lowest candidate
+            multi = np.where(cand.sum(axis=1) > 1)[0]
+            for r in multi:
+                vrow = V[r]
+                dnv = math.sqrt(float(_dec_sum_products(vrow, vrow)))
+                best = None
+                for j in np.where(cand[r])[0]:
+                    cosv = float(_dec_sum_products(vrow, cent_vecs[j])) / (dnv * dnc[j])
+                    key = (cosv, -int(j))  # ties → lowest cell
+                    if best is None or key > best[0]:
+                        best = (key, int(j))
+                cells[r] = best[1]
+            out = {id_out: ids, "cell": cells}
+            if keep_vec:
+                out[vec_out] = list(V)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_out} long, cell int" + (f", {vec_out} array<double>" if keep_vec else "")
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(gen, schema)

@@ -813,14 +813,17 @@ _PQ_CODES = f"""
     """,
 )
 def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding (operators/pq.pq_codes): every
-    vector compressed to {N_SUB} sub-codes against deterministic
-    per-subspace codebooks — map-only exact-decimal argmin, the
-    memory-bound ANN representation (64 floats → {N_SUB} bytes-ish)."""
-    from stream_spark.operators.pq import pq_codes
+    """Product-quantization encoding (operators/pq.pq_codes_arrow —
+    numpy two-phase argmin per Arrow batch, bit-parity pytested against
+    the Catalyst ``pq_codes`` spec spelling): every vector compressed
+    to {N_SUB} sub-codes against deterministic per-subspace codebooks —
+    map-only, the memory-bound ANN representation (64 floats →
+    {N_SUB} bytes-ish). Encode is the pass a 100 TB index build pays
+    per vector, so it runs the BLAS-batched path."""
+    from stream_spark.operators.pq import pq_codes_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_codes(emb)
+    return pq_codes_arrow(emb)
 
 
 @register(

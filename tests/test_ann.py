@@ -585,3 +585,79 @@ def test_topk_bruteforce_tie_break_partition_independent(spark):
     assert results[0] == results[1] == results[2]
     # ties on cosine must resolve to the LOWEST neighbor_ids
     assert results[0] == [(100, 1), (101, 2), (102, 3)]
+
+
+def _tie_corpus(spark, n=40, dim=64):
+    """Deterministic corpus with planted EXACT ties: vec_id 0 and 1 are
+    identical (both land in the centroid/codebook seed set, so every
+    row within the float margin of one is within it of both) — forces
+    the decimal-escape + lowest-index tie rule, the hardest parity
+    case for the Arrow twins."""
+    rows = []
+    for i in range(n):
+        base = 0 if i <= 1 else i  # ids 0 and 1 share one vector
+        v = [((base * 31 + j * 7) % 97) / 97.0 + 0.01 for j in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_arrow_assign_matches_catalyst_on_ties(spark):
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.similarity import assign_cell_two_phase, assign_cells_arrow
+
+    corpus = _tie_corpus(spark)
+    cents = [r["embedding"] for r in corpus.orderBy("vec_id").limit(16).collect()]
+    catalyst = {
+        r["vec_id"]: r["cell"]
+        for r in corpus.select(
+            "vec_id", assign_cell_two_phase(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    arrow = {
+        r["neighbor_id"]: r["cell"]
+        for r in assign_cells_arrow(corpus, cents).collect()
+    }
+    assert arrow == catalyst
+    # the duplicated seed vector must resolve to the LOWEST cell
+    assert arrow[0] == 0 and arrow[1] == 0
+
+
+def test_arrow_pq_codes_match_catalyst_on_ties(spark):
+    from stream_spark.operators.pq import pq_codes, pq_codes_arrow
+
+    corpus = _tie_corpus(spark)
+    catalyst = {(r["id"], r["sub"]): r["code"] for r in pq_codes(corpus).collect()}
+    arrow = {(r["id"], r["sub"]): r["code"] for r in pq_codes_arrow(corpus).collect()}
+    assert arrow == catalyst
+    # row 1 == row 0 == codebook entry 0 AND 1 (duplicate seeds): the
+    # distance-0 tie must go to the SMALLER code on every subspace
+    assert all(catalyst[(0, s)] == 0 for s in range(8))
+    assert all(catalyst[(1, s)] == 0 for s in range(8))
+
+
+def test_fused_ivfpq_corpus_rows_match_join_of_parts(spark):
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.pq import ivfpq_corpus_rows, pq_codes
+    from stream_spark.operators.similarity import assign_cell_two_phase
+
+    corpus = _tie_corpus(spark)
+    cents = [r["embedding"] for r in corpus.orderBy("vec_id").limit(16).collect()]
+    want = {
+        (r["id"], r["sub"]): (None, r["code"]) for r in pq_codes(corpus).collect()
+    }
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in corpus.select(
+            "vec_id", assign_cell_two_phase(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    got = {
+        (r["neighbor_id"], r["sub"]): (r["cell"], r["code"])
+        for r in ivfpq_corpus_rows(corpus, cents).collect()
+    }
+    assert set(got) == set(want)
+    for (i, s), (cell, code) in got.items():
+        assert code == want[(i, s)][1]
+        assert cell == cells[i]

@@ -242,3 +242,15 @@ def test_semantic_dedup_k_cap(spark):
     # identical 9s collapse to one keeper (the min id) of size 2
     assert sizes[100] == 2 and 101 not in sizes
     assert sum(sizes.values()) == 14
+
+
+def test_pq_family_on_empty_corpus(spark):
+    """topk_pq / topk_ivfpq with an EMPTY corpus must return empty
+    typed frames (r6: both crashed — VOID cell-score array / IndexError
+    on codebook literals — the same class topk_ivf was fixed for in r5)."""
+    from stream_spark.operators.pq import topk_ivfpq, topk_pq
+
+    q = spark.createDataFrame([(0, [1.0] * 64)], "vec_id long, embedding array<double>")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert topk_pq(q, empty, 5).count() == 0
+    assert topk_ivfpq(q, empty, 5).count() == 0

@@ -126,6 +126,16 @@ def _code_entries(vec: Column, books, n_sub: int, k: int, dim: int) -> Column:
     return F.array(*entries)
 
 
+def _clamped_k(books, k: int) -> int:
+    """A corpus with 1..k-1 vectors seeds fewer than ``k`` codebook
+    entries; clamp the effective code count so the LUT/encode loops
+    (``books[s][c] for c in range(k)``) stay in range — the undersized
+    sibling of the empty-corpus short-circuits."""
+    if not books[0]:
+        raise ValueError("corpus is empty — no PQ codebook seeds")
+    return min(k, len(books[0]))
+
+
 def pq_codes(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -137,6 +147,7 @@ def pq_codes(
     """(id, sub, code) PQ encoding of every corpus vector — map-only,
     exact-decimal argmin, ties to the smaller code."""
     books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    k = _clamped_k(books, k)
     return corpus.select(
         F.col(id_col).alias("id"),
         F.explode(_code_entries(F.col(vec_col), books, n_sub, k, dim)).alias("sc"),
@@ -216,6 +227,7 @@ def topk_ivfpq(
     )
 
     books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    k = _clamped_k(books, k)  # 1..k-1-vector corpus: fewer codes, same math
     sub = dim // n_sub
     lut_entries = []
     for s in range(n_sub):
@@ -277,6 +289,7 @@ def topk_pq(
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, adist double, rank long"
         )
+    k = _clamped_k(books, k)  # 1..k-1-vector corpus: fewer codes, same math
     sub = dim // n_sub
     # Arrow encode (bit-parity pytested vs the Catalyst pq_codes spelling)
     codes = pq_codes_arrow(corpus, id_col, vec_col, n_sub, k, dim).withColumnRenamed("id", "neighbor_id")
@@ -325,9 +338,10 @@ def _arrow_codes_for_batch(V, books_np, n_sub, k, sub):
     differences at the margin boundary are harmless. Returns an
     (n, n_sub) int64 code matrix."""
     import numpy as np
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import Decimal
 
-    q12 = Decimal(1).scaleb(-12)
+    from stream_spark.operators.similarity import _dec_q12
+
     n = V.shape[0]
     codes = np.empty((n, n_sub), dtype=np.int64)
     for s in range(n_sub):
@@ -343,7 +357,7 @@ def _arrow_codes_for_batch(V, books_np, n_sub, k, sub):
                 tot = Decimal(0)
                 for x, w in zip(Vs[r], Bs[c]):
                     d = float(x) - float(w)
-                    tot += Decimal(d * d).quantize(q12, rounding=ROUND_HALF_UP)
+                    tot += _dec_q12(d * d)
                 key = (tot, int(c))                   # decimal compare, ties → smaller code
                 if best is None or key < best:
                     best = key
@@ -410,26 +424,15 @@ def ivfpq_corpus_rows(
     wholestage codegen; numpy has no such cliff). Exactness contracts
     identical to ``assign_cell_two_phase`` + ``pq_codes`` (1e-6 / 1e-9
     margins, decimal escape, lowest-cell / smallest-code ties)."""
-    import math
-
     import numpy as np
     import pandas as pd
-    from decimal import ROUND_HALF_UP, Decimal
+
+    from stream_spark.operators.similarity import cell_assign_kernel
 
     books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
     books_np = [np.array(b, dtype=np.float64) for b in books]
     sub = dim // n_sub
-    cents = np.array(cent_vecs, dtype=np.float64)
-    cfn = np.array([sum(w * w for w in cv) ** 0.5 for cv in cent_vecs])
-    q12 = Decimal(1).scaleb(-12)
-
-    def _dec_sum_products(xs, ys):
-        tot = Decimal(0)
-        for x, y in zip(xs, ys):
-            tot += Decimal(float(x) * float(y)).quantize(q12, rounding=ROUND_HALF_UP)
-        return tot
-
-    dnc = [math.sqrt(float(_dec_sum_products(cv, cv))) for cv in cent_vecs]
+    assign = cell_assign_kernel(cent_vecs)
 
     def gen(batches):
         for pdf in batches:
@@ -437,21 +440,7 @@ def ivfpq_corpus_rows(
                 continue
             ids = pdf[id_col].to_numpy()
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            fnv = np.sqrt((V * V).sum(axis=1))
-            FC = (V @ cents.T) / (fnv[:, None] * cfn[None, :])
-            fmax = FC.max(axis=1)
-            cand = FC >= (fmax[:, None] - 1e-6)
-            cells = cand.argmax(axis=1).astype(np.int32)
-            for r in np.where(cand.sum(axis=1) > 1)[0]:
-                vrow = V[r]
-                dnv = math.sqrt(float(_dec_sum_products(vrow, vrow)))
-                best = None
-                for j in np.where(cand[r])[0]:
-                    cosv = float(_dec_sum_products(vrow, cent_vecs[j])) / (dnv * dnc[j])
-                    key = (cosv, -int(j))
-                    if best is None or key > best[0]:
-                        best = (key, int(j))
-                cells[r] = best[1]
+            cells = assign(V)
             codes = _arrow_codes_for_batch(V, books_np, n_sub, k, sub)
             n = len(ids)
             yield pd.DataFrame(

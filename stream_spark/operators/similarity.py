@@ -40,6 +40,96 @@ def _dec_sum(arr: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow-side exact-decimal arithmetic: numpy fast paths that reproduce the
+# Catalyst DECIMAL(28,12) fold bit-for-bit. Spark's double→decimal cast is
+# BigDecimal.valueOf(d) = new BigDecimal(Double.toString(d)) — the SHORTEST
+# round-trip representation (== Python repr) — then setScale(12, HALF_UP);
+# Decimal.toDouble of the scale-12 sum is the correctly-rounded S/10^12
+# (Java's fast path computes (double)S / 1e12 with S < 2^52 exact, the slow
+# path parses the decimal string — both equal the correctly-rounded value).
+# The vectorized path uses np.rint on S·10^12 and escapes any element whose
+# scaled value sits near a half-integer boundary (where float multiply
+# rounding or the repr-vs-binary gap could flip the rounding) to a scalar
+# Decimal(repr(x)) — the exact JVM cast.
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+_Q12 = Decimal(1).scaleb(-12)
+
+
+def _dec_q12(x: float) -> Decimal:
+    """double → DECIMAL(·,12) exactly as Spark's cast (shortest-repr
+    string, then HALF_UP at scale 12)."""
+    return Decimal(repr(float(x))).quantize(_Q12, rounding=ROUND_HALF_UP)
+
+
+def _dec_sum_products(xs, ys) -> Decimal:
+    """Exact Σ decimal12(x·y) — the scalar spelling of the Catalyst
+    ``dot`` fold, shared by every Arrow decimal-escape path."""
+    tot = Decimal(0)
+    for x, y in zip(xs, ys):
+        tot += _dec_q12(float(x) * float(y))
+    return tot
+
+
+def _quantize12_int64(P):
+    """Elementwise double → scale-12 integer (the unscaled value of
+    Spark's DECIMAL(28,12) cast), vectorized. ``P`` float64 ndarray.
+
+    Fast path: np.rint(P·1e12). An element is re-resolved with the
+    scalar JVM-exact cast when its scaled value lies within a few ulps
+    of a half-integer boundary — outside that margin the float rounding
+    direction is unambiguous, so rint (half-to-even) and HALF_UP agree.
+    The margin covers both the multiply rounding of P·1e12 and the
+    shortest-repr-vs-binary gap (each < 1 ulp of the scaled value)."""
+    import numpy as np
+
+    Y = P * 1e12
+    if Y.size and np.abs(Y).max() >= float(1 << 55):
+        # 64-element row sums must stay < 2^61 (int64-safe with headroom);
+        # |products| ≥ 2^55/1e12 ≈ 3.6e4 are outside this module's
+        # embedding-magnitude contract.
+        raise ValueError("vector magnitudes exceed the exact-decimal contract")
+    N = np.rint(Y).astype(np.int64)
+    frac = Y - np.floor(Y)
+    margin = 8.0 * np.spacing(np.abs(Y)) + 1e-9
+    esc = np.abs(frac - 0.5) <= margin
+    if esc.any():
+        flatP = P.ravel()
+        flatN = N.ravel()
+        for i in np.flatnonzero(esc.ravel()):
+            flatN[i] = int(_dec_q12(float(flatP[i])).scaleb(12))
+    return N
+
+
+def _dec12_to_double(S):
+    """Scale-12 integer sums (int64 ndarray) → the IEEE double of
+    Spark's Decimal.toDouble: the correctly-rounded value of S/10^12."""
+    import numpy as np
+
+    if S.size == 0 or np.abs(S).max() < float(1 << 52):
+        # float64(S) is exact below 2^53; one division by the exactly-
+        # representable 1e12 is then correctly rounded.
+        return S.astype(np.float64) / 1e12
+    # int/int true division in Python is correctly rounded at any size
+    return np.array([int(s) / 10**12 for s in S], dtype=np.float64)
+
+
+def _exact_cosine_batch(Va, Vb):
+    """Per-row exact cosine of two (n, dim) float64 matrices —
+    bit-identical to the Catalyst ``cosine`` spelling
+    dot/(norm·norm): exact-decimal dot and norms surfaced as doubles,
+    then the same IEEE double division/multiplication order."""
+    import numpy as np
+
+    dots = _dec12_to_double(_quantize12_int64(Va * Vb).sum(axis=1))
+    na = np.sqrt(_dec12_to_double(_quantize12_int64(Va * Va).sum(axis=1)))
+    nb = np.sqrt(_dec12_to_double(_quantize12_int64(Vb * Vb).sum(axis=1)))
+    return dots / (na * nb)
+
+
 def dot(a: Column, b: Column) -> Column:
     return _dec_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))).cast("double")
 
@@ -245,18 +335,8 @@ def banded_index(
             if center is not None:
                 near = np.zeros_like(near)  # centered = pytest-level, no decimal escape
             if near.any():
-                from decimal import ROUND_HALF_UP, Decimal
-
-                q = Decimal(1).scaleb(-12)
                 for r, c in zip(*np.where(near)):
-                    s = sum(
-                        int(
-                            Decimal(float(x) * float(w))
-                            .quantize(q, rounding=ROUND_HALF_UP)
-                            .scaleb(12)
-                        )
-                        for x, w in zip(V[r], planes[c])
-                    )
+                    s = int(_dec_sum_products(V[r], planes[c]).scaleb(12))
                     P[r, c] = 1.0 if s >= 0 else -1.0
             bits = (P >= 0).astype(np.int64)
             out = {"id": [], "t": [], "bucket": []}
@@ -315,14 +395,100 @@ def cosine_pairs_lsh_banded(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()  # OR across tables: a pair colliding in several tables scores once
     )
+    return score_pairs_arrow(cand, df, threshold, id_col, vec_col)
+
+
+def score_pairs_arrow(
+    cand: DataFrame,
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    both_directions: bool = False,
+) -> DataFrame:
+    """Score (id_a, id_b) candidate pairs with the exact-decimal cosine
+    in ONE numpy pass per Arrow batch — bit-identical to the Catalyst
+    ``_guarded_cosine`` + filter spelling (pytest asserts equality on
+    planted exact-tie corpora), at none of its interpreted-fold cost:
+    the Catalyst DECIMAL(28,12) fold evaluates ~0.2 ms per candidate
+    row interpreted, which made the banded-LSH consumers
+    (embeddings_knn_graph / label_propagation at threshold −1, where
+    EVERY candidate is scored) the two slowest queries in the engine.
+
+    Vectors join to the candidate list by id (two keyed equi-joins —
+    the index rows never carry vectors, so the LSH shuffle stays H×12
+    bytes per row at any corpus size), then the kernel computes the
+    exact cosine and applies the threshold on the EXACT value. With
+    ``both_directions`` each surviving pair is emitted as two directed
+    edge rows inside the kernel — consumers that rank per source node
+    (k-NN graph) get both directions without a unionAll that would
+    duplicate the whole candidate subtree in the plan (measured ~2×
+    the full query cost at sf0.1 before this path existed)."""
+    import numpy as np
+    import pandas as pd
+
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", _guarded_cosine(F.col("va"), F.col("vb"), threshold))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    joined = cand.join(va, "id_a").join(vb, "id_b")
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Va = np.array([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            Vb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            cosv = _exact_cosine_batch(Va, Vb)
+            keep = cosv >= threshold  # exact-value filter, same as Catalyst
+            ia = pdf["id_a"].to_numpy()[keep]
+            ib = pdf["id_b"].to_numpy()[keep]
+            cv = cosv[keep]
+            if both_directions:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate([ia, ib]),
+                        "id_b": np.concatenate([ib, ia]),
+                        "cosine": np.concatenate([cv, cv]),
+                    }
+                )
+            else:
+                yield pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cv})
+
+    return joined.mapInPandas(gen, "id_a long, id_b long, cosine double")
+
+
+def cosine_edges_lsh_banded(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    band_planes: int = BAND_PLANES,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Both directed edges of every ``cosine_pairs_lsh_banded`` pair:
+    (vec_id, neighbor_id, cosine) — the k-NN-graph input shape, emitted
+    by the scoring kernel itself so the plan holds ONE candidate
+    subtree (a unionAll of the pairs frame with its swap recomputes the
+    whole LSH index + joins twice)."""
+    idx = banded_index(df, id_col, vec_col, n_tables, band_planes)
+    if max_bucket_size is not None:
+        sizes = idx.groupBy("t", "bucket").agg(F.count("*").alias("_bsz"))
+        idx = idx.join(sizes, ["t", "bucket"]).filter(F.col("_bsz") <= max_bucket_size)
+    a, b_ = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return score_pairs_arrow(
+        cand, df, threshold, id_col, vec_col, both_directions=True
+    ).select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("neighbor_id"), "cosine"
     )
 
 
@@ -767,6 +933,44 @@ def topk_lsh(
     )
 
 
+def cell_assign_kernel(cent_vecs: list[list[float]]):
+    """The per-batch nearest-cell assignment kernel (V float64 (n,dim)
+    → int32 cell ids) shared by ``assign_cells_arrow`` and
+    ``pq.ivfpq_corpus_rows`` — ONE definition so the two-phase
+    exactness contract (float matmul prerank, 1e-6 margin, exact-
+    decimal re-resolution, ties → lowest cell) cannot drift between
+    the flat-IVF and fused IVF-PQ index builds."""
+    import math
+
+    import numpy as np
+
+    cents = np.array(cent_vecs, dtype=np.float64)
+    # float norms with the same driver-side spelling assign_cell_two_phase uses
+    cfn = np.array([sum(w * w for w in cv) ** 0.5 for cv in cent_vecs])
+    # decimal centroid norms once per call (k of them, bounded)
+    dnc = [math.sqrt(float(_dec_sum_products(cv, cv))) for cv in cent_vecs]
+
+    def kernel(V):
+        fnv = np.sqrt((V * V).sum(axis=1))
+        FC = (V @ cents.T) / (fnv[:, None] * cfn[None, :])
+        fmax = FC.max(axis=1)
+        cand = FC >= (fmax[:, None] - 1e-6)
+        cells = cand.argmax(axis=1).astype(np.int32)  # lowest candidate
+        for r in np.where(cand.sum(axis=1) > 1)[0]:
+            vrow = V[r]
+            dnv = math.sqrt(float(_dec_sum_products(vrow, vrow)))
+            best = None
+            for j in np.where(cand[r])[0]:
+                cosv = float(_dec_sum_products(vrow, cent_vecs[j])) / (dnv * dnc[j])
+                key = (cosv, -int(j))  # ties → lowest cell
+                if best is None or key > best[0]:
+                    best = (key, int(j))
+            cells[r] = best[1]
+        return cells
+
+    return kernel
+
+
 def assign_cells_arrow(
     df: DataFrame,
     cent_vecs: list[list[float]],
@@ -797,24 +1001,7 @@ def assign_cells_arrow(
     import numpy as np
     import pandas as pd
 
-    cents = np.array(cent_vecs, dtype=np.float64)
-    # float norms with the same driver-side spelling assign_cell_two_phase uses
-    cfn = np.array([sum(w * w for w in cv) ** 0.5 for cv in cent_vecs])
-
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q12 = Decimal(1).scaleb(-12)
-
-    def _dec_sum_products(xs, ys):
-        tot = Decimal(0)
-        for x, y in zip(xs, ys):
-            tot += Decimal(float(x) * float(y)).quantize(q12, rounding=ROUND_HALF_UP)
-        return tot
-
-    # decimal centroid norms once per call (k of them, bounded)
-    import math
-
-    dnc = [math.sqrt(float(_dec_sum_products(cv, cv))) for cv in cent_vecs]
+    kernel = cell_assign_kernel(cent_vecs)
 
     def gen(batches):
         for pdf in batches:
@@ -822,22 +1009,7 @@ def assign_cells_arrow(
                 continue
             ids = pdf[id_col].to_numpy()
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            fnv = np.sqrt((V * V).sum(axis=1))
-            FC = (V @ cents.T) / (fnv[:, None] * cfn[None, :])
-            fmax = FC.max(axis=1)
-            cand = FC >= (fmax[:, None] - 1e-6)
-            cells = cand.argmax(axis=1).astype(np.int32)  # lowest candidate
-            multi = np.where(cand.sum(axis=1) > 1)[0]
-            for r in multi:
-                vrow = V[r]
-                dnv = math.sqrt(float(_dec_sum_products(vrow, vrow)))
-                best = None
-                for j in np.where(cand[r])[0]:
-                    cosv = float(_dec_sum_products(vrow, cent_vecs[j])) / (dnv * dnc[j])
-                    key = (cosv, -int(j))  # ties → lowest cell
-                    if best is None or key > best[0]:
-                        best = (key, int(j))
-                cells[r] = best[1]
+            cells = kernel(V)
             out = {id_out: ids, "cell": cells}
             if keep_vec:
                 out[vec_out] = list(V)

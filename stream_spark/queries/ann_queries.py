@@ -1064,11 +1064,14 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph over the whole corpus (k=5): candidate
     edges from the multi-table banded hyperplane LSH index (the same
     OR-construction as dedup_embedding_cosine — never all-pairs), each
-    candidate scored with the exact-decimal cosine (threshold=-1
-    degenerates the two-phase guard into the exact fold everywhere —
-    every candidate is a potential graph edge, so no prefilter
-    savings exist to take), then both directions of each undirected
-    pair ranked per source node (cosine desc, id tie-break).
+    candidate scored with the exact-decimal cosine in the Arrow matmul
+    kernel (threshold=-1: every candidate is a potential graph edge,
+    so the scorer runs the exact path on all of them — r7 moved that
+    from the interpreted Catalyst fold, ~0.2 ms/row, to numpy), with
+    BOTH directions of each undirected pair emitted by the kernel
+    (a unionAll of the pairs frame with its swap would recompute the
+    entire LSH-index subtree twice), then ranked per source node
+    (cosine desc, id tie-break).
 
     The k-NN graph is the backbone primitive for graph-based corpus
     curation — SemDeDup-style neighborhoods, kNN-classifier label
@@ -1076,18 +1079,11 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume is Σ_t Σ_bucket m² (bucket-bounded, hot buckets
     capped upstream), the per-node rank is a keyed window — no global
     sort, no corpus² term anywhere."""
-    from stream_spark.operators.similarity import cosine_pairs_lsh_banded
+    from stream_spark.operators.similarity import cosine_edges_lsh_banded
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_lsh_banded(emb, threshold=-1.0)
-    edges = pairs.select(
-        F.col("id_a").alias("vec_id"), F.col("id_b").alias("neighbor_id"), "cosine"
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("vec_id"), F.col("id_a").alias("neighbor_id"), "cosine"
-        )
-    )
+    edges = cosine_edges_lsh_banded(emb, threshold=-1.0)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         edges.withColumn("knn_rank", F.row_number().over(w).cast("long"))
@@ -1158,17 +1154,10 @@ def embeddings_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort); the label lookup is a keyed join on 8-byte ids."""
     from pyspark.sql import Window
 
-    from stream_spark.operators.similarity import cosine_pairs_lsh_banded
+    from stream_spark.operators.similarity import cosine_edges_lsh_banded
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_lsh_banded(emb, threshold=-1.0)
-    edges = pairs.select(
-        F.col("id_a").alias("vec_id"), F.col("id_b").alias("neighbor_id"), "cosine"
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("vec_id"), F.col("id_a").alias("neighbor_id"), "cosine"
-        )
-    )
+    edges = cosine_edges_lsh_banded(emb, threshold=-1.0)
     t2t = edges.filter((F.col("vec_id") % 2 == 1) & (F.col("neighbor_id") % 2 == 0))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     knn = t2t.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)

@@ -46,6 +46,7 @@ def ordered_replay_stream(
     order_cols: list[str],
     n_slices: int = 4,
     writer_options: dict | None = None,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Stage ``df`` as ``n_slices`` parquet files, each a CONTIGUOUS
     range of ``order_cols``, replayed one file per micro-batch in key
@@ -64,6 +65,15 @@ def ordered_replay_stream(
     row-group-splittable, so a CPU-heavy per-row projection downstream
     (minhash signatures) parallelizes inside the SCAN stage of each
     micro-batch instead of needing its own repartition exchange.
+
+    ``max_files_per_trigger``: slices per micro-batch. Order semantics
+    survive any value — the file source still takes files OLDEST
+    FIRST, so each batch is a set of CONSECUTIVE slices and every
+    cross-batch boundary stays a key-order boundary; arrival-order
+    folds resolve WITHIN-batch order by id already. Fewer, larger
+    triggers amortize the per-trigger fixed cost (planning, offset/
+    commit log, state-store commit) — the dominant term when a small
+    corpus replays through many micro-batches.
     """
     import glob
     import time
@@ -81,7 +91,9 @@ def ordered_replay_stream(
     for i, f in enumerate(files):
         os.utime(f, (base + i, base + i))
     return (
-        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(stage_dir)
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage_dir)
     )
 
 

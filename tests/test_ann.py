@@ -661,3 +661,153 @@ def test_fused_ivfpq_corpus_rows_match_join_of_parts(spark):
     for (i, s), (cell, code) in got.items():
         assert code == want[(i, s)][1]
         assert cell == cells[i]
+
+
+# --- r7: Arrow exact-cosine pair scorer parity ---------------------------
+
+
+def test_dec_q12_matches_spark_double_to_decimal_cast(spark):
+    """The scalar escape cast (Decimal(repr(x)) → HALF_UP at scale 12)
+    must reproduce Spark's double→DECIMAL(28,12) cast bit-for-bit,
+    including shortest-repr half-boundary values where the binary
+    expansion sits on the other side of the tie (ADVICE r6)."""
+    from decimal import Decimal
+
+    from stream_spark.operators.similarity import _dec_q12
+
+    vals = [
+        2.5e-12, 1.5e-12, -2.5e-12, -1.5e-12, 0.5e-12, -0.5e-12,
+        # shortest repr ends ...5e-13 but binary value is just below it
+        float("0.0000000000005"), float("1.0000000000005"),
+        float("-3.0000000000025"), 0.1, -0.1, 0.0, -0.0,
+        0.1983642578125, 1.0, 123.456789,
+    ] + [((i * 2654435761) % 10**6) / 7e5 * (-1) ** i for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(F.col("x").cast("decimal(28,12)").alias("d")).collect()
+    for v, r in zip(vals, got):
+        assert Decimal(str(r["d"])) == _dec_q12(v), f"cast mismatch at {v!r}"
+
+
+def test_quantize12_matches_scalar_cast_on_boundaries():
+    """Vectorized np.rint fast path + escape == the scalar JVM-exact
+    cast elementwise, on half-boundary, dyadic-tie, and random grids."""
+    import numpy as np
+
+    from stream_spark.operators.similarity import _dec_q12, _quantize12_int64
+
+    vals = np.array(
+        [2.5e-12, -2.5e-12, 1.5e-12, -1.5e-12, 0.5e-12, 3.5e-12,
+         0.0000000000005, 1.0000000000005, -7.0000000000015,
+         0.1983642578125, 0.0, -0.0, 0.1, -123.456789]
+        + [((i * 40503) % 99991) / 3.3e4 * (-1) ** i for i in range(5000)]
+        + [((i * 7919) % 10**7) * 1e-13 for i in range(5000)],
+        dtype=np.float64,
+    )
+    got = _quantize12_int64(vals)
+    for v, n in zip(vals, got):
+        assert int(n) == int(_dec_q12(float(v)).scaleb(12)), f"quantize mismatch at {v!r}"
+
+
+def _pair_tie_corpus(spark):
+    """Vectors with exact duplicates (cosine ties at 1.0), near-
+    antipodes, dyadic values whose products land on scale-12
+    boundaries, and ordinary random floats."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-0.5, 0.5) for _ in range(64)]))
+    dup = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+    for i in range(40, 44):
+        rows.append((i, list(dup)))  # identical swarm: exact ties
+    dy = [0.5 if j % 2 == 0 else -0.25 for j in range(64)]
+    rows.append((44, dy))
+    rows.append((45, [-x for x in dy]))  # exact antipode: cosine −1
+    rows.append((46, [1.5e-6 if j == 0 else 0.0 for j in range(64)]))
+    rows.append((47, [1e-6 if j == 0 else 1e-9 for j in range(64)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.mark.parametrize("threshold", [-1.0, 0.4])
+def test_arrow_pair_scorer_matches_catalyst(spark, threshold):
+    """cosine_pairs_lsh_banded's Arrow kernel == the Catalyst
+    _guarded_cosine spelling row-for-row (ids AND cosine doubles),
+    including exact-tie swarms and the threshold filter on the exact
+    value."""
+    from stream_spark.operators.similarity import (
+        _guarded_cosine,
+        banded_index,
+        cosine_pairs_lsh_banded,
+    )
+
+    df = _pair_tie_corpus(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_lsh_banded(df, threshold=threshold).collect()
+    }
+    idx = banded_index(df)
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", _guarded_cosine(F.col("va"), F.col("vb"), threshold))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        # bit-identical doubles, not approx
+        assert got[k] == want[k], f"cosine mismatch on pair {k}"
+
+
+def test_cosine_edges_are_both_directions_of_pairs(spark):
+    from stream_spark.operators.similarity import (
+        cosine_edges_lsh_banded,
+        cosine_pairs_lsh_banded,
+    )
+
+    df = _pair_tie_corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_lsh_banded(df, threshold=-1.0).collect()
+    }
+    edges = {
+        (r["vec_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_edges_lsh_banded(df, threshold=-1.0).collect()
+    }
+    want = dict(pairs)
+    want.update({(b, a): c for (a, b), c in pairs.items()})
+    assert edges == want
+
+
+def test_pq_topk_clamps_on_undersized_corpus(spark):
+    """A corpus with fewer than K_CODES vectors must clamp the codebook
+    instead of raising IndexError (ADVICE r6)."""
+    import random
+
+    from stream_spark.operators.pq import K_CODES, topk_ivfpq, topk_pq
+
+    rng = random.Random(3)
+    n = max(2, K_CODES - 2)
+    rows = [(i, [rng.uniform(-0.5, 0.5) for _ in range(64)]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.limit(2)
+    got = topk_pq(queries, corpus, topk=3).collect()
+    assert len(got) == 2 * 3
+    got2 = topk_ivfpq(queries, corpus, topk=3).collect()
+    assert len(got2) == 2 * 3

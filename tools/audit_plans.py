@@ -16,6 +16,16 @@ change by re-running with ``--update-plans`` and committing the diff.
 The r4→r5 and r3→r4 bench-drift adjudications were done by hand with
 exactly this normalization — now every future bench delta is
 attributable in minutes (plan changed vs machine band).
+
+Single-machine assumption: normalize_plan deliberately does NOT mask
+the numeric partition count in Exchange hashpartitioning/
+rangepartitioning nodes — with data-driven exchange sizing
+(operators.rownum.sized_partitions / cpu_partitions) those counts are
+a function of input bytes and defaultParallelism, so the committed
+PLANS/ snapshots are specific to this host (32 cores, the driver's
+testdata layout). A partition-count change on the SAME host is a real
+plan regression worth flagging; a cross-machine run would need those
+numerals masked the way expression ids are.
 """
 
 from __future__ import annotations
@@ -195,14 +205,20 @@ def plans_dir() -> str:
     return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS")
 
 
-def check_frozen(built: dict[str, str], update: bool) -> int:
+def check_frozen(built: dict[str, str], update: bool, errored: set[str] | None = None) -> int:
     """Diff built normalized plans against PLANS/ snapshots (or rewrite
-    them with --update-plans). Returns 0 when clean/updated."""
+    them with --update-plans). Returns 0 when clean/updated.
+
+    ``errored``: queries that failed to BUILD this run — their absence
+    from ``built`` is transient, so --update-plans must neither delete
+    their (good) frozen snapshot nor report it stale (the run still
+    exits non-zero via the ERROR flag)."""
+    errored = errored or set()
     d = plans_dir()
     if update:
         os.makedirs(d, exist_ok=True)
         for f in os.listdir(d):
-            if f.endswith(".txt") and f[:-4] not in built:
+            if f.endswith(".txt") and f[:-4] not in built and f[:-4] not in errored:
                 os.remove(os.path.join(d, f))
                 print(f"PLANS removed stale {f}")
         for name, plan in built.items():
@@ -215,7 +231,7 @@ def check_frozen(built: dict[str, str], update: bool) -> int:
         return 1
     rc = 0
     frozen = {f[:-4] for f in os.listdir(d) if f.endswith(".txt")}
-    for name in sorted(frozen - set(built)):
+    for name in sorted(frozen - set(built) - errored):
         print(f"PLANDIFF {name}: snapshot exists but query not in registry (stale)")
         rc = 1
     for name, plan in built.items():
@@ -258,6 +274,7 @@ def main() -> int:
         print(f"FLAG  {flag}")
         worst = 1
     built: dict[str, str] = {}
+    errored: set[str] = set()
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, sf_dir)
@@ -265,6 +282,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             worst = 1
+            errored.add(name)
             continue
         built[name] = normalize_plan(plan)
         flags = audit(name, plan)
@@ -274,7 +292,7 @@ def main() -> int:
         else:
             print(f"clean {name}")
     if not skip_frozen:
-        worst = max(worst, check_frozen(built, update))
+        worst = max(worst, check_frozen(built, update, errored))
     return worst
 
 

@@ -5,7 +5,14 @@ given sf dir, then compares row count, column names, and
 order-insensitive values (exact for ints/strings, exact-match expected
 for our decimal-routed doubles). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] [query ...] [--shard=i/n] [--json=PATH]
+
+``--json=PATH`` additionally writes a driver-format per-query record
+(rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err) for every query run — the committed full-registry evidence the
+driver's 50-query sample doesn't cover (VERDICT r6 item 3). Queries
+with no SQL oracle carry ``"rows_only": true``. Written atomically
+(tmp + rename) so a snapshot mid-run never commits a torn artifact.
 """
 
 from __future__ import annotations
@@ -63,10 +70,13 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     shard = None  # --shard=i/n runs the i-th of n registry slices (long sf0.1 runs)
+    json_path = None
     for a in sys.argv[1:]:
         if a.startswith("--shard="):
             i, n = a.split("=", 1)[1].split("/")
             shard = (int(i), int(n))
+        elif a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
 
     from stream_spark.queries import ORACLES, QUERIES
     from stream_spark.session import get_spark
@@ -79,6 +89,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
+    records: dict[str, dict] = {}
     for qi, (name, fn) in enumerate(QUERIES.items()):
         if only and name not in only:
             continue
@@ -99,23 +110,56 @@ def main() -> int:
             for sq in spark.streams.active:
                 sq.stop()
         if spark_err is not None:
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {type(spark_err).__name__}: {spark_err}",
+            }
             continue
         if name not in ORACLES:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows) [{time.time()-t0:.1f}s]")
+            records[name] = {
+                "rows_only": True, "spark_rows": len(spark_pdf),
+                "oracle_rows": None, "err": None,
+            }
             continue
         try:
             duck_pdf = con.execute(ORACLES[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             failures += 1
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(spark_pdf), "oracle_rows": None,
+                "err": f"duckdb: {type(e).__name__}: {e}",
+            }
             continue
         problems = compare(name, spark_pdf, duck_pdf)
+        records[name] = {
+            "rows_match": len(spark_pdf) == len(duck_pdf),
+            "schema_match": sorted(spark_pdf.columns) == sorted(duck_pdf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(duck_pdf),
+            "err": "; ".join(problems) if problems else None,
+        }
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match [{time.time()-t0:.1f}s]")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    if json_path:
+        import json
+
+        tmp = json_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(records, fh, indent=2)
+            fh.write("\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, json_path)
+        print(f"wrote {json_path} ({len(records)} queries)")
     return 1 if failures else 0
 
 

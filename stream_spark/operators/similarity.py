@@ -371,8 +371,9 @@ def cosine_pairs_lsh_banded(
 
     Shape: one (id, t, bucket) index row per table per vector (H rows),
     self-equi-join on (t, bucket), DISTINCT candidate ids, then the
-    vectors join back by id for the two-phase score (float prefilter,
-    exact-decimal rescore decides). Pair volume is Σ_t Σ_bucket m² with
+    vectors join back by id and the Arrow kernel scores every candidate
+    with the exact-decimal cosine and filters on the exact value
+    (``score_pairs_arrow``). Pair volume is Σ_t Σ_bucket m² with
     2^band_planes buckets per table — at b=12 that's 4096 buckets/table
     versus the 16 total of the round-2 AND-only scheme, with recall
     bought back by the H-table OR. ``max_bucket_size`` drops

@@ -102,6 +102,59 @@ PROBE = [
 ]
 
 
+def _jaccard_candidate_volume(spark, sf_dir: str) -> int:
+    """Σ_g freq(g)² over the documents shingle index — the EXACT number
+    of candidate rows the uncapped inverted-index Jaccard self-join
+    enumerates (the intrinsic work metric for dedup_clusters /
+    dedup_keep_best_quality; output-pair counts hide the clique m²
+    term the planted near-dup swarms create: r7 measured 2.78M at
+    sf0.1 vs 279M at sf1 — 100× candidate volume at 10× docs, against
+    which the ~10.7× wall is strongly SUBLINEAR)."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.dedup import shingle_docs
+    from stream_spark.sources import load_table
+
+    sh = shingle_docs(load_table(spark, sf_dir, "documents"))
+    freq = sh.groupBy("g").agg(F.count("*").alias("f"))
+    return int(freq.agg(F.sum(F.col("f") * F.col("f"))).collect()[0][0])
+
+
+def _banded_lsh_candidate_volume(spark, sf_dir: str) -> int:
+    """Distinct banded-LSH candidate pairs over the embeddings table —
+    the rows the Arrow pair scorer actually scores in
+    embeddings_knn_graph / embeddings_label_propagation."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.similarity import banded_index
+    from stream_spark.sources import load_table
+
+    idx = banded_index(load_table(spark, sf_dir, "embeddings"))
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .count()
+    )
+
+
+#: candidate-volume axis per query (VERDICT r6 item 4): the intrinsic
+#: enumeration count a linearity claim should normalize against when
+#: output rows understate the work (clique-heavy planted dup corpora).
+VOLUME_AXES = {
+    "dedup_clusters": ("sum_freq2_shingles", _jaccard_candidate_volume),
+    "dedup_keep_best_quality": ("sum_freq2_shingles", _jaccard_candidate_volume),
+    "embeddings_knn_graph": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
+    "embeddings_label_propagation": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
+}
+
+
 def _bestof2(spark, fn, sf_dir):
     """Warm once, then best of 2 FULL fn()+count runs. Unlike bench.py
     (which times a pre-built plan), the probe rebuilds per run: several
@@ -160,6 +213,17 @@ def main() -> None:
             "sf1_rows": n1,
             "linear_ok": ok,
         }
+        if name in VOLUME_AXES:
+            axis, vfn = VOLUME_AXES[name]
+            v01, v1 = vfn(spark, "/root/testdata/sf0.1"), vfn(spark, sf1_dir)
+            report[name].update(
+                {
+                    "volume_axis": axis,
+                    "sf0.1_volume": v01,
+                    "sf1_volume": v1,
+                    "volume_ratio": round(v1 / v01, 2) if v01 else None,
+                }
+            )
         flag = "" if ok else "  <-- SUPER-LINEAR"
         print(f"{name}: {t01:.2f}s -> {t1:.2f}s ({ratio:.1f}x){flag}", file=sys.stderr)
         if not ok:

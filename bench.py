@@ -246,6 +246,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     if not tier2_only:
+        # ONE untimed warmup pass over the whole headline set before any
+        # timing (r7). The metric is declared steady-state, but per-query
+        # warmup alone under-warms the SESSION for the earliest
+        # positions: the first queries time while codegen/JIT for the
+        # shared operators is still compiling, and that debt grew with
+        # the package (r4 5.90 → r6 7.81 s on frozen plans). Measured
+        # attribution (BASELINE.md r7 note): first-5 headliners sum
+        # 3.72 s on the first pass vs 2.54 s re-timed in the same
+        # session — tpch_q1 0.75 → 0.30 s with zero code change. The
+        # warmup pass makes the recorded number the steady-state the
+        # docstring already claims.
+        for name in HEADLINERS:
+            if name in QUERIES:
+                QUERIES[name](spark, sf_dir).count()
         for name in HEADLINERS:
             if name not in QUERIES:
                 continue

@@ -55,14 +55,19 @@ def streaming_minhash_dedup(
 
     Two stages, both streaming-legal:
 
-    1. STATELESS signature projection (pure Catalyst — see
-       operators/dedup.minhash_band_rows_stateless): a doc's band
-       buckets depend only on its own text, so no streaming aggregation
-       is needed. Hashing is one JVM-side md5 per shingle + PERMS cheap
-       affine array transforms inside whole-stage codegen — no Python
-       in the hot path (the r3 version looped hashlib.md5 per shingle
-       per doc inside mapInPandas; at crawl-ingest scale the Python CPU
-       work was the bottleneck).
+    1. STATELESS signature projection (Arrow kernel — see
+       operators/dedup.minhash_band_rows_arrow): a doc's band buckets
+       depend only on its own text, so no streaming aggregation is
+       needed. History of this stage: the r3 version looped
+       hashlib.md5 per shingle per doc with per-ROW Python dispatch
+       (the bottleneck at 662 docs/s); r4 moved it to a Catalyst HOF
+       expression (JVM md5, no Python) — but HOF lambdas are
+       INTERPRETED, not codegen'd (interleaved sf1 A/B: 1.26 s vs
+       0.97 s arrow vs 0.73 s for the batch explode+groupBy spelling
+       a stream can't use); r7 moved it to a batched Arrow kernel
+       (one numpy (PERMS × grams) affine matrix + minimum.reduceat
+       per batch, md5 in C via hashlib) — bit-parity pytested against
+       both Catalyst spellings including hostile whitespace.
     2. ONE stateful fold (applyInPandasWithState keyed by (band,
        bucket)): state is the smallest doc id seen for the bucket; a
        band row hits when the bucket was already claimed by a smaller
@@ -75,9 +80,9 @@ def streaming_minhash_dedup(
     batch/SQL definition "is_dup(d) = ∃ d' < d sharing a bucket" —
     state per live bucket is one long, documents never enter state.
     """
-    from stream_spark.operators.dedup import minhash_band_rows_stateless
+    from stream_spark.operators.dedup import minhash_band_rows_arrow
 
-    bands = minhash_band_rows_stateless(stream, text_col, id_col, n, parallelism=parallelism)
+    bands = minhash_band_rows_arrow(stream, text_col, id_col, n, parallelism=parallelism)
     return first_seen_fold(bands, shards=shards)
 
 

@@ -124,3 +124,34 @@ def test_dsir_arrow_scorer_parity_on_hostile_whitespace(spark):
         for r in dsir_score_rows(df, weights, default, keep_cols=("doc_id",)).collect()
     }
     assert arrow == expr
+
+
+def test_arrow_minhash_bands_match_both_catalyst_spellings(spark):
+    """minhash_band_rows_arrow == minhash_band_buckets ==
+    minhash_band_rows_stateless row-for-row on hostile whitespace,
+    NULL text, <n-token docs, exact duplicates, and unicode."""
+    from stream_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_band_rows_arrow,
+        minhash_band_rows_stateless,
+    )
+
+    rows = list(HOSTILE_WS_TEXTS.items()) + [
+        (10, None),
+        (11, ""),
+        (12, "two tokens"),
+        (13, "exactly three tokens"),
+        (14, "the cat sat on the mat today"),  # dup of text 1 sans tab
+        (15, "naïve café über straße 日本語 mixed unicode tokens here"),
+        (16, "a a a a a a a a"),  # one distinct shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def key(frame):
+        return {(r["doc"], r["band"], r["bucket"]) for r in frame.collect()}
+
+    arrow = key(minhash_band_rows_arrow(df))
+    batch = key(minhash_band_buckets(df))
+    stateless = key(minhash_band_rows_stateless(df))
+    assert arrow == batch
+    assert arrow == stateless

@@ -747,6 +747,15 @@ def winnow_fingerprints(
     fan-out is one map-side explode behind a hash repartition; the
     decode-rejoin to recover the 60-bit fp is a keyed equi-join on
     (doc, pos). Linear in corpus gram volume.
+
+    An Arrow twin (numpy sliding-window min per doc, parity-tested)
+    was tried and REVERTED in r7 on measurement: interleaved A/B of
+    dedup_winnowed_pairs at sf0.1 showed catalyst 2.12 s vs arrow
+    2.14 s min-of-3 — the fingerprint stage is not where that query's
+    time goes (the fp self-join + distinct dominate), and the share
+    only shrinks at scale, so the second code path wasn't worth its
+    maintenance. The minhash streaming kernel (minhash_band_rows_arrow)
+    is the case where the same move DID pay.
     """
     from pyspark.sql import Window
 
@@ -796,3 +805,5 @@ def winnow_fingerprints(
     return sel.join(
         g.select("doc", F.col("pos").alias("spos"), "fp"), ["doc", "spos"]
     ).select("doc", "ng", "spos", "fp")
+
+

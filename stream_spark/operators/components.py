@@ -265,7 +265,19 @@ def pagerank_integer(
     destination. Never materializes anything denser than the edge
     list; lineage grows linearly with iters, so localCheckpoint every
     few rounds for deep runs (2 here).
+
+    The edge list is localCheckpoint-ed ONCE up front: every iteration
+    references ``edges`` (and ``deg``/``nodes`` derived from it), and
+    when the caller's edge list is itself a derived plan (the
+    co-purchase query feeds a fact-fact self-join + groupBy), Catalyst
+    re-derives that subtree per reference — the r7 frozen plan showed
+    28 lineitem FileScans for 2 iterations. Materializing severs the
+    upstream plan; each reference is then a scan of the cached edge
+    RDD. (Stats caveat: checkpointed frames report the Long.MaxValue
+    sizeInBytes sentinel, so joins against them rely on AQE's runtime
+    sizes — see CLAUDE.md Catalyst-stats rules.)
     """
+    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint()
     deg = edges.groupBy(src).agg(F.count("*").alias("_outdeg"))
     nodes = (
         edges.select(F.col(src).alias("node"))

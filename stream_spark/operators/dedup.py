@@ -107,6 +107,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def banded_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket_size: int | None = None,
+    block_size: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard verified ONLY on MinHash-band candidate pairs —
+    the production crawl-dedup shape (Lee et al. "Deduplicating
+    Training Data Makes Language Models Better"; SlimPajama): the LSH
+    band index proposes, exact set overlap disposes.
+
+    Why this exists next to ``ngram_jaccard_pairs``: the direct
+    inverted-index self-join enumerates Σ freq(shingle)² candidates —
+    measured 100.1× volume at 10× data on planted-clique corpora
+    (SCALE_PROBE r7) because m near-identical docs share ~all shingles
+    and every shingle contributes m² pairs. Band candidates are
+    bounded by band-bucket collisions instead: the same m-doc clique
+    costs m²/2 CANDIDATES once (distinct pairs), not once per shared
+    shingle, and unrelated docs never meet. Verification work is then
+    |candidates| × avg doc shingle count — linear joins end to end.
+
+    Semantics: emits the subset of true-Jaccard-≥-threshold pairs that
+    agree on ≥1 of the PERMS/BAND_SIZE minhash bands (recall < 1 by
+    construction, characterized in tests/test_dedup.py); every emitted
+    jaccard value is EXACT over the full shingle sets, unlike the
+    df-cut variant which scores pruned sets. ``max_bucket_size`` /
+    ``block_size`` pass through to ``minhash_lsh_candidates`` for
+    adversarial-swarm control (blocked path: identical candidates,
+    bounded join tasks).
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, n, max_bucket_size=max_bucket_size, block_size=block_size
+    )
+    sh = shingle_docs(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # pair-keyed verification: expand each candidate pair by doc_a's
+    # shingles, probe doc_b's set — volume = |cand| × shingles/doc,
+    # keyed equi-joins only (no self-join, no Σ freq² blowup)
+    expanded = cand.join(sh.alias("a"), cand["doc_a"] == F.col("a.doc")).select(
+        "doc_a", "doc_b", F.col("a.g").alias("_ga")
+    )
+    common = (
+        expanded.join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc")) & (F.col("_ga") == F.col("b.g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    # sizes is one row per DOCUMENT — O(corpus), never broadcast it
+    return (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .withColumn("jaccard", F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     threshold: float,

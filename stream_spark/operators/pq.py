@@ -326,7 +326,7 @@ def topk_pq(
     )
 
 
-def _arrow_codes_for_batch(V, books_np, n_sub, k, sub):
+def _arrow_codes_for_batch(V, books_np, n_sub, sub):
     """Per-batch PQ codes via numpy two-phase argmin — the Arrow twin
     of ``_argmin_code`` under the identical exactness contract: float
     squared distances rank all codes, any code within 1e-9 of the float
@@ -392,7 +392,7 @@ def pq_codes_arrow(
                 continue
             ids = pdf[id_col].to_numpy()
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            codes = _arrow_codes_for_batch(V, books_np, n_sub, k, sub)
+            codes = _arrow_codes_for_batch(V, books_np, n_sub, sub)
             n = len(ids)
             yield pd.DataFrame(
                 {
@@ -430,6 +430,9 @@ def ivfpq_corpus_rows(
     from stream_spark.operators.similarity import cell_assign_kernel
 
     books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
+    k = _clamped_k(books, k)  # clamp BEFORE any kernel sees k (r7 ADVICE:
+    # the code kernel sizes its loops off books_np and ignored the raw
+    # k only by accident; keep the invariant explicit)
     books_np = [np.array(b, dtype=np.float64) for b in books]
     sub = dim // n_sub
     assign = cell_assign_kernel(cent_vecs)
@@ -441,7 +444,7 @@ def ivfpq_corpus_rows(
             ids = pdf[id_col].to_numpy()
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             cells = assign(V)
-            codes = _arrow_codes_for_batch(V, books_np, n_sub, k, sub)
+            codes = _arrow_codes_for_batch(V, books_np, n_sub, sub)
             n = len(ids)
             yield pd.DataFrame(
                 {

@@ -381,12 +381,29 @@ def cosine_pairs_lsh_banded(
     table by construction — route those through exact dedup first),
     mirroring minhash_lsh_candidates' control.
     """
+    cand = _banded_candidates(df, id_col, vec_col, n_tables, band_planes, max_bucket_size)
+    return score_pairs_arrow(cand, df, threshold, id_col, vec_col)
+
+
+def _banded_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    band_planes: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared candidate generation for the banded-LSH pair/edge public
+    functions (r7 ADVICE: two verbatim spellings of this logic could
+    drift): banded index → optional hot-bucket cap → in-bucket
+    self-join → distinct (OR across tables: a pair colliding in
+    several tables scores once)."""
     idx = banded_index(df, id_col, vec_col, n_tables, band_planes)
     if max_bucket_size is not None:
         sizes = idx.groupBy("t", "bucket").agg(F.count("*").alias("_bsz"))
         idx = idx.join(sizes, ["t", "bucket"]).filter(F.col("_bsz") <= max_bucket_size)
     a, b_ = idx.alias("a"), idx.alias("b")
-    cand = (
+    return (
         a.join(
             b_,
             (F.col("a.t") == F.col("b.t"))
@@ -394,9 +411,8 @@ def cosine_pairs_lsh_banded(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()  # OR across tables: a pair colliding in several tables scores once
+        .distinct()
     )
-    return score_pairs_arrow(cand, df, threshold, id_col, vec_col)
 
 
 def score_pairs_arrow(
@@ -438,8 +454,42 @@ def score_pairs_arrow(
                 continue
             Va = np.array([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
             Vb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-            cosv = _exact_cosine_batch(Va, Vb)
-            keep = cosv >= threshold  # exact-value filter, same as Catalyst
+            # Degenerate-norm contract + float prefilter, BOTH mirroring
+            # the Catalyst _guarded_cosine spelling exactly (r7 ADVICE):
+            #  1. a FLOAT-zero norm (true zero vector) raises — under
+            #     ANSI mode Catalyst's float guard hits DIVIDE_BY_ZERO;
+            #  2. pairs failing the float guard (fcos < threshold-1e-6)
+            #     drop WITHOUT evaluating the exact path — this is what
+            #     saves a tiny-vs-healthy pair from the decimal 0-norm
+            #     (components < ~7.07e-7 square to < 5e-13 and quantize
+            #     to 0 at scale 12) that the unguarded kernel tripped on;
+            #  3. a guarded pair whose exact cosine is non-finite (its
+            #     quantized norm collapsed to 0) raises, as Catalyst's
+            #     exact division would.
+            # Parity pinned by test_score_pairs_arrow_degenerate_norm_parity.
+            fden = np.sqrt((Va * Va).sum(axis=1)) * np.sqrt((Vb * Vb).sum(axis=1))
+            if (fden == 0).any():
+                bad = int(pdf["id_a"].to_numpy()[fden == 0][0])
+                raise ValueError(
+                    f"zero-norm embedding in candidate pair (id_a={bad}): cosine is "
+                    "undefined — filter degenerate vectors before pairing (the "
+                    "Catalyst spelling raises DIVIDE_BY_ZERO on the same input)"
+                )
+            guard = ((Va * Vb).sum(axis=1) / fden) >= threshold - 1e-6
+            cosv = np.full(len(pdf), -np.inf)
+            if guard.any():
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cosv[guard] = _exact_cosine_batch(Va[guard], Vb[guard])
+            nonfinite = guard & ~np.isfinite(cosv)
+            if nonfinite.any():
+                bad = int(pdf["id_a"].to_numpy()[nonfinite][0])
+                raise ValueError(
+                    f"degenerate quantized norm in candidate pair (id_a={bad}): "
+                    "every squared component is below the 1e-12 decimal scale — "
+                    "the exact-decimal cosine is undefined (Catalyst raises "
+                    "DIVIDE_BY_ZERO on the same input)"
+                )
+            keep = guard & (cosv >= threshold)  # exact-value filter, same as Catalyst
             ia = pdf["id_a"].to_numpy()[keep]
             ib = pdf["id_b"].to_numpy()[keep]
             cv = cosv[keep]
@@ -471,21 +521,7 @@ def cosine_edges_lsh_banded(
     by the scoring kernel itself so the plan holds ONE candidate
     subtree (a unionAll of the pairs frame with its swap recomputes the
     whole LSH index + joins twice)."""
-    idx = banded_index(df, id_col, vec_col, n_tables, band_planes)
-    if max_bucket_size is not None:
-        sizes = idx.groupBy("t", "bucket").agg(F.count("*").alias("_bsz"))
-        idx = idx.join(sizes, ["t", "bucket"]).filter(F.col("_bsz") <= max_bucket_size)
-    a, b_ = idx.alias("a"), idx.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _banded_candidates(df, id_col, vec_col, n_tables, band_planes, max_bucket_size)
     return score_pairs_arrow(
         cand, df, threshold, id_col, vec_col, both_directions=True
     ).select(

@@ -142,6 +142,78 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.unionByName(singles)
 
 
+from stream_spark.queries.dedup_queries import _BANDED_EDGES_CTES  # noqa: E402
+
+
+@register(
+    "dedup_keep_best_quality_banded",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_EDGES_CTES},
+    und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL SELECT doc_b, doc_a FROM verified),
+    reach(node, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    {_QS},
+    mem AS (SELECT c.component, c.node AS doc_id, q.qs
+            FROM comp c JOIN q ON q.doc_id = c.node),
+    r AS (SELECT component, doc_id, qs,
+                 COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+                 row_number() OVER (PARTITION BY component ORDER BY qs DESC, doc_id) AS rn
+          FROM mem)
+    SELECT doc_id AS keeper_doc_id, qs AS keeper_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM r WHERE rn = 1
+    UNION ALL
+    SELECT d.doc_id, q.qs, CAST(1 AS BIGINT)
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT node FROM comp)
+    """,
+)
+def dedup_keep_best_quality_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_keep_best_quality`` with the band-candidate edge
+    generator — the crawl-scale default (see dedup_clusters_banded for
+    the asymptotics: band-collision-bounded candidates instead of
+    Σ freq(shingle)², edges still exact-Jaccard-verified ≥ 0.8 over
+    the full shingle sets). Same quality argmax per component;
+    singletons keep themselves."""
+    from stream_spark.operators.components import connected_components_star
+    from stream_spark.operators.dedup import banded_jaccard_pairs
+    from stream_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = banded_jaccard_pairs(docs, threshold=0.8)
+    comps = connected_components_star(pairs)
+    q = quality_features(docs).select("doc_id", F.col("quality_score").alias("qs"))
+    mem = comps.join(q, comps.node == q.doc_id)
+    grouped = (
+        mem.groupBy("component")
+        .agg(
+            F.max(F.struct(F.col("qs").alias("qs"), (-F.col("doc_id")).alias("negid"))).alias("mx"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(
+            (-F.col("mx.negid")).cast("long").alias("keeper_doc_id"),
+            F.col("mx.qs").alias("keeper_quality"),
+            F.col("cluster_size").cast("long"),
+        )
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(comps.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+        .join(q, "doc_id")
+        .select(
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("qs").alias("keeper_quality"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return grouped.unionByName(singles)
+
+
 def _bpe_oracle(rounds: int) -> str:
     """Replay BPE merge induction: per round, adjacent-pair count →
     deterministic top-1 → greedy left-to-right list_reduce application

@@ -11,6 +11,7 @@ from stream_spark.operators.dedup import (
     BAND_SIZE,
     PERMS,
     SIMHASH_BITS,
+    banded_jaccard_pairs,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -184,8 +185,11 @@ _MH_PERM = (
     " + ((40503 * (p + 1) + 17) % 2147483647)) % 2147483647)"
 )
 
-_MINHASH_PAIRS_ORACLE = f"""
-    WITH {_SHINGLES3},
+# shared CTE chain: shingles → minhash signatures → band buckets →
+# candidate pairs. Reused by the raw candidate queries and the banded
+# verify-on-candidates family below.
+_MINHASH_CAND_CTES = f"""
+    {_SHINGLES3},
     h AS (
         SELECT doc, p, MIN({_MH_PERM}) AS mh
         FROM sh, unnest(generate_series(0, {PERMS - 1})) t(p)
@@ -195,11 +199,38 @@ _MINHASH_PAIRS_ORACLE = f"""
         SELECT doc, p // {BAND_SIZE} AS band,
                md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
         FROM h GROUP BY doc, p // {BAND_SIZE}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
     )
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+"""
+
+_MINHASH_PAIRS_ORACLE = f"""
+    WITH {_MINHASH_CAND_CTES}
+    SELECT doc_a, doc_b FROM cand
     """
+
+# band candidates → exact-Jaccard verification ONLY on candidates
+# (replays operators/dedup.banded_jaccard_pairs: expand each pair by
+# doc_a's shingles, probe doc_b's set, score over FULL shingle sizes)
+_BANDED_EDGES_CTES = f"""
+    {_MINHASH_CAND_CTES},
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    co AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc = c.doc_a
+        JOIN sh b ON b.doc = c.doc_b AND b.g = a.g
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, common / (sa.sz + sb.sz - common) AS jaccard
+        FROM co JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+        WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    )
+"""
 
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_ORACLE)
@@ -221,6 +252,26 @@ def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_skew.py on a constructed 100-doc swarm."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, block_size=8)
+
+
+@register(
+    "dedup_jaccard_banded",
+    oracle=f"""
+    WITH {_BANDED_EDGES_CTES}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    """,
+)
+def dedup_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard pairs verified ONLY on minhash-band candidates —
+    the crawl-scale default pair generator (Lee et al./SlimPajama
+    shape). Candidate volume is band-collision-bounded instead of
+    Σ freq(shingle)² (measured 100.1× at 10× data for the direct
+    self-join, SCALE_PROBE r7); every emitted jaccard is exact over
+    the FULL shingle sets. Recall vs the exhaustive variant is
+    characterized in tests/test_dedup.py (banded ⊆ exact by
+    construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return banded_jaccard_pairs(docs, threshold=0.8)
 
 
 @register(
@@ -447,6 +498,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    comp = connected_components_star(edges)
+    return comp.groupBy("component").agg(F.count("*").alias("cluster_size")).select(
+        F.col("component").alias("keeper_doc_id"), "cluster_size"
+    )
+
+
+@register(
+    "dedup_clusters_banded",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_EDGES_CTES},
+    und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL SELECT doc_b, doc_a FROM verified),
+    reach(node, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT component AS keeper_doc_id, COUNT(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` with the band-candidate edge generator — the
+    crawl-scale default. The exhaustive variant's inverted-index
+    self-join enumerates Σ freq(shingle)² candidates (measured 100.1×
+    volume at 10× data; sf3 wall 215 s), because a planted m-doc
+    near-dup clique pays m² once PER SHARED SHINGLE. Band candidates
+    pay the clique's m²/2 distinct pairs exactly once, and the
+    verification join is |candidates| × shingles/doc — linear keyed
+    joins end to end. Edges are exact-Jaccard-verified (≥ 0.8 over the
+    full shingle sets), so clusters can only split where a true edge
+    missed every band (recall characterized in tests/test_dedup.py)."""
+    from stream_spark.operators.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = banded_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     comp = connected_components_star(edges)
     return comp.groupBy("component").agg(F.count("*").alias("cluster_size")).select(
         F.col("component").alias("keeper_doc_id"), "cluster_size"

@@ -775,6 +775,59 @@ def test_arrow_pair_scorer_matches_catalyst(spark, threshold):
         assert got[k] == want[k], f"cosine mismatch on pair {k}"
 
 
+def test_score_pairs_arrow_degenerate_norm_parity(spark):
+    """Degenerate-norm region (r7 ADVICE): a zero-norm vector — or one
+    whose components all quantize to 0 at scale 12 (|x| < ~7.07e-7) —
+    gives 0/0. Under this session's ANSI mode the Catalyst
+    _guarded_cosine spelling RAISES (DIVIDE_BY_ZERO); numpy returns
+    NaN, and the kernel's old bare ``>=`` silently DROPPED the pair —
+    divergent. Both paths must now fail loudly on the same input, and
+    stay bit-identical on healthy vectors sharing the batch."""
+    import pytest as _pytest
+
+    from stream_spark.operators.similarity import _guarded_cosine, score_pairs_arrow
+
+    def catalyst(cand, df):
+        va = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        vb = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        return (
+            cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", _guarded_cosine(F.col("va"), F.col("vb"), 0.5))
+            .filter(F.col("cosine") >= 0.5)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    healthy = [(3, [1.0] + [0.0] * 63), (4, [1.0] + [0.0] * 63)]
+
+    # region 1 — TRUE zero vector: the float guard itself divides by
+    # zero; both paths raise.
+    df = spark.createDataFrame([(1, [0.0] * 64)] + healthy, "vec_id long, embedding array<double>")
+    cand = spark.createDataFrame([(1, 3), (3, 4)], "id_a long, id_b long")
+    with _pytest.raises(Exception, match="zero-norm"):
+        score_pairs_arrow(cand, df, threshold=0.5).collect()
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        catalyst(cand, df).collect()
+
+    # region 2 — tiny vector vs healthy: float norms are fine, float
+    # cosine fails the guard, exact path never evaluates — both paths
+    # silently DROP the pair and agree on the healthy remainder.
+    df = spark.createDataFrame([(1, [5e-7] * 64)] + healthy, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in score_pairs_arrow(cand, df, 0.5).collect()}
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in catalyst(cand, df).collect()}
+    assert got == want == {(3, 4): 1.0}
+
+    # region 3 — tiny vs tiny: float cosine 1.0 clears the guard, the
+    # QUANTIZED norm collapses to 0 on the exact path; both raise.
+    df = spark.createDataFrame(
+        [(1, [5e-7] * 64), (2, [5e-7] * 64)] + healthy, "vec_id long, embedding array<double>"
+    )
+    cand2 = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    with _pytest.raises(Exception, match="degenerate quantized norm"):
+        score_pairs_arrow(cand2, df, threshold=0.5).collect()
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        catalyst(cand2, df).collect()
+
+
 def test_cosine_edges_are_both_directions_of_pairs(spark):
     from stream_spark.operators.similarity import (
         cosine_edges_lsh_banded,

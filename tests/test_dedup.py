@@ -413,3 +413,51 @@ def test_winnowing_guard_passes_in_bounds(spark):
     )
     rows = winnow_fingerprints(df, k=3, w=4).collect()
     assert rows and all(r["spos"] >= 1 for r in rows)
+
+
+def test_banded_jaccard_subset_with_exact_scores(docs):
+    """banded_jaccard_pairs ⊆ ngram_jaccard_pairs by construction
+    (candidates are a subset of all pairs; verification is the same
+    exact Jaccard over the FULL shingle sets) — and every emitted
+    score must be bit-identical to the exhaustive variant's."""
+    from stream_spark.operators.dedup import banded_jaccard_pairs
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    banded = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in banded_jaccard_pairs(docs, 0.5).collect()}
+    assert set(banded) <= set(exact)
+    for p, j in banded.items():
+        assert j == exact[p]
+    assert (1, 2) in banded  # identical sets collide on every band
+
+
+def test_banded_jaccard_recall_on_corpus(spark):
+    """Recall characterization on the real sf0.001 corpus at the gated
+    threshold (0.8): the planted near-dups are high-Jaccard, and
+    16-perm/4-row bands catch them all here — pin full recall on THIS
+    corpus so a band-scheme change that silently costs recall fails
+    loudly. (The general guarantee is probabilistic: P(candidate) =
+    1-(1-j^4)^4, ≈0.98 at j=0.8.)"""
+    from stream_spark.operators.dedup import banded_jaccard_pairs
+    from stream_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    banded = {(r["doc_a"], r["doc_b"]) for r in banded_jaccard_pairs(docs, 0.8).collect()}
+    assert banded <= exact
+    assert exact, "corpus must contain planted near-dups for this test to bite"
+    recall = len(banded) / len(exact)
+    assert recall == 1.0, f"banded recall dropped to {recall:.3f} on the pinned corpus"
+
+
+def test_banded_jaccard_blocked_path_identical(hot_bucket_docs):
+    """The adversarial-swarm controls pass through: block_size produces
+    the IDENTICAL verified pair set (blocked candidates are identical
+    by the minhash_lsh_candidates contract)."""
+    from stream_spark.operators.dedup import banded_jaccard_pairs
+
+    plain = {(r["doc_a"], r["doc_b"]) for r in banded_jaccard_pairs(hot_bucket_docs, 0.8).collect()}
+    blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in banded_jaccard_pairs(hot_bucket_docs, 0.8, block_size=8).collect()
+    }
+    assert plain == blocked and plain

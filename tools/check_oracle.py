@@ -11,7 +11,10 @@ for our decimal-routed doubles). Usage:
 (rows_match / schema_match / hash_match / spark_rows / oracle_rows /
 err) for every query run — the committed full-registry evidence the
 driver's 50-query sample doesn't cover (VERDICT r6 item 3). Queries
-with no SQL oracle carry ``"rows_only": true``. Written atomically
+with no SQL oracle carry ``"rows_only": true`` plus, where the gap is
+a documented design decision rather than missing work, an explicit
+``"exemption"`` reason (VERDICT r7 item 4) so no consumer diffing for
+all-three-green can misread the entry as a failure. Written atomically
 (tmp + rename) so a snapshot mid-run never commits a torn artifact.
 """
 
@@ -27,6 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import numpy as np
 import pandas as pd
+
+
+# Deliberately oracle-exempt queries: key -> reason stamped into the
+# --json artifact. These are design decisions (documented in SURVEY §2),
+# not coverage gaps; each has a pytest-tier correctness story instead.
+EXEMPTIONS = {
+    # d×d eigendecomposition is not SQL-expressible; numpy-parity pytest
+    # (tests/test_pca.py) covers reconstruction + orthonormality instead.
+    "embeddings_pca_project": "eigendecomposition-pytest-tier",
+}
 
 
 def _norm_cell(v):
@@ -117,11 +130,14 @@ def main() -> int:
             }
             continue
         if name not in ORACLES:
-            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows) [{time.time()-t0:.1f}s]")
+            note = f" (exempt: {EXEMPTIONS[name]})" if name in EXEMPTIONS else ""
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows){note} [{time.time()-t0:.1f}s]")
             records[name] = {
                 "rows_only": True, "spark_rows": len(spark_pdf),
                 "oracle_rows": None, "err": None,
             }
+            if name in EXEMPTIONS:
+                records[name]["exemption"] = EXEMPTIONS[name]
             continue
         try:
             duck_pdf = con.execute(ORACLES[name]).fetchdf()
@@ -148,7 +164,9 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match [{time.time()-t0:.1f}s]")
-    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    exempt = sorted(k for k in records if "exemption" in records[k])
+    suffix = f" ({len(exempt)} documented exemption(s): {', '.join(exempt)})" if exempt else ""
+    print(f"\n{'ALL GREEN' + suffix if failures == 0 else f'{failures} FAILURES'}")
     if json_path:
         import json
 

@@ -99,6 +99,11 @@ PROBE = [
     # (brute ground truth bounded by the query contract; PQ + IVF-PQ
     # sides must stay corpus-linear)
     "ann_recall_pq_paths",
+    # r8: banded exact-Jaccard family (VERDICT r7 item 1) — candidate
+    # volume band-collision-bounded, must beat the exact family's axis
+    "dedup_jaccard_banded",
+    "dedup_clusters_banded",
+    "dedup_keep_best_quality_banded",
 ]
 
 
@@ -147,9 +152,23 @@ def _banded_lsh_candidate_volume(spark, sf_dir: str) -> int:
 #: candidate-volume axis per query (VERDICT r6 item 4): the intrinsic
 #: enumeration count a linearity claim should normalize against when
 #: output rows understate the work (clique-heavy planted dup corpora).
+def _band_candidate_volume(spark, sf_dir: str) -> int:
+    """Distinct minhash band-candidate pairs over documents — the exact
+    number of pairs the banded family VERIFIES (r8): the replacement
+    axis for Σ freq², grown by band-bucket collisions only (an m-doc
+    clique costs m²/2 once, not once per shared shingle)."""
+    from stream_spark.operators.dedup import minhash_lsh_candidates
+    from stream_spark.sources import load_table
+
+    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents")).count()
+
+
 VOLUME_AXES = {
     "dedup_clusters": ("sum_freq2_shingles", _jaccard_candidate_volume),
     "dedup_keep_best_quality": ("sum_freq2_shingles", _jaccard_candidate_volume),
+    "dedup_jaccard_banded": ("band_candidates", _band_candidate_volume),
+    "dedup_clusters_banded": ("band_candidates", _band_candidate_volume),
+    "dedup_keep_best_quality_banded": ("band_candidates", _band_candidate_volume),
     "embeddings_knn_graph": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
     "embeddings_label_propagation": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
 }

@@ -48,6 +48,12 @@ PROBE = {
     # same clique volume, so it is the honest axis.
     "embeddings_knn_graph": "query:dedup_embedding_cosine",
     "embeddings_label_propagation": "query:dedup_embedding_cosine",
+    # r8: banded exact-Jaccard family — the axis is the band-candidate
+    # pair count itself (the rows the verifier scores); MUST come out
+    # far below the exact family's Σ freq² growth on the same corpus
+    "dedup_jaccard_banded": "volume:band_candidates",
+    "dedup_clusters_banded": "volume:band_candidates",
+    "dedup_keep_best_quality_banded": "volume:band_candidates",
 }
 
 
@@ -101,6 +107,13 @@ def main() -> int:
             kind, name = axis.split(":", 1)
             if kind == "table":
                 vol_cache[key] = load_table(spark, sf_dir, name).count()
+            elif kind == "volume":  # named non-query volume helpers (r8)
+                from stream_spark.operators.dedup import minhash_lsh_candidates
+
+                assert name == "band_candidates", name
+                vol_cache[key] = minhash_lsh_candidates(
+                    load_table(spark, sf_dir, "documents")
+                ).count()
             else:
                 vol_cache[key] = QUERIES[name](spark, sf_dir).count()
         return vol_cache[key]

@@ -100,10 +100,14 @@ TIER2 = [
     "documents_split_contamination",
     "embeddings_knn_graph",
     "embeddings_label_propagation",
-    # round-8 additions: the banded exact-Jaccard cluster family
+    # round-8 additions: the banded exact-Jaccard cluster family and
+    # the curation additions (soft dedup / MMR / cluster labeling)
     "dedup_jaccard_banded",
     "dedup_clusters_banded",
     "dedup_keep_best_quality_banded",
+    "documents_soft_dedup_weights",
+    "embeddings_mmr_rerank",
+    "embeddings_cluster_topics",
 ]
 
 

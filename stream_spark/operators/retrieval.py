@@ -93,3 +93,65 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 10) -> DataFrame:
         (F.col("score_scaled").cast("double") / F.lit(1e12)).alias("bm25"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def mmr_select(
+    cand: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) over a BOUNDED per-query candidate set — the diversity
+    rerank a curation pipeline runs to pick k exemplars that are
+    relevant but not redundant (diverse few-shot mining, dedup-aware
+    retrieval). Greedy: pick argmax ``λ·sim(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s)`` with λ=0.7, all sims exact scale-12 BIGINTs so the
+    score ``7·s_q − 3·max_sel`` is pure integer arithmetic — any
+    engine replays the identical selection (ties: max score, then min
+    id; the first pick has no redundancy term).
+
+    Inputs: ``cand`` (query_id, cid, s_q) — the top-N candidates per
+    query from the distributed ANN path; ``pair_sims`` (query_id, pa,
+    pb, s_ab) — the N·(N−1) candidate-pair cosines per query, both
+    directions. MMR itself is inherently sequential, but over N
+    candidates, not the corpus: the distributed work is producing
+    ``cand``/``pair_sims`` (ANN + one bounded self-join); the greedy
+    loop runs per-query-group in one Arrow batch (cogrouped
+    applyInPandas, k·N integer compares — microseconds). At 100 TB
+    the candidate generator swaps to the IVF/PQ probe path and this
+    operator is unchanged.
+
+    Non-key column names are disjoint across the two cogrouped sides
+    (cid vs pa/pb — oracle determinism rule 9).
+    """
+    import pandas as pd
+
+    out_schema = "query_id long, rank long, vec_id long, mmr_score long"
+
+    def greedy(key, cs: pd.DataFrame, ps: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        s_q = {int(r.cid): int(r.s_q) for r in cs.itertuples()}
+        sim = {(int(r.pa), int(r.pb)): int(r.s_ab) for r in ps.itertuples()}
+        selected: list[int] = []
+        rows = []
+        while s_q and len(selected) < k:
+            best_id, best_score = None, None
+            for cid, sq in s_q.items():
+                red = max((sim.get((cid, s), 0) for s in selected), default=0)
+                score = 7 * sq - 3 * red
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and cid < best_id)
+                ):
+                    best_id, best_score = cid, score
+            selected.append(best_id)
+            del s_q[best_id]
+            rows.append((qid, len(selected), best_id, best_score))
+        return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "mmr_score"])
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(pair_sims.groupBy("query_id"))
+        .applyInPandas(greedy, schema=out_schema)
+    )

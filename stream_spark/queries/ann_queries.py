@@ -1590,3 +1590,191 @@ def ann_recall_pq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("ivfpq_recall"),
     )
+
+
+def _mmr_oracle(n_cand: int = 16, k_sel: int = 8) -> str:
+    """Unrolled-greedy MMR oracle: top-``n_cand`` exact-cosine
+    candidates per query, the full candidate-pair cosine matrix, then
+    ``k_sel`` selection steps each spelled as a CTE pair (score the
+    unselected against the selected-so-far, pick the per-query argmax)
+    — the same fixed-iteration-unroll technique as the PageRank oracle.
+    All ordering arithmetic on scale-12 BIGINTs (floor on both
+    engines), so the selection replays exactly."""
+    parts = [
+        f"""
+    WITH {_UNNEST_E},
+    scored AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS id,
+               CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine
+        FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+        JOIN norms nq ON q.vec_id = nq.vec_id
+        JOIN norms nc ON c.vec_id = nc.vec_id
+        GROUP BY query_id, id, nq.nrm, nc.nrm
+    ),
+    cand AS MATERIALIZED (
+        SELECT query_id, id, CAST(floor(cosine * 1e12) AS BIGINT) AS s_q
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rn FROM scored)
+        WHERE rn <= {n_cand}
+    ),
+    ce AS MATERIALIZED (SELECT c.query_id, c.id, e.i, e.x FROM cand c JOIN e ON e.vec_id = c.id),
+    pair AS MATERIALIZED (
+        SELECT a.query_id, a.id AS pa, b.id AS pb,
+               CAST(floor(CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) / (na.nrm * nb.nrm) * 1e12) AS BIGINT) AS s_ab
+        FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.i = b.i AND a.id <> b.id
+        JOIN norms na ON na.vec_id = a.id
+        JOIN norms nb ON nb.vec_id = b.id
+        GROUP BY a.query_id, a.id, b.id, na.nrm, nb.nrm
+    ),
+    pick1 AS (
+        SELECT query_id, id, 7 * s_q AS score, CAST(1 AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s_q DESC, id) AS rn FROM cand)
+        WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, id FROM pick1)"""
+    ]
+    for i in range(2, k_sel + 1):
+        parts.append(
+            f""",
+    score{i} AS (
+        SELECT c.query_id, c.id,
+               7 * c.s_q - 3 * (SELECT MAX(p.s_ab) FROM pair p
+                                JOIN sel{i - 1} s ON s.query_id = p.query_id AND s.id = p.pb
+                                WHERE p.query_id = c.query_id AND p.pa = c.id) AS score
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} s WHERE s.query_id = c.query_id AND s.id = c.id)
+    ),
+    pick{i} AS (
+        SELECT query_id, id, score, CAST({i} AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn FROM score{i})
+        WHERE rn = 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT query_id, id FROM sel{i - 1} UNION ALL SELECT query_id, id FROM pick{i})"""
+        )
+    picks = "\n    UNION ALL ".join(
+        f"SELECT query_id, rank, id AS vec_id, score AS mmr_score FROM pick{i}"
+        for i in range(1, k_sel + 1)
+    )
+    parts.append(f"\n    {picks}")
+    return "".join(parts)
+
+
+@register("embeddings_mmr_rerank", oracle=_mmr_oracle())
+def embeddings_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank (r8): per query,
+    the top-16 exact-cosine candidates are greedily reduced to 8
+    exemplars maximizing ``0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s)`` —
+    relevant but mutually non-redundant, the standard diverse
+    few-shot / eval-exemplar mining step (Carbonell & Goldstein).
+    Distributed shape: candidates from the C6 two-phase exact path
+    (BLAS prerank + decimal rescore, corpus scanned once); the
+    candidate-pair cosine matrix is one bounded self-join (≤ 10
+    queries × 16×15 pairs); the inherently-sequential greedy runs
+    per-query in one Arrow batch over pure scale-12 integer scores
+    (operators/retrieval.mmr_select). The oracle unrolls all 8
+    selection steps in SQL."""
+    from stream_spark.operators.retrieval import mmr_select
+    from stream_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    topc = topk_bruteforce(q, c, 16)
+    cand = topc.select(
+        "query_id",
+        F.col("neighbor_id").alias("cid"),
+        F.floor(F.col("cosine") * F.lit(1e12)).cast("long").alias("s_q"),
+    )
+    ce = cand.join(
+        emb.select(F.col("vec_id").alias("cid"), "embedding"), "cid"
+    ).select("query_id", "cid", "embedding")
+    ps = (
+        ce.alias("L")
+        .join(
+            # broadcast-ok: ce is ≤ 10 queries × 16 candidates = 160 rows by construction
+            F.broadcast(ce.alias("R")),
+            (F.col("L.query_id") == F.col("R.query_id")) & (F.col("L.cid") != F.col("R.cid")),
+        )
+        .select(
+            F.col("L.query_id").alias("query_id"),
+            F.col("L.cid").alias("pa"),
+            F.col("R.cid").alias("pb"),
+            F.floor(cosine(F.col("L.embedding"), F.col("R.embedding")) * F.lit(1e12))
+            .cast("long")
+            .alias("s_ab"),
+        )
+    )
+    return mmr_select(cand, ps, k=8)
+
+
+_NORM_D = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "embeddings_cluster_topics",
+    oracle=f"""
+    WITH {_UNNEST_E},
+    {_km_ctes(str(_KM_K))},
+    a2 AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM cos2) WHERE rn = 1),
+    nrmt AS (SELECT doc_id, {_NORM_D} AS norm FROM documents),
+    t AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS term FROM nrmt),
+    ct AS (SELECT a.cell AS cluster, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t JOIN a2 a ON a.vec_id = t.doc_id GROUP BY a.cell, t.term),
+    cdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cdf FROM ct GROUP BY term),
+    scored AS (SELECT cluster, ct.term, tf, cdf,
+                      CAST((tf * (2*{_KM_K} - 2*cdf + 1) * 1000) // (2*cdf + 1) AS BIGINT) AS score
+               FROM ct JOIN cdf USING (term))
+    SELECT cluster, CAST(rank AS BIGINT) AS rank, term, tf, cdf, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, term) AS rank
+        FROM scored) WHERE rank <= 5
+    """,
+)
+def embeddings_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling (r8): the top-5 distinctive terms per k-means
+    embedding cell — the "what is this cluster made of" inspection run
+    on SemDeDup/domain-discovery partitions before acting on them
+    (Abbas et al. inspect clusters exactly this way). Weight = tf ×
+    the log-free Robertson cluster-idf odds ``(2K−2df+1)/(2df+1)``
+    (same pre-log surrogate as the BM25 operator — monotone in df,
+    pure BIGINT via ×1000 DIV — rule 8), so a term scoring high must
+    be frequent IN the cluster and rare ACROSS clusters.
+
+    Scale: the 2-round Lloyd assignment is the C19 decimal-exact path;
+    token counts are keyed (cluster, term) aggregates; the cluster-df
+    table is vocab-keyed (never broadcast); top-5 is the C73 salted
+    two-stage rank — no window ever sees a full vocabulary, exact by
+    the containment argument. The oracle replays both Lloyd rounds and
+    ranks per cluster directly."""
+    from pyspark.sql import Window
+
+    from stream_spark.operators.text import md5_long, normalize_text, tokens
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assign = kmeans_assign(emb, k=_KM_K, iters=2).select("vec_id", "cluster")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
+    )
+    ct = (
+        tok.join(assign, tok.doc_id == assign.vec_id)
+        .groupBy("cluster", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cdf = ct.groupBy("term").agg(F.count("*").cast("long").alias("cdf"))
+    scored = ct.join(cdf, "term").withColumn(
+        "score",
+        F.expr(f"(tf * (2*{_KM_K} - 2*cdf + 1) * 1000) DIV (2*cdf + 1)").cast("long"),
+    )
+    salted = Window.partitionBy(
+        "cluster", F.pmod(md5_long(F.col("term")), F.lit(64))
+    ).orderBy(F.desc("score"), F.asc("term"))
+    survivors = scored.withColumn("srnk", F.row_number().over(salted)).filter(
+        F.col("srnk") <= 5
+    )
+    final = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("cluster", "rank", "term", "tf", "cdf", "score")
+    )

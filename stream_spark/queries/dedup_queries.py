@@ -664,6 +664,56 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_EDGES_CTES},
+    und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL SELECT doc_b, doc_a FROM verified),
+    reach(node, label) AS (
+        SELECT src, src FROM und
+        UNION
+        SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    cs AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY component),
+    m AS (SELECT c.node AS doc_id, s.n FROM comp c JOIN cs s USING (component))
+    SELECT d.doc_id,
+           CAST(COALESCE(m.n, 1) AS BIGINT) AS cluster_size,
+           CAST(1000000 // COALESCE(m.n, 1) AS BIGINT) AS weight_ppm
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+)
+def documents_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (r8): instead of dropping near-dups, every document
+    gets a training weight 1/cluster_size — the SlimPajama/RedPajama-v2
+    downstream option that preserves corpus mass while neutralizing
+    duplication bias (a 10-copy boilerplate cluster contributes one
+    document's worth of gradient). Clusters come from the banded
+    exact-Jaccard path (C85 — band candidates, verified edges), so the
+    weight table costs the same as ``dedup_clusters_banded`` plus one
+    keyed size join; docs in no cluster keep weight 1. Weights are
+    exact integer ppm (1e6 DIV size — rule 8), so any engine can
+    reproduce the exact sampling distribution downstream."""
+    from stream_spark.operators.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = banded_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    comp = connected_components_star(edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
+    member = comp.join(sizes, "component").select(
+        F.col("node").alias("m_doc"), F.col("n")
+    )
+    return (
+        docs.join(member, docs.doc_id == member.m_doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("CAST(1000000 DIV COALESCE(n, 1) AS BIGINT)").alias("weight_ppm"),
+        )
+    )
+
+
+@register(
     "dedup_incremental_batch",
     oracle=f"""
     WITH {_SHINGLES3},

@@ -513,3 +513,61 @@ def test_dsir_arrow_scorer_matches_expression_path(spark):
         for r in dsir_score_rows(df, weights, default, keep_cols=("doc_id",)).collect()
     }
     assert arrow == expr and 4 not in arrow
+
+
+def test_mmr_select_prefers_diversity_over_redundant_topk(spark):
+    """Planted geometry: candidates 1,2 are near-identical and both
+    very relevant; candidate 3 is slightly less relevant but
+    orthogonal to them. Plain top-2 keeps the redundant twins; MMR's
+    second pick must be the diverse candidate. Also pins: rank 1 is
+    the pure-relevance argmax, scores are exact ints (7·s_q − 3·max),
+    and k caps the output."""
+    from stream_spark.operators.retrieval import mmr_select
+
+    cand = spark.createDataFrame(
+        [(0, 1, 990), (0, 2, 985), (0, 3, 900)],
+        "query_id long, cid long, s_q long",
+    )
+    sims = {(1, 2): 999, (1, 3): 10, (2, 3): 10}
+    rows = [
+        (0, a, b, s)
+        for (x, y), s in sims.items()
+        for a, b in ((x, y), (y, x))
+    ]
+    ps = spark.createDataFrame(rows, "query_id long, pa long, pb long, s_ab long")
+    out = {r["rank"]: r for r in mmr_select(cand, ps, k=2).collect()}
+    assert len(out) == 2
+    assert out[1]["vec_id"] == 1 and out[1]["mmr_score"] == 7 * 990
+    # twin 2 scores 7*985 - 3*999 = 5898; diverse 3 scores 7*900 - 3*10 = 6270
+    assert out[2]["vec_id"] == 3 and out[2]["mmr_score"] == 7 * 900 - 3 * 10
+
+
+def test_mmr_select_tie_breaks_min_id_and_handles_short_groups(spark):
+    from stream_spark.operators.retrieval import mmr_select
+
+    # two candidates, identical relevance, no redundancy: pick min id
+    cand = spark.createDataFrame(
+        [(7, 20, 500), (7, 10, 500)], "query_id long, cid long, s_q long"
+    )
+    ps = spark.createDataFrame(
+        [(7, 10, 20, 0), (7, 20, 10, 0)], "query_id long, pa long, pb long, s_ab long"
+    )
+    rows = mmr_select(cand, ps, k=8).orderBy("rank").collect()
+    # group smaller than k: all candidates emitted, ranks dense 1..n
+    assert [r["vec_id"] for r in rows] == [10, 20]
+    assert [r["rank"] for r in rows] == [1, 2]
+
+
+def test_soft_dedup_weights_mass_and_inverse_size(spark, sf_dir):
+    """Every doc appears exactly once; weight_ppm == 1e6 DIV
+    cluster_size; docs outside any near-dup cluster carry weight 1e6;
+    and each multi-doc cluster's members share one size."""
+    from stream_spark.queries.dedup_queries import documents_soft_dedup_weights
+
+    out = documents_soft_dedup_weights(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == docs_n
+    for r in out:
+        assert r["weight_ppm"] == 1_000_000 // r["cluster_size"]
+    assert any(r["cluster_size"] > 1 for r in out)  # testdata plants near-dups
+    assert any(r["cluster_size"] == 1 and r["weight_ppm"] == 1_000_000 for r in out)

@@ -104,6 +104,9 @@ PROBE = [
     "dedup_jaccard_banded",
     "dedup_clusters_banded",
     "dedup_keep_best_quality_banded",
+    "documents_soft_dedup_weights",
+    "embeddings_mmr_rerank",
+    "embeddings_cluster_topics",
 ]
 
 
@@ -169,6 +172,7 @@ VOLUME_AXES = {
     "dedup_jaccard_banded": ("band_candidates", _band_candidate_volume),
     "dedup_clusters_banded": ("band_candidates", _band_candidate_volume),
     "dedup_keep_best_quality_banded": ("band_candidates", _band_candidate_volume),
+    "documents_soft_dedup_weights": ("band_candidates", _band_candidate_volume),
     "embeddings_knn_graph": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
     "embeddings_label_propagation": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
 }

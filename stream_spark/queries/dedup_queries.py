@@ -275,6 +275,67 @@ def dedup_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_banded_recall",
+    oracle=f"""
+    WITH {_BANDED_EDGES_CTES.replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0")},
+    exact AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    ),
+    ex AS (
+        SELECT doc_a, doc_b, common / (sa.sz + sb.sz - common) AS jaccard
+        FROM exact JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+        WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    ),
+    flagged AS (
+        SELECT LEAST(CAST(floor(e.jaccard * 20) AS BIGINT), 19) AS bucket,
+               CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+        FROM ex e LEFT JOIN verified v ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(found) AS BIGINT) AS n_found,
+           CAST((SUM(found) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM flagged GROUP BY bucket
+    """,
+)
+def dedup_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall self-evaluation of the banded pair path (r8) — the text
+    twin of the C71/C84 ANN recall queries: on a deterministic half
+    sample (doc_id mod 2), exact-Jaccard ground-truth pairs are
+    bucketed by true similarity (floor(j·20), clamped to [16,19]) and
+    each bucket reports how many the band index recovered. The curve
+    quantifies the C85 family's one approximation: a true pair is
+    missed only when it agrees on zero of the PERMS/BAND_SIZE = 4
+    bands, which is exponentially unlikely as j→1 — the eval VERIFIES
+    that shape on real data instead of assuming it.
+
+    Scale: ground truth needs the unbanded Σ freq² join, so at crawl
+    scale the eval runs on a bounded deterministic sample (the mod-2
+    sample here; same pattern as the bounded ANN query sets) — never
+    on the full corpus. Both paths run on the SAME sample, so the
+    comparison is apples-to-apples."""
+    docs = load_table(spark, sf_dir, "documents").filter((F.col("doc_id") % 2) == 0)
+    ex = ngram_jaccard_pairs(docs, threshold=0.8)
+    ban = banded_jaccard_pairs(docs, threshold=0.8).select(
+        F.col("doc_a").alias("ba"), F.col("doc_b").alias("bb"), F.lit(1).alias("fnd")
+    )
+    j = ex.join(ban, (ex.doc_a == F.col("ba")) & (ex.doc_b == F.col("bb")), "left")
+    return (
+        j.select(
+            F.least(F.floor(F.col("jaccard") * 20).cast("long"), F.lit(19)).alias("bucket"),
+            F.coalesce(F.col("fnd"), F.lit(0)).alias("found"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("found").cast("long").alias("n_found"),
+        )
+        .withColumn("recall_ppm", F.expr("(n_found * 1000000) DIV n_pairs").cast("long"))
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),

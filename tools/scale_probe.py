@@ -107,6 +107,7 @@ PROBE = [
     "documents_soft_dedup_weights",
     "embeddings_mmr_rerank",
     "embeddings_cluster_topics",
+    "dedup_banded_recall",
 ]
 
 

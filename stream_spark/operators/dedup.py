@@ -869,3 +869,78 @@ def winnow_fingerprints(
     ).select("doc", "ng", "spos", "fp")
 
 
+
+
+def incremental_verified_flags(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental dedup with exact-Jaccard VERIFICATION (r8) — what a
+    production ingest actually runs before discarding a document:
+    ``incremental_dedup_flags`` answers "did any band collide?" (cheap,
+    signature-level, false-positive-prone near the threshold); this
+    operator verifies every band collision against the corpus's real
+    shingle sets and reports the best verified match, so the drop
+    decision is grounded in true similarity (the C85 verify-on-
+    candidates discipline applied to the C35 incremental shape).
+
+    Per NEW doc: (doc_id, is_dup, best_match, best_jaccard) — is_dup=1
+    iff some corpus doc verifies at >= threshold; best_match is that
+    doc (max jaccard, ties to the lowest corpus id), NULL otherwise.
+
+    Scale: candidates come from the (band, bucket) equi-join of the
+    batch index against the CORPUS index — per-bucket fan-out is
+    bounded by the corpus's own near-dup density, which a maintained
+    (deduplicated) corpus keeps small by construction; verification is
+    |candidates| x shingles/doc keyed equi-joins, never a corpus
+    self-join. At 100 TB the corpus band index and shingle table are
+    precomputed stored artifacts; the daily batch joins against both.
+    """
+    from pyspark.sql import Window
+
+    nb = minhash_band_buckets(new_df, text_col, id_col, n)
+    cb = minhash_band_buckets(corpus_df, text_col, id_col, n).select(
+        F.col("doc").alias("cd"), "band", "bucket"
+    )
+    cand = (
+        nb.join(cb, ["band", "bucket"])
+        .select(F.col("doc").alias("nd"), "cd")
+        .distinct()
+    )
+    shn = shingle_docs(new_df, text_col, id_col, n)
+    shc = shingle_docs(corpus_df, text_col, id_col, n)
+    sn = shn.groupBy("doc").agg(F.count("*").alias("sz_n"))
+    sc = shc.groupBy("doc").agg(F.count("*").alias("sz_c"))
+    expanded = cand.join(shn.alias("a"), cand["nd"] == F.col("a.doc")).select(
+        "nd", "cd", F.col("a.g").alias("_g")
+    )
+    common = (
+        expanded.join(
+            shc.alias("b"), (F.col("cd") == F.col("b.doc")) & (F.col("_g") == F.col("b.g"))
+        )
+        .groupBy("nd", "cd")
+        .agg(F.count("*").alias("common"))
+    )
+    ver = (
+        common.join(sn.alias("x"), F.col("nd") == F.col("x.doc"))
+        .join(sc.alias("y"), F.col("cd") == F.col("y.doc"))
+        .withColumn("j", F.col("common") / (F.col("sz_n") + F.col("sz_c") - F.col("common")))
+        .filter(F.col("j") >= threshold)
+        .select("nd", "cd", "j")
+    )
+    w = Window.partitionBy("nd").orderBy(F.desc("j"), F.asc("cd"))
+    best = ver.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        new_df.select(id_col)
+        .join(best, F.col(id_col) == F.col("nd"), "left")
+        .select(
+            id_col,
+            F.when(F.col("nd").isNotNull(), 1).otherwise(0).cast("long").alias("is_dup"),
+            F.col("cd").alias("best_match"),
+            F.col("j").alias("best_jaccard"),
+        )
+    )

@@ -375,3 +375,46 @@ def sample_frames(media: DataFrame, frame_size: int = 256, stride: int = 4) -> D
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def ahash_audio(media: DataFrame, n_windows: int = 16) -> DataFrame:
+    """Perceptual average-hash over decoded audio — the acoustic twin
+    of ``ahash_image``: native PCM16 WAV decode, the sample stream
+    split into ``n_windows`` near-equal index windows (window of
+    sample i = i·W DIV n), per-window energy = Σ|amplitude| in exact
+    int64 (samples widened BEFORE abs — |int16 −32768| overflows in
+    int16), bit w set iff the window's MEAN energy ≥ the global mean
+    via the same cross-multiplied integer comparison the image path
+    uses (e_w·n ≥ total·n_w — no float mean), packed little-endian.
+    Loudness-profile-identical clips collide; small edits flip few
+    bits, so grouping is a hash groupBy (exact) or hamming-banded
+    join (near) — all integer ops, so the oracle recomputes every
+    hash arithmetically on the synthetic corpus."""
+    if n_windows >= 64:
+        raise ValueError(f"n_windows {n_windows} needs {n_windows} bits; ahash packs into one signed long (max 63)")
+    weights = 1 << np.arange(n_windows).astype(np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "sample_rate": [], "n_samples": [], "audio_hash": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav_pcm16(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                n = len(a)
+                wi = (np.arange(n) * n_windows) // n
+                # np.bincount(weights=) accumulates in float64 — keep the
+                # energy sums exact int64 via indexed integer accumulation
+                e = np.zeros(n_windows, dtype=np.int64)
+                np.add.at(e, wi, a)
+                nw = np.bincount(wi, minlength=n_windows).astype(np.int64)
+                total = int(a.sum())
+                bits = (e * n >= total * nw).astype(np.int64)
+                out["doc_id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["audio_hash"].append(int((bits * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, "doc_id long, sample_rate long, n_samples long, audio_hash long"
+    )

@@ -1778,3 +1778,40 @@ def embeddings_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("cluster", "rank", "term", "tf", "cdf", "score")
     )
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id, 40 + d.doc_id % 17 AS n, t.i,
+               ABS((d.doc_id * 31 + t.i * 7) % 65536 - 32768) AS a
+        FROM documents d, unnest(generate_series(0, 39 + d.doc_id % 17)) t(i)
+    ),
+    w AS (SELECT doc_id, n, i * 16 // n AS wi, a FROM s),
+    we AS (SELECT doc_id, n, wi, SUM(a) AS e, COUNT(*) AS nw
+           FROM w GROUP BY doc_id, n, wi),
+    tot AS (SELECT doc_id, SUM(a) AS total FROM s GROUP BY doc_id)
+    SELECT we.doc_id,
+           CAST(8000 * (1 + we.doc_id % 2) AS BIGINT) AS sample_rate,
+           CAST(MAX(we.n) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN we.e * we.n >= t.total * we.nw
+                         THEN 1 << wi ELSE 0 END) AS BIGINT) AS audio_hash
+    FROM we JOIN tot t USING (doc_id)
+    GROUP BY we.doc_id
+    """,
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual fingerprinting (r8) — completes the multimodal
+    dedup story next to C51's image aHash: REAL native PCM16 WAV
+    decode → 16 near-equal index windows → exact-int64 energy per
+    window → cross-multiplied mean threshold → 16-bit loudness-profile
+    hash. Identical clips collide, near-identical clips land a
+    hamming-banded join away — the same downstream grouping machinery
+    as simhash/image-aHash. All integer ops, so the oracle recomputes
+    every hash arithmetically from the synthetic generator (the same
+    discipline as the C12/C51 oracles)."""
+    from stream_spark.operators.multimodal import ahash_audio, synthetic_audio_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ahash_audio(synthetic_audio_table(docs))

@@ -811,6 +811,71 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_flags(batch, corpus)
 
 
+@register(
+    "dedup_incremental_verified",
+    oracle=f"""
+    WITH {_SHINGLES3},
+    h AS (
+        SELECT doc, p, MIN({_MH_PERM}) AS mh
+        FROM sh, unnest(generate_series(0, {PERMS - 1})) t(p)
+        GROUP BY doc, p
+    ),
+    bands AS (
+        SELECT doc, p // {BAND_SIZE} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+        FROM h GROUP BY doc, p // {BAND_SIZE}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT nb.doc AS nd, cb.doc AS cd
+        FROM (SELECT * FROM bands WHERE doc % 4 = 0) nb
+        JOIN (SELECT * FROM bands WHERE doc % 4 <> 0) cb
+          ON nb.band = cb.band AND nb.bucket = cb.bucket
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    co AS (
+        SELECT c.nd, c.cd, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc = c.nd
+        JOIN sh b ON b.doc = c.cd AND b.g = a.g
+        GROUP BY c.nd, c.cd
+    ),
+    ver AS (
+        SELECT nd, cd, common / (sa.sz + sb.sz - common) AS j
+        FROM co JOIN sizes sa ON nd = sa.doc JOIN sizes sb ON cd = sb.doc
+        WHERE common / (sa.sz + sb.sz - common) >= 0.8
+    ),
+    best AS (
+        SELECT nd, cd, j FROM (
+            SELECT *, row_number() OVER (PARTITION BY nd ORDER BY j DESC, cd) AS rn
+            FROM ver) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN b.nd IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+           b.cd AS best_match, b.j AS best_jaccard
+    FROM documents d LEFT JOIN best b ON b.nd = d.doc_id
+    WHERE d.doc_id % 4 = 0
+    """,
+)
+def dedup_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with exact-Jaccard verification (r8) — the
+    C85 verify-on-candidates discipline applied to the C35 incremental
+    shape: each arriving doc's band collisions against the corpus index
+    are verified over the real shingle sets, and the drop decision
+    reports the best TRUE match (max jaccard, ties to lowest corpus
+    id) instead of trusting a signature collision. This is what a
+    production ingest runs: the signature-level flag (C35) triages,
+    this path adjudicates. Candidates come from the (band, bucket)
+    equi-join against the corpus index — fan-out bounded by the
+    maintained corpus's own near-dup density; verification is keyed
+    equi-joins only (operators/dedup.incremental_verified_flags)."""
+    from stream_spark.operators.dedup import incremental_verified_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return incremental_verified_flags(batch, corpus, threshold=0.8)
+
+
 # winnowing CTE (w=4 over 5-token grams; guarantee span w+k-1 = 8
 # tokens): document-order gram fingerprints -> exact-BIGINT window-min
 # selection key (fp mod 2^31-1)*2^24 + (2^24-1-pos) -> DISTINCT

@@ -212,3 +212,52 @@ def test_streaming_ahash_dedup_custom_columns(spark, tmp_path):
     )
     got = {r["doc"]: r["hit"] for r in out.collect()}
     assert got == {10: 0, 11: 1}
+
+
+def test_ahash_audio_loudness_profile_properties(spark):
+    """Pins the r8 audio fingerprint semantics: (1) amplitude SCALING
+    preserves the hash (the cross-multiplied mean comparison is scale
+    free — the acoustic analog of the image brightness pin), (2)
+    moving the loud region to a different window changes the hash, and
+    (3) identical clips collide."""
+    import numpy as np
+
+    from stream_spark.operators.multimodal import ahash_audio, encode_wav_pcm16
+
+    n = 64
+    quiet = np.full(n, 10, dtype=np.int16)
+    loud_head = quiet.copy(); loud_head[:8] = 1000
+    loud_tail = quiet.copy(); loud_tail[-8:] = 1000
+    rows = [
+        (1, encode_wav_pcm16(8000, loud_head)),
+        (2, encode_wav_pcm16(8000, (loud_head.astype(np.int32) * 2).astype(np.int16))),
+        (3, encode_wav_pcm16(8000, loud_tail)),
+        (4, encode_wav_pcm16(8000, loud_head)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["audio_hash"] for r in ahash_audio(df).collect()}
+    assert got[1] == got[2]          # scale invariant
+    assert got[1] == got[4]          # identical clips collide
+    assert got[1] != got[3]          # profile shift flips bits
+
+
+def test_incremental_verified_is_subset_of_signature_flags(spark, sf_dir):
+    """The r8 verified incremental path can only DEMOTE signature-level
+    dup flags, never invent one: every is_dup=1 doc also band-collides
+    (C35 flag set), every verified dup carries a best match with
+    jaccard >= the threshold, and non-dups carry NULLs."""
+    from stream_spark.queries.dedup_queries import (
+        dedup_incremental_batch,
+        dedup_incremental_verified,
+    )
+
+    flags = {r["doc_id"]: r["is_dup"] for r in dedup_incremental_batch(spark, sf_dir).collect()}
+    ver = dedup_incremental_verified(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in ver} == set(flags)
+    assert any(r["is_dup"] == 1 for r in ver)  # testdata plants near-dups
+    for r in ver:
+        if r["is_dup"] == 1:
+            assert flags[r["doc_id"]] == 1
+            assert r["best_match"] is not None and r["best_jaccard"] >= 0.8
+        else:
+            assert r["best_match"] is None and r["best_jaccard"] is None

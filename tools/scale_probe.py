@@ -108,6 +108,8 @@ PROBE = [
     "embeddings_mmr_rerank",
     "embeddings_cluster_topics",
     "dedup_banded_recall",
+    "dedup_incremental_verified",
+    "multimodal_audio_fingerprint",
 ]
 
 

@@ -1299,3 +1299,60 @@ def streaming_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.select("source", "n_docs", "n_contaminated", "sum_hits")
+
+
+@register(
+    "streaming_dedup_audio",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id, 40 + d.doc_id % 17 AS n, t.i,
+               ABS((d.doc_id * 31 + t.i * 7) % 65536 - 32768) AS a
+        FROM documents d, unnest(generate_series(0, 39 + d.doc_id % 17)) t(i)
+    ),
+    w AS (SELECT doc_id, n, i * 16 // n AS wi, a FROM s),
+    we AS (SELECT doc_id, n, wi, SUM(a) AS e, COUNT(*) AS nw
+           FROM w GROUP BY doc_id, n, wi),
+    tot AS (SELECT doc_id, SUM(a) AS total FROM s GROUP BY doc_id),
+    hashes AS (
+        SELECT we.doc_id,
+               SUM(CASE WHEN we.e * we.n >= t.total * we.nw
+                        THEN 1 << wi ELSE 0 END) AS ah
+        FROM we JOIN tot t USING (doc_id)
+        GROUP BY we.doc_id
+    ),
+    dups AS (
+        SELECT DISTINCT b.doc_id FROM hashes a
+        JOIN hashes b ON a.ah = b.ah AND a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM documents d LEFT JOIN dups dup ON d.doc_id = dup.doc_id
+    """,
+)
+def streaming_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online AUDIO near-dup on a live media stream (r8) — completes
+    the modality triangle next to C42 (text minhash) and C51's
+    streaming image aHash: synthetic WAV encode and the C91
+    loudness-profile hash run as stateless Arrow mapInPandas stages on
+    the stream, feeding the shared first-seen fold keyed by the 16-bit
+    hash (one long of state per live hash). Replayed in doc-id order;
+    the oracle recomputes every hash arithmetically and flags later
+    ids whose hash an earlier clip already claimed."""
+    from stream_spark.operators.multimodal import synthetic_audio_table
+    from stream_spark.streaming import ordered_replay_stream
+    from stream_spark.streaming.dedup import streaming_audio_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = f"{_SCRATCH}/dedup_audio"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = ordered_replay_stream(spark, docs.select("doc_id"), stage, ["doc_id"], n_slices=4)
+    media = synthetic_audio_table(stream)
+    out = run_stream_to_memory(
+        streaming_audio_dedup(media), output_mode="append", state_partitions=16
+    )
+    flags = out.groupBy(F.col("doc").alias("_doc")).agg(F.max("hit").cast("long").alias("is_dup"))
+    return (
+        docs.select("doc_id")
+        .join(flags, docs.doc_id == flags._doc, "left")
+        .select("doc_id", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"))
+    )

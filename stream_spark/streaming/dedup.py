@@ -267,3 +267,26 @@ def streaming_embedding_dedup(
         .select("doc", F.col("tb.t").alias("band"), F.col("tb.bucket").alias("bucket"))
     )
     return first_seen_fold(bands)
+
+
+def streaming_audio_dedup(
+    stream: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Online AUDIO near-dup detection (r8) — the acoustic twin of
+    ``streaming_ahash_dedup``: the loudness-profile average-hash per
+    arriving clip (stateless Arrow mapInPandas — codec work is the
+    honest Python cost) into the shared first-seen fold keyed by the
+    16-bit hash. Flags every clip whose profile hash an earlier id
+    already claimed — catches re-encoded / volume-scaled duplicates
+    byte hashing misses, at one long of state per live hash."""
+    from stream_spark.operators.multimodal import ahash_audio
+
+    hashed = ahash_audio(
+        stream.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    bands = hashed.select(
+        F.col("doc_id").alias("doc"), F.lit(0).alias("band"), F.col("audio_hash").alias("bucket")
+    )
+    return first_seen_fold(bands)

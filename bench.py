@@ -68,6 +68,12 @@ SF1_EXTRAS = [
     "dedup_clusters_banded",
     "dedup_keep_best_quality_banded",
     "documents_langid_classifier",
+    # r9 (VERDICT r8 item 6): the df-cut fingerprint family drifted up
+    # two rounds running at sf0.1 (winnowed 1.80→2.03, substring
+    # 1.58→1.73) — inside the band, but adjudication happens at sf1
+    # now, so the primary signal must cover them.
+    "dedup_winnowed_pairs",
+    "dedup_exact_substring",
 ]
 
 #: tier 2: scale-sensitive C-block operators invisible to the frozen
@@ -375,16 +381,57 @@ def main() -> None:
         # emitting value=0.0 with the frozen keys) keeps a redirected
         # line from masquerading as a regressed-to-zero headline bench
         payload["tier2_only"] = True
-    else:
-        total = round(sum(timings.values()), 3)
-        payload = {
-            "metric": "headline_query_wall_time",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            **payload,
-        }
-    print(json.dumps(payload))
+        print(json.dumps(payload))
+        return
+
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        **payload,
+    }
+    # Self-contained artifact discipline (VERDICT r8 item 2): the
+    # driver records only a 2000-char tail window of this process's
+    # output and parses the JSON line out of it. The full payload
+    # outgrew that window in r8 (~2.6k chars once the sf1 tier landed)
+    # and the round's headline number survived only in .ci/bench.json.
+    # So: the FULL payload goes to a sidecar file (+ stderr for logs),
+    # and stdout carries ONE COMPACT line (<1 KB — headline metric +
+    # per-query headliners + per-tier TOTALS) that always fits the
+    # window whole.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".ci", "bench_full.json"
+    )
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh)
+    print(json.dumps(payload), file=sys.stderr)
+
+    t2_times = {k: v for k, v in tier2.items() if not k.startswith("streaming_")}
+    compact: dict = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "warmup_pass": True,
+        "tier2_total": round(sum(t2_times.values()), 3),
+        "streaming_replay_rows_per_sec": tier2.get("streaming_replay_rows_per_sec"),
+        "streaming_minhash_docs_per_sec": tier2.get("streaming_minhash_docs_per_sec"),
+        "detail": ".ci/bench_full.json",
+    }
+    if "sf1" in payload:
+        sf1_q = payload["sf1"]["queries"]
+        compact["sf1_total"] = payload["sf1"]["value"]
+        compact["sf1_n"] = len(sf1_q)
+        compact["sf1_worst"] = dict(
+            sorted(sf1_q.items(), key=lambda kv: -kv[1])[:3]
+        )
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line grew past the driver window: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -184,6 +184,85 @@ def synthetic_audio_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(batches, "doc_id long, payload binary")
 
 
+#: bits in the profiled generators' perceptual patterns (7×7 image
+#: cells / 49 audio windows — the largest square under ahash's 63-bit
+#: packing limit)
+PROFILE_BITS = 49
+
+
+def _md5_pattern(salt: str, src_id: int) -> int:
+    """The md5-derived 60-bit long (text.md5_long semantics) of
+    ``salt || src_id``, truncated to PROFILE_BITS — the perceptual
+    pattern the profiled generators bake into their payloads."""
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}{src_id}".encode()).hexdigest()[:15], 16) % (
+        1 << PROFILE_BITS
+    )
+
+
+def synthetic_profiled_image_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """14×14 P6 corpus whose 7×7 brightness-cell grid carries 49 bits
+    of md5-derived entropy: cell c (row-major over 2×2-pixel blocks) is
+    bright (200) iff bit c of ``md5_long('i' || src) % 2^49``, else dim
+    (50) — where ``src = id+3`` when ``id % 10 == 0`` (a planted ~10%
+    rate of perceptual duplicate PAIRS), else ``id``.
+
+    The closed form the oracle replays: nearest-neighbor 7×7 sampling
+    hits pixel (2y, 2x) — inside block (y, x) — so aHash recovers the
+    pattern EXACTLY: with k ≥ 1 bright cells the mean gray is
+    (150k+2450)/49 ∈ (50, 200], so bright cells pass the ≥-mean test
+    and dim cells fail; with k = 0 every cell equals the mean and all
+    49 bits set. hash = pattern, or 2^49−1 when pattern == 0.
+    (Unlike ``synthetic_image_table``'s smooth gradients — whose aHash
+    collapses to a handful of values — this gives near-uniform 49-bit
+    perceptual diversity plus exact planted dups, so a hash-group
+    dedup stage does real, measurable work.)"""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for did in pdf[id_col]:
+                did = int(did)
+                p = _md5_pattern("i", did + 3 if did % 10 == 0 else did)
+                cells = ((p >> np.arange(49)) & 1).reshape(7, 7)
+                px = np.where(cells == 1, 200, 50).astype(np.uint8)
+                px = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)  # 14×14
+                px = np.repeat(px[:, :, None], 3, axis=2)
+                ids.append(did)
+                payloads.append(encode_ppm(14, 14, px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(batches, "doc_id long, payload binary")
+
+
+def synthetic_profiled_audio_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """784-sample 8 kHz mono PCM16 corpus whose 49-window loudness
+    profile carries 49 bits of md5-derived entropy: window w (16
+    samples each) has amplitude 1000 iff bit w of
+    ``md5_long('a' || src) % 2^49``, else 100 — where ``src = id+2``
+    when ``id % 7 == 0`` (planted ~14% perceptual-dup pairs), else
+    ``id``. Same mean-threshold closed form as the image twin: the
+    audio aHash (n_windows=49) recovers the pattern exactly
+    (hash = pattern, or 2^49−1 when pattern == 0)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for did in pdf[id_col]:
+                did = int(did)
+                p = _md5_pattern("a", did + 2 if did % 7 == 0 else did)
+                amp = np.where(((p >> np.arange(49)) & 1) == 1, 1000, 100)
+                samples = np.repeat(amp, 16).astype(np.int16)
+                ids.append(did)
+                payloads.append(encode_wav_pcm16(8000, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(batches, "doc_id long, payload binary")
+
+
 def to_media_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Demo media table: utf-8 payload bytes + metadata struct."""
     return df.select(
@@ -377,6 +456,33 @@ def sample_frames(media: DataFrame, frame_size: int = 256, stride: int = 4) -> D
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+#: longest clip whose cross-multiplied window-mean comparison stays
+#: inside int64: worst-case e = 32768·n, so e·n ≤ 2^15·n² needs
+#: n < 2^24 (~35 min at 8 kHz); one power of two of margin below that.
+_ENERGY_CMP_INT64_MAX_N = 1 << 23
+
+
+def _energy_bits(e, nw, total: int, n: int):
+    """Per-window loudness bits: bit w = (mean energy of window w ≥
+    global mean), compared cross-multiplied (e_w·n ≥ total·n_w — no
+    float mean). Vectorized int64 while the products provably fit
+    (n < 2^23 — see _ENERGY_CMP_INT64_MAX_N); for longer clips numpy's
+    int64 multiply would WRAP silently (ADVICE r8: full-scale audio
+    overflows past ~2^24 samples), so the comparison falls back to
+    arbitrary-precision Python ints — n_windows comparisons per clip,
+    nanoseconds either way. The energy SUMS themselves (int64 Σ|s| ≤
+    2^15·n) are exact to n < 2^48 (~1 year of 8 kHz audio), far past
+    any single clip."""
+    import numpy as np
+
+    if n < _ENERGY_CMP_INT64_MAX_N:
+        return (e * n >= total * nw).astype(np.int64)
+    return np.array(
+        [1 if int(ei) * n >= total * int(nwi) else 0 for ei, nwi in zip(e, nw)],
+        dtype=np.int64,
+    )
+
+
 def ahash_audio(media: DataFrame, n_windows: int = 16) -> DataFrame:
     """Perceptual average-hash over decoded audio — the acoustic twin
     of ``ahash_image``: native PCM16 WAV decode, the sample stream
@@ -408,7 +514,7 @@ def ahash_audio(media: DataFrame, n_windows: int = 16) -> DataFrame:
                 np.add.at(e, wi, a)
                 nw = np.bincount(wi, minlength=n_windows).astype(np.int64)
                 total = int(a.sum())
-                bits = (e * n >= total * nw).astype(np.int64)
+                bits = _energy_bits(e, nw, total, n)
                 out["doc_id"].append(did)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n)

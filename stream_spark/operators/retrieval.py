@@ -99,6 +99,7 @@ def mmr_select(
     cand: DataFrame,
     pair_sims: DataFrame,
     k: int = 8,
+    shards: int = 8,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein
     1998) over a BOUNDED per-query candidate set — the diversity
@@ -113,12 +114,21 @@ def mmr_select(
     Inputs: ``cand`` (query_id, cid, s_q) — the top-N candidates per
     query from the distributed ANN path; ``pair_sims`` (query_id, pa,
     pb, s_ab) — the N·(N−1) candidate-pair cosines per query, both
-    directions. MMR itself is inherently sequential, but over N
-    candidates, not the corpus: the distributed work is producing
-    ``cand``/``pair_sims`` (ANN + one bounded self-join); the greedy
-    loop runs per-query-group in one Arrow batch (cogrouped
-    applyInPandas, k·N integer compares — microseconds). At 100 TB
-    the candidate generator swaps to the IVF/PQ probe path and this
+    directions. The pair matrix must be COMPLETE per query: a missing
+    pair raises (r9, ADVICE r8) — silently scoring an absent pair as
+    0 redundancy is optimistic next to negative cosines, and the SQL
+    oracle's MAX-subquery spelling would diverge on sparse input.
+
+    MMR itself is inherently sequential, but over N candidates, not
+    the corpus: the distributed work is producing ``cand``/
+    ``pair_sims`` (ANN + one bounded self-join); the greedy loop is
+    k·N integer compares — microseconds. Queries are cogrouped by a
+    ``shards``-way hash of query_id and the greedy loop iterates the
+    queries INSIDE each Arrow batch (the first_seen_fold sharding
+    shape, r9 VERDICT item 7), so Python dispatch cost is per-shard,
+    not per-query — at 1M queries the per-group dispatch that
+    dominated the r5 streaming fold never reappears. At 100 TB the
+    candidate generator swaps to the IVF/PQ probe path and this
     operator is unchanged.
 
     Non-key column names are disjoint across the two cogrouped sides
@@ -128,16 +138,24 @@ def mmr_select(
 
     out_schema = "query_id long, rank long, vec_id long, mmr_score long"
 
-    def greedy(key, cs: pd.DataFrame, ps: pd.DataFrame) -> pd.DataFrame:
-        qid = int(key[0])
-        s_q = {int(r.cid): int(r.s_q) for r in cs.itertuples()}
-        sim = {(int(r.pa), int(r.pb)): int(r.s_ab) for r in ps.itertuples()}
+    def greedy_one(qid: int, cq: pd.DataFrame, pq: pd.DataFrame, rows: list) -> None:
+        s_q = {int(r.cid): int(r.s_q) for r in cq.itertuples()}
+        sim = {(int(r.pa), int(r.pb)): int(r.s_ab) for r in pq.itertuples()}
+        missing = sum(
+            1 for a in s_q for b in s_q if a != b and (a, b) not in sim
+        )
+        if missing:
+            raise ValueError(
+                f"mmr_select: query {qid} pair matrix incomplete — {missing} of "
+                f"{len(s_q) * (len(s_q) - 1)} ordered candidate pairs missing from "
+                "pair_sims (the operator's contract is a complete per-query matrix; "
+                "a sparse input would silently score missing pairs as 0 redundancy)"
+            )
         selected: list[int] = []
-        rows = []
         while s_q and len(selected) < k:
             best_id, best_score = None, None
             for cid, sq in s_q.items():
-                red = max((sim.get((cid, s), 0) for s in selected), default=0)
+                red = max((sim[(cid, s)] for s in selected), default=0)
                 score = 7 * sq - 3 * red
                 if (
                     best_score is None
@@ -148,10 +166,19 @@ def mmr_select(
             selected.append(best_id)
             del s_q[best_id]
             rows.append((qid, len(selected), best_id, best_score))
+
+    def greedy_shard(key, cs: pd.DataFrame, ps: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        by_q = dict(tuple(ps.groupby("query_id"))) if len(ps) else {}
+        empty = ps.iloc[0:0]
+        for qid, cq in cs.groupby("query_id"):
+            greedy_one(int(qid), cq, by_q.get(qid, empty), rows)
         return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "mmr_score"])
 
+    sh = F.pmod(F.col("query_id"), F.lit(int(shards)))
     return (
-        cand.groupBy("query_id")
-        .cogroup(pair_sims.groupBy("query_id"))
-        .applyInPandas(greedy, schema=out_schema)
+        cand.withColumn("_shard", sh)
+        .groupBy("_shard")
+        .cogroup(pair_sims.withColumn("_shard", sh).groupBy("_shard"))
+        .applyInPandas(greedy_shard, schema=out_schema)
     )

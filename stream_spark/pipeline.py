@@ -293,6 +293,96 @@ def _stage_langid(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
     return out
 
 
+def _stage_media_hash(df, s, ctx, spark, sf_dir):
+    """Perceptual fingerprint stage: attach an ``image``/``audio``
+    aHash column keyed by ``id`` — the multimodal-curation ingest step.
+    The payloads here are the deterministic synthetic corpus (the
+    oracle-replayable decode stub; a real crawl swaps the generator for
+    a binaryFile scan + codec in the SAME Arrow mapInPandas slot — the
+    schema, batching and join-back are exactly what production runs).
+    Hashing is a keyed doc_id equi-join back onto the frame — linear,
+    shuffle on the id key only."""
+    from stream_spark.operators import multimodal as mm
+
+    modality = s["modality"]
+    id_col = s.get("id", "doc_id")
+    out = s.get("out", f"{modality}_hash")
+    gen = s.get("generator", "profiled")
+    if modality == "image":
+        make = (
+            mm.synthetic_profiled_image_table if gen == "profiled" else mm.synthetic_image_table
+        )
+        h = mm.ahash_image(
+            make(df, id_col=id_col), hash_size=7 if gen == "profiled" else 4
+        ).select(F.col("doc_id").alias(id_col), F.col("ahash").alias(out))
+    elif modality == "audio":
+        make = (
+            mm.synthetic_profiled_audio_table if gen == "profiled" else mm.synthetic_audio_table
+        )
+        h = mm.ahash_audio(
+            make(df, id_col=id_col), n_windows=49 if gen == "profiled" else 16
+        ).select(F.col("doc_id").alias(id_col), F.col("audio_hash").alias(out))
+    else:
+        raise ValueError(f"unsupported media_hash modality: {modality!r}")
+    return df.join(h, id_col)
+
+
+def _stage_dedup_by(df, s, ctx, spark, sf_dir):
+    """Keep the min-``id`` row per value of an EXISTING column — the
+    hash-group dedup step after a media_hash stage (perceptual-hash
+    exact collision dedup; the 2^16-bounded group level the image
+    near-dup family deliberately works at). Same one-shuffle window-min
+    shape as the text dedup stage."""
+    from pyspark.sql.window import Window
+
+    id_col = s.get("id", "doc_id")
+    w = Window.partitionBy(s["column"])
+    return (
+        df.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+
+
+def _stage_near_dedup(df, s, ctx, spark, sf_dir):
+    """Text near-dup removal as a pipeline stage: drop the later doc of
+    every exact-Jaccard pair ≥ ``threshold``, pairs generated by the
+    crawl-scale banded verify-on-candidates path (operators/dedup.
+    banded_jaccard_pairs — the same generator the training_data_prep
+    capstone uses; recall characterized by the gated
+    dedup_banded_recall eval). The anti-join shuffles on the id key;
+    the dupes side is O(duplicates), never broadcast by hint."""
+    from stream_spark.operators.dedup import banded_jaccard_pairs
+
+    id_col = s.get("id", "doc_id")
+    pairs = banded_jaccard_pairs(
+        df,
+        threshold=float(s.get("threshold", 0.8)),
+        text_col=s.get("column", "text"),
+        id_col=id_col,
+    )
+    dupes = pairs.select(F.col("doc_b").alias("_dup_id")).distinct()
+    return df.join(dupes, df[id_col] == dupes["_dup_id"], "left_anti")
+
+
+def _stage_pack(df, s, ctx, spark, sf_dir):
+    """Terminal packing stage: whitespace token counts, docs
+    concatenated in ``id`` order and chunked into ``budget``-token
+    contexts (operators/packing.pack_sequences — the two-pass
+    partition-offset prefix sum, no single-partition sort). Output is
+    the per-doc pack assignment (doc_id, n_tokens, start_offset,
+    pack_id, n_packs_spanned)."""
+    from stream_spark.operators.packing import pack_sequences
+    from stream_spark.operators.text import token_count
+
+    id_col = s.get("id", "doc_id")
+    wt = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(s.get("column", "text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(wt, budget=int(s.get("budget", 2048)))
+
+
 def _stage_sink(df, s, pipe, spark, sf_dir):
     """Terminal write stage: persist the pipeline's current frame to
     parquet/csv/json, optionally hive-partitioned or z-order
@@ -333,6 +423,10 @@ STAGE_TYPES: dict[str, Callable] = {
     "quality_gate": _stage_quality_gate,
     "langid": _stage_langid,
     "sink": _stage_sink,
+    "media_hash": _stage_media_hash,
+    "dedup_by": _stage_dedup_by,
+    "near_dedup": _stage_near_dedup,
+    "pack": _stage_pack,
 }
 
 

@@ -319,11 +319,17 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_audio(synthetic_audio_table(docs), rate=16000)
 
 
-_AHASH_CTES = """pos AS (
+def _ahash_ctes(src: str = "documents") -> str:
+    """Image-aHash CTE chain over a caller-chosen source relation
+    (anything exposing doc_id) — ends with ``ahashes(doc_id,
+    img_width, img_height, ahash)``. Parameterized (r9) so composed
+    oracles can hash a derived relation instead of string-editing this
+    fragment (the ADVICE r8 discipline for shared CTEs)."""
+    return f"""pos AS (
         SELECT d.doc_id,
                4 + d.doc_id % 5 AS w, 3 + d.doc_id % 4 AS h,
                y.y, x.x
-        FROM documents d,
+        FROM {src} d,
              unnest(generate_series(0, 3)) y(y),
              unnest(generate_series(0, 3)) x(x)
     ),
@@ -344,6 +350,9 @@ _AHASH_CTES = """pos AS (
         FROM g JOIN t USING (doc_id)
         GROUP BY g.doc_id
     )"""
+
+
+_AHASH_CTES = _ahash_ctes()
 
 
 @register(
@@ -1740,19 +1749,25 @@ def embeddings_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure BIGINT via ×1000 DIV — rule 8), so a term scoring high must
     be frequent IN the cluster and rare ACROSS clusters.
 
-    Scale: the 2-round Lloyd assignment is the C19 decimal-exact path;
-    token counts are keyed (cluster, term) aggregates; the cluster-df
-    table is vocab-keyed (never broadcast); top-5 is the C73 salted
-    two-stage rank — no window ever sees a full vocabulary, exact by
-    the containment argument. The oracle replays both Lloyd rounds and
-    ranks per cluster directly."""
+    Scale: the 2-round Lloyd assignment is the Arrow-matmul path
+    (clustering.kmeans_assign_inplan — O(n·k·dim) BLAS flops, map-only,
+    bit-identical to the C19 all-decimal fold via the float-prefilter →
+    exact-decimal-escape contract, already oracle-pinned by the
+    SemDeDup query against these same _km_ctes; swapped in r9 after the
+    interpreted decimal fold measured 3.07 s as the slowest tier-2
+    entry — VERDICT r8 item 4); token counts are keyed (cluster, term)
+    aggregates; the cluster-df table is vocab-keyed (never broadcast);
+    top-5 is the C73 salted two-stage rank — no window ever sees a full
+    vocabulary, exact by the containment argument. The oracle replays
+    both Lloyd rounds and ranks per cluster directly."""
     from pyspark.sql import Window
 
+    from stream_spark.operators.clustering import kmeans_assign_inplan
     from stream_spark.operators.text import md5_long, normalize_text, tokens
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    assign = kmeans_assign(emb, k=_KM_K, iters=2).select("vec_id", "cluster")
+    assign = kmeans_assign_inplan(emb, k=_KM_K, iters=2).select("vec_id", "cluster")
     tok = docs.select(
         "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
     )
@@ -1780,25 +1795,36 @@ def embeddings_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_audio_fingerprint",
-    oracle="""
-    WITH s AS (
+def _audio_fp_ctes(src: str = "documents") -> str:
+    """Audio-fingerprint CTE chain over a caller-chosen source
+    relation (anything exposing doc_id) — ends with ``afp(doc_id,
+    sample_rate, n_samples, audio_hash)``. Same parameterization
+    rationale as ``_ahash_ctes``."""
+    return f"""s AS (
         SELECT d.doc_id, 40 + d.doc_id % 17 AS n, t.i,
                ABS((d.doc_id * 31 + t.i * 7) % 65536 - 32768) AS a
-        FROM documents d, unnest(generate_series(0, 39 + d.doc_id % 17)) t(i)
+        FROM {src} d, unnest(generate_series(0, 39 + d.doc_id % 17)) t(i)
     ),
     w AS (SELECT doc_id, n, i * 16 // n AS wi, a FROM s),
     we AS (SELECT doc_id, n, wi, SUM(a) AS e, COUNT(*) AS nw
            FROM w GROUP BY doc_id, n, wi),
-    tot AS (SELECT doc_id, SUM(a) AS total FROM s GROUP BY doc_id)
-    SELECT we.doc_id,
-           CAST(8000 * (1 + we.doc_id % 2) AS BIGINT) AS sample_rate,
-           CAST(MAX(we.n) AS BIGINT) AS n_samples,
-           CAST(SUM(CASE WHEN we.e * we.n >= t.total * we.nw
-                         THEN 1 << wi ELSE 0 END) AS BIGINT) AS audio_hash
-    FROM we JOIN tot t USING (doc_id)
-    GROUP BY we.doc_id
+    tot AS (SELECT doc_id, SUM(a) AS total FROM s GROUP BY doc_id),
+    afp AS (
+        SELECT we.doc_id,
+               CAST(8000 * (1 + we.doc_id % 2) AS BIGINT) AS sample_rate,
+               CAST(MAX(we.n) AS BIGINT) AS n_samples,
+               CAST(SUM(CASE WHEN we.e * we.n >= t.total * we.nw
+                             THEN 1 << wi ELSE 0 END) AS BIGINT) AS audio_hash
+        FROM we JOIN tot t USING (doc_id)
+        GROUP BY we.doc_id
+    )"""
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle=f"""
+    WITH {_audio_fp_ctes()}
+    SELECT doc_id, sample_rate, n_samples, audio_hash FROM afp
     """,
 )
 def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

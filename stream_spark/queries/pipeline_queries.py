@@ -417,3 +417,111 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return pipe.run(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Multimodal curation capstone (r9, SURVEY §2 C92): the composition a
+# 100 TB multimodal crawl actually runs, as ONE declarative pipeline.
+
+
+def _mm_curation_oracle() -> str:
+    """Replays every stage in SQL: Gopher gate → image aHash group
+    dedup → audio fingerprint group dedup → banded text near-dup →
+    1024-token packing. The banded CTE chain is the SAME
+    src-parameterized fragment the standalone C85 queries gate; the
+    media hashes are replayed via the profiled generators' closed form
+    (operators/multimodal.synthetic_profiled_*: aHash over a payload
+    whose 49-cell brightness/loudness pattern is md5-derived recovers
+    the pattern EXACTLY — hash = md5_long(salt‖src) % 2^49, or 2^49−1
+    when that is 0; src plants the ~10%/~14% dup pairs). The Spark side
+    runs the REAL decode→hash path; the oracle computes the expected
+    result independently — pinned bit-for-bit in
+    tests/test_multimodal.py."""
+    from stream_spark.queries.dedup_queries import _banded_edges_ctes
+
+    md5_60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    two49 = 1 << 49
+    isrc = "CAST(CASE WHEN doc_id % 10 = 0 THEN doc_id + 3 ELSE doc_id END AS VARCHAR)"
+    asrc = "CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id + 2 ELSE doc_id END AS VARCHAR)"
+    ip = md5_60.format(x=f"'i' || {isrc}") + f" % {two49}"
+    ap = md5_60.format(x=f"'a' || {asrc}") + f" % {two49}"
+    return f"""
+    WITH feat AS (SELECT doc_id, text, {_P_TOKS} AS ws FROM documents),
+    gate0 AS (
+        SELECT doc_id, text FROM feat
+        WHERE len(ws) BETWEEN 20 AND 100000
+          AND list_aggregate(list_transform(ws, w -> length(w)), 'sum') / len(ws)
+              BETWEEN 3.0 AND 10.0
+          AND len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) / len(ws) >= 0.8
+          AND len(list_filter(ws, w -> w IN ({_P_STOP}))) >= 2
+    ),
+    ihash AS (SELECT doc_id,
+                     CASE WHEN {ip} = 0 THEN {two49 - 1} ELSE {ip} END AS image_hash
+              FROM gate0),
+    ikeep AS (SELECT image_hash, MIN(doc_id) AS doc_id FROM ihash GROUP BY image_hash),
+    img_kept AS (SELECT g0.* FROM gate0 g0 JOIN ikeep USING (doc_id)),
+    ahash0 AS (SELECT doc_id,
+                      CASE WHEN {ap} = 0 THEN {two49 - 1} ELSE {ap} END AS audio_hash
+               FROM img_kept),
+    akeep AS (SELECT audio_hash, MIN(doc_id) AS doc_id FROM ahash0 GROUP BY audio_hash),
+    aud_kept AS (SELECT i.* FROM img_kept i JOIN akeep USING (doc_id)),
+    {_banded_edges_ctes("aud_kept")},
+    dup AS (SELECT DISTINCT doc_b FROM verified),
+    final_kept AS (SELECT * FROM aud_kept WHERE doc_id NOT IN (SELECT doc_b FROM dup)),
+    pt AS (SELECT doc_id, CAST(len({_P_TOKS}) AS BIGINT) AS n_tokens FROM final_kept),
+    pc AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS s0,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pt
+    )
+    SELECT doc_id, n_tokens,
+           CAST(s0 AS BIGINT) AS start_offset,
+           CAST(s0 // 1024 AS BIGINT) AS pack_id,
+           CAST((cum - 1) // 1024 - s0 // 1024 + 1 AS BIGINT) AS n_packs_spanned
+    FROM pc
+    """
+
+
+@register("pipeline_multimodal_curation", oracle=_mm_curation_oracle())
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-crawl curation recipe as ONE declarative JSON
+    pipeline (r9, VERDICT r8 item 8): quality gate → image perceptual
+    hash + hash-group dedup → audio fingerprint + hash-group dedup →
+    text banded near-dup removal → fixed-budget sequence packing. All
+    stages the engine already gates individually (C51 image aHash, C91
+    audio fingerprint, C85 banded Jaccard, C16 packing), composed the
+    way a production ingest runs them: cheapest gate first, then
+    per-modality exact-collision dedup (linear hash groupBys), the
+    candidate-bounded text pass last, packing over the survivors.
+
+    Scale: every stage is keyed — no all-pairs step anywhere (media
+    dedup works at the 2^16-bounded hash-group level; text pairs come
+    from the band index); packing is the two-pass partition-offset
+    prefix sum. The media hashes run in the same Arrow mapInPandas
+    slot a real binaryFile + codec ingest occupies (synthetic
+    deterministic payloads here — the oracle recomputes every hash
+    arithmetically, same discipline as the standalone C51/C91 gates).
+    """
+    pipe = Pipeline.from_dict(
+        {
+            "name": "multimodal_curation",
+            "source": {"table": "documents"},
+            "stages": [
+                {"type": "quality_gate", "settings": {"column": "text", "minWords": 20}},
+                {"type": "media_hash", "settings": {"modality": "image", "id": "doc_id"}},
+                {"type": "dedup_by", "settings": {"column": "image_hash", "id": "doc_id"}},
+                {"type": "media_hash", "settings": {"modality": "audio", "id": "doc_id"}},
+                {"type": "dedup_by", "settings": {"column": "audio_hash", "id": "doc_id"}},
+                {
+                    "type": "near_dedup",
+                    "settings": {"column": "text", "id": "doc_id", "threshold": 0.8},
+                },
+                {
+                    "type": "pack",
+                    "settings": {"column": "text", "id": "doc_id", "budget": 1024},
+                },
+            ],
+        }
+    )
+    return pipe.run(spark, sf_dir)

@@ -241,6 +241,77 @@ def test_ahash_audio_loudness_profile_properties(spark):
     assert got[1] != got[3]          # profile shift flips bits
 
 
+def test_profiled_media_hash_closed_form_and_planted_dups(spark):
+    """The multimodal-capstone oracle's theorem, pinned bit-for-bit:
+    the REAL decode→aHash path over the profiled synthetic corpora
+    recovers the md5-derived 49-bit pattern exactly (hash = pattern,
+    2^49−1 when pattern == 0), and the planted pairings collide —
+    image id%10==0 ↔ id+3, audio id%7==0 ↔ id+2."""
+    from stream_spark.operators.multimodal import (
+        PROFILE_BITS,
+        _md5_pattern,
+        ahash_audio,
+        ahash_image,
+        synthetic_profiled_audio_table,
+        synthetic_profiled_image_table,
+    )
+
+    ids = [0, 1, 2, 3, 7, 9, 10, 13, 14, 16, 20, 23, 49, 51, 70, 72, 100, 103]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    img = {
+        r["doc_id"]: r["ahash"]
+        for r in ahash_image(synthetic_profiled_image_table(df), hash_size=7).collect()
+    }
+    aud = {
+        r["doc_id"]: r["audio_hash"]
+        for r in ahash_audio(synthetic_profiled_audio_table(df), n_windows=49).collect()
+    }
+    top = (1 << PROFILE_BITS) - 1
+    for i in ids:
+        pi = _md5_pattern("i", i + 3 if i % 10 == 0 else i)
+        pa = _md5_pattern("a", i + 2 if i % 7 == 0 else i)
+        assert img[i] == (pi or top)
+        assert aud[i] == (pa or top)
+    assert img[10] == img[13] and img[20] == img[23] and img[100] == img[103]
+    assert aud[7] == aud[9] and aud[14] == aud[16] and aud[49] == aud[51]
+    # non-planted ids are (overwhelmingly) distinct — entropy is real
+    assert len({img[i] for i in ids if i % 10}) == len([i for i in ids if i % 10])
+
+
+def test_energy_bits_exact_past_int64_overflow():
+    """The window-mean comparison e·n ≥ total·n_w wraps int64 once
+    32768·n² exceeds 2^63 (n ≳ 2^24 — ADVICE r8); past the guard the
+    bits must come from arbitrary-precision arithmetic, not wrapped
+    products. Constructed clip: n = 2^25 full-scale samples where the
+    vectorized int64 products provably wrap (asserted), yet the two
+    uniform windows must BOTH set their bit (mean == global mean)."""
+    import numpy as np
+
+    from stream_spark.operators.multimodal import (
+        _ENERGY_CMP_INT64_MAX_N,
+        _energy_bits,
+    )
+
+    n = 1 << 25
+    assert n > _ENERGY_CMP_INT64_MAX_N
+    half = n // 2
+    e = np.array([32768 * half, 32768 * half], dtype=np.int64)  # two equal windows
+    nw = np.array([half, half], dtype=np.int64)
+    total = 32768 * n
+    # the int64 fast path WOULD wrap here: e*n overflows 2^63
+    with np.errstate(over="ignore"):
+        wrapped = e.astype(np.int64) * np.int64(n)
+    assert (wrapped < 0).any() or (wrapped != 32768 * half * n).any()
+    assert _energy_bits(e, nw, total, n).tolist() == [1, 1]
+    # and a window strictly below the mean stays 0 at the same scale
+    e2 = np.array([32768 * half - 1, 32768 * half + 1], dtype=np.int64)
+    assert _energy_bits(e2, nw, total, n).tolist() == [0, 1]
+    # fast-path small clip agrees with the exact spelling bit-for-bit
+    e3 = np.array([10, 30], dtype=np.int64)
+    nw3 = np.array([2, 2], dtype=np.int64)
+    assert _energy_bits(e3, nw3, 40, 4).tolist() == [0, 1]
+
+
 def test_incremental_verified_is_subset_of_signature_flags(spark, sf_dir):
     """The r8 verified incremental path can only DEMOTE signature-level
     dup flags, never invent one: every is_dup=1 doc also band-collides

@@ -558,6 +558,53 @@ def test_mmr_select_tie_breaks_min_id_and_handles_short_groups(spark):
     assert [r["rank"] for r in rows] == [1, 2]
 
 
+def test_mmr_select_sharded_parity_and_single_candidate(spark):
+    """Many queries across a small shard count: per-query selections
+    are identical whether queries share an Arrow batch (shards=1 packs
+    all of them together) or spread (shards=8) — the r9 sharded
+    dispatch changes batching only, never the greedy result. Includes
+    a single-candidate query (no pair rows at all — an empty matrix is
+    complete for n=1)."""
+    from stream_spark.operators.retrieval import mmr_select
+
+    cand_rows, pair_rows = [], []
+    for qid in range(10):
+        ids = [1, 2, 3] if qid % 3 else [1]
+        for i in ids:
+            cand_rows.append((qid, i, 1000 - i * (qid % 4)))
+        for a in ids:
+            for b in ids:
+                if a != b:
+                    pair_rows.append((qid, a, b, (a + b) * 37 % 500))
+    cand = spark.createDataFrame(cand_rows, "query_id long, cid long, s_q long")
+    ps = spark.createDataFrame(pair_rows, "query_id long, pa long, pb long, s_ab long")
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    one = sorted(mmr_select(cand, ps, k=2, shards=1).collect(), key=key)
+    eight = sorted(mmr_select(cand, ps, k=2, shards=8).collect(), key=key)
+    assert [tuple(r) for r in one] == [tuple(r) for r in eight]
+    assert {r["query_id"] for r in one} == set(range(10))
+
+
+def test_mmr_select_sparse_pair_matrix_raises(spark):
+    """The complete-pair-matrix contract fails LOUDLY: dropping one
+    direction of one pair raises instead of silently scoring the
+    missing pair as zero redundancy (ADVICE r8)."""
+    import pytest
+
+    from stream_spark.operators.retrieval import mmr_select
+
+    cand = spark.createDataFrame(
+        [(0, 1, 990), (0, 2, 985), (0, 3, 900)],
+        "query_id long, cid long, s_q long",
+    )
+    ps = spark.createDataFrame(
+        [(0, 1, 2, 999), (0, 2, 1, 999), (0, 1, 3, 10), (0, 3, 1, 10), (0, 2, 3, 10)],
+        "query_id long, pa long, pb long, s_ab long",
+    )
+    with pytest.raises(Exception, match="pair matrix incomplete"):
+        mmr_select(cand, ps, k=2).collect()
+
+
 def test_soft_dedup_weights_mass_and_inverse_size(spark, sf_dir):
     """Every doc appears exactly once; weight_ppm == 1e6 DIV
     cluster_size; docs outside any near-dup cluster carry weight 1e6;

@@ -110,6 +110,10 @@ PROBE = [
     "dedup_banded_recall",
     "dedup_incremental_verified",
     "multimodal_audio_fingerprint",
+    # r9: the capstone's near-dup stage now routes through the banded
+    # pair generator (VERDICT r8 item 1) — probe it on the band-
+    # candidate axis to show the production entrypoint is off Σ freq²
+    "training_data_prep",
 ]
 
 
@@ -158,15 +162,7 @@ def _banded_lsh_candidate_volume(spark, sf_dir: str) -> int:
 #: candidate-volume axis per query (VERDICT r6 item 4): the intrinsic
 #: enumeration count a linearity claim should normalize against when
 #: output rows understate the work (clique-heavy planted dup corpora).
-def _band_candidate_volume(spark, sf_dir: str) -> int:
-    """Distinct minhash band-candidate pairs over documents — the exact
-    number of pairs the banded family VERIFIES (r8): the replacement
-    axis for Σ freq², grown by band-bucket collisions only (an m-doc
-    clique costs m²/2 once, not once per shared shingle)."""
-    from stream_spark.operators.dedup import minhash_lsh_candidates
-    from stream_spark.sources import load_table
-
-    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents")).count()
+from tools.probe_common import band_candidate_volume as _band_candidate_volume  # noqa: E402
 
 
 VOLUME_AXES = {
@@ -176,6 +172,7 @@ VOLUME_AXES = {
     "dedup_clusters_banded": ("band_candidates", _band_candidate_volume),
     "dedup_keep_best_quality_banded": ("band_candidates", _band_candidate_volume),
     "documents_soft_dedup_weights": ("band_candidates", _band_candidate_volume),
+    "training_data_prep": ("band_candidates", _band_candidate_volume),
     "embeddings_knn_graph": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
     "embeddings_label_propagation": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
 }

@@ -108,12 +108,12 @@ def main() -> int:
             if kind == "table":
                 vol_cache[key] = load_table(spark, sf_dir, name).count()
             elif kind == "volume":  # named non-query volume helpers (r8)
-                from stream_spark.operators.dedup import minhash_lsh_candidates
+                # one definition for the axis, shared with scale_probe
+                # (ADVICE r8: the two inline spellings could drift)
+                from tools.probe_common import band_candidate_volume
 
                 assert name == "band_candidates", name
-                vol_cache[key] = minhash_lsh_candidates(
-                    load_table(spark, sf_dir, "documents")
-                ).count()
+                vol_cache[key] = band_candidate_volume(spark, sf_dir)
             else:
                 vol_cache[key] = QUERIES[name](spark, sf_dir).count()
         return vol_cache[key]

@@ -114,6 +114,12 @@ TIER2 = [
     "documents_soft_dedup_weights",
     "embeddings_mmr_rerank",
     "embeddings_cluster_topics",
+    # round-9 additions: the banded-by-default corpus-prep capstone,
+    # the composed multimodal-curation pipeline, cluster-balanced
+    # selection
+    "training_data_prep",
+    "pipeline_multimodal_curation",
+    "embeddings_cluster_balanced_sample",
 ]
 
 

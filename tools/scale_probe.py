@@ -114,6 +114,12 @@ PROBE = [
     # pair generator (VERDICT r8 item 1) — probe it on the band-
     # candidate axis to show the production entrypoint is off Σ freq²
     "training_data_prep",
+    # r9 widening: the composed multimodal-curation DSL pipeline
+    # (media hashing is map-side Arrow; dedups are keyed groupBys; the
+    # text stage shares the band-candidate axis) and the cluster-
+    # balanced selection (map-only assignment + salted two-stage rank)
+    "pipeline_multimodal_curation",
+    "embeddings_cluster_balanced_sample",
 ]
 
 
@@ -173,6 +179,7 @@ VOLUME_AXES = {
     "dedup_keep_best_quality_banded": ("band_candidates", _band_candidate_volume),
     "documents_soft_dedup_weights": ("band_candidates", _band_candidate_volume),
     "training_data_prep": ("band_candidates", _band_candidate_volume),
+    "pipeline_multimodal_curation": ("band_candidates", _band_candidate_volume),
     "embeddings_knn_graph": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
     "embeddings_label_propagation": ("banded_lsh_candidates", _banded_lsh_candidate_volume),
 }

@@ -36,6 +36,9 @@ SHOW = [
     ("documents_source_keywords", "keyword lift: salted two-stage top-k — 64-way (source,salt) windows then a <=640-row final rank; no window sees the full vocabulary"),
     ("embeddings_knn_graph", "kNN graph: banded-LSH candidate equi-join (no all-pairs), exact-decimal rescore, per-node keyed rank window"),
     ("documents_shard_assignment", "shard balance: range exchange + bounded offsets collect (two-pass rownum), map-side snake CASE — no single-partition sort"),
+    ("dedup_jaccard_banded", "banded exact-Jaccard (the crawl-scale pair default, r8): minhash band equi-join proposes candidates, keyed shingle joins verify over FULL sets — candidate volume band-collision-bounded, never sum-freq-squared"),
+    ("training_data_prep", "corpus-prep capstone (r9: banded by default): band-candidate near-dup drop -> pushed length gate -> hash-stable sample -> per-language accounting; the anti-join side is O(dupes), unhinted"),
+    ("embeddings_cluster_balanced_sample", "cluster-balanced selection: Arrow-matmul assignment (map-only), salted two-stage per-cluster top-k (WindowGroupLimit partial/final) — no window sees a full cluster"),
 ]
 
 

@@ -395,3 +395,53 @@ def test_quality_gate_and_langid_stages(spark, sf_dir):
     assert "predicted_lang" in lid.columns
     assert lid.filter("predicted_lang != 'en'").count() == 0
     assert lid.count() > 0
+
+
+def test_media_and_dedup_stages(spark, sf_dir):
+    """The r9 multimodal-curation stage types: media_hash attaches the
+    perceptual hash column (profiled generator → planted id%10==0↔id+3
+    image pairs collide); dedup_by keeps exactly the min-id row per
+    hash group; near_dedup drops only doc_b-side near-dups; pack emits
+    the packing assignment schema; unknown modality raises."""
+    import pytest
+
+    from stream_spark.pipeline import Pipeline
+
+    def run(stages, src="documents"):
+        return Pipeline.from_dict(
+            {"name": "p", "source": {"table": src}, "stages": stages}
+        ).run(spark, sf_dir)
+
+    hashed = run([{"type": "media_hash", "settings": {"modality": "image"}}])
+    assert "image_hash" in hashed.columns
+    rows = {r["doc_id"]: r["image_hash"] for r in hashed.select("doc_id", "image_hash").collect()}
+    planted = [(a, a + 3) for a in rows if a % 10 == 0 and a + 3 in rows]
+    assert planted and all(rows[a] == rows[b] for a, b in planted)
+
+    deduped = run(
+        [
+            {"type": "media_hash", "settings": {"modality": "image"}},
+            {"type": "dedup_by", "settings": {"column": "image_hash", "id": "doc_id"}},
+        ]
+    )
+    kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    # exactly one survivor per hash group, and it is the min id
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for did, h in rows.items():
+        groups[h].append(did)
+    assert kept == {min(v) for v in groups.values()}
+
+    nd = run([{"type": "near_dedup", "settings": {"threshold": 0.8}}])
+    base_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0 < nd.count() < base_n  # testdata plants text near-dups
+
+    packed = run([{"type": "pack", "settings": {"budget": 64}}])
+    assert set(packed.columns) == {
+        "doc_id", "n_tokens", "start_offset", "pack_id", "n_packs_spanned"
+    }
+    assert packed.count() == base_n
+
+    with pytest.raises(ValueError, match="modality"):
+        run([{"type": "media_hash", "settings": {"modality": "video"}}]).count()

@@ -68,6 +68,23 @@ def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     )
 
 
+def _materialize_index(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint an inverted-index frame that MULTIPLE
+    downstream subtrees consume (sizes + both self-join sides, or the
+    df-cut + verification joins). Without the cut Catalyst re-evaluates
+    the whole tokenize→explode→(cut) pipeline once per consuming
+    subtree — measured at sf0.1 (r9 A/B, steady-state): capped Jaccard
+    2.28→0.38 s, exact-substring 1.87→0.37 s, banded verify 1.12→0.73 s.
+    This is the stage-materialization boundary a production pipeline
+    writes anyway (the index is reused, not re-derived); localCheckpoint
+    persists executor-local — same data volume the next shuffle would
+    spill. Stats caveat (CLAUDE.md): checkpointed frames carry sentinel
+    size stats, so nothing downstream may RELY on auto-broadcast of a
+    derived frame — these indexes are doc/fp-keyed shuffle-join inputs
+    by design and are documented never-broadcast."""
+    return df.localCheckpoint(eager=True)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -88,6 +105,8 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         rare = sh.groupBy("g").count().filter(F.col("count") <= max_doc_freq).select("g")
         sh = sh.join(rare, "g")
+    # the (post-cut) shingle index feeds sizes AND both self-join sides
+    sh = _materialize_index(sh)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     co = (
         sh.alias("a")
@@ -143,7 +162,8 @@ def banded_jaccard_pairs(
     cand = minhash_lsh_candidates(
         df, text_col, id_col, n, max_bucket_size=max_bucket_size, block_size=block_size
     )
-    sh = shingle_docs(df, text_col, id_col, n)
+    # the shingle index feeds sizes AND both verification joins
+    sh = _materialize_index(shingle_docs(df, text_col, id_col, n))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     # pair-keyed verification: expand each candidate pair by doc_a's
     # shingles, probe doc_b's set — volume = |cand| × shingles/doc,
@@ -188,6 +208,8 @@ def containment_pairs(
     if max_doc_freq is not None:
         rare = sh.groupBy("g").count().filter(F.col("count") <= max_doc_freq).select("g")
         sh = sh.join(rare, "g")
+    # the (post-cut) shingle index feeds sizes AND both self-join sides
+    sh = _materialize_index(sh)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     co = (
         sh.alias("a")
@@ -258,6 +280,8 @@ def exact_substring_pairs(
     if max_doc_freq is not None:
         rare = sh.groupBy("fp").count().filter(F.col("count") <= max_doc_freq).select("fp")
         sh = sh.join(rare, "fp")
+    # the (post-cut) gram index feeds both self-join sides
+    sh = _materialize_index(sh)
     return (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))

@@ -1034,12 +1034,14 @@ def dedup_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the preferred pair path: the inverted index is ~40% the
     size of dedup_exact_substring's, so the Σ freq² join volume shrinks
     quadratically, with zero recall loss above the guarantee span."""
-    from stream_spark.operators.dedup import winnow_fingerprints
+    from stream_spark.operators.dedup import _materialize_index, winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
     d = winnow_fingerprints(docs, k=5, w=4).select("doc", "fp").distinct()
     rare = d.groupBy("fp").count().filter(F.col("count") <= MAX_DOC_FREQ).select("fp")
-    dk = d.join(rare, "fp")
+    # the winnowed+cut index feeds both self-join sides — materialize
+    # once (r9 A/B: 2.39 -> 0.37 s at sf0.1; _materialize_index doc)
+    dk = _materialize_index(d.join(rare, "fp"))
     return (
         dk.alias("a")
         .join(dk.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))

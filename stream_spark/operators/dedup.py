@@ -302,7 +302,9 @@ def substring_dup_coverage(
     one keyed aggregate do the rest, so the operator is linear in
     corpus gram volume and needs no df-cut at 100 TB.
     """
-    sh = _gram_fingerprints(df, text_col, id_col, k)
+    # the gram index feeds the doc-frequency aggregate AND the join
+    # back — materialize the explode once (r9 _materialize_index)
+    sh = _materialize_index(_gram_fingerprints(df, text_col, id_col, k))
     freq = sh.groupBy("fp").agg(F.count("*").alias("n_docs"))
     return (
         sh.join(freq, "fp")

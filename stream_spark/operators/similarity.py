@@ -398,7 +398,14 @@ def _banded_candidates(
     drift): banded index → optional hot-bucket cap → in-bucket
     self-join → distinct (OR across tables: a pair colliding in
     several tables scores once)."""
-    idx = banded_index(df, id_col, vec_col, n_tables, band_planes)
+    # the banded index (a corpus-wide Arrow matmul) feeds both self-join
+    # sides (+ the bucket-size cap) — materialize it once instead of
+    # re-running the kernel per consuming subtree (r9, the
+    # dedup._materialize_index pattern; measured on the text family at
+    # 3-6x, same shape here)
+    from stream_spark.operators.dedup import _materialize_index
+
+    idx = _materialize_index(banded_index(df, id_col, vec_col, n_tables, band_planes))
     if max_bucket_size is not None:
         sizes = idx.groupBy("t", "bucket").agg(F.count("*").alias("_bsz"))
         idx = idx.join(sizes, ["t", "bucket"]).filter(F.col("_bsz") <= max_bucket_size)

@@ -229,6 +229,8 @@ def documents_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine has no corpus-level text operators — this extends SURVEY §2
     block C (training-data pipeline), same family as C33 boilerplate.
     """
+    from stream_spark.operators.dedup import _materialize_index
+
     docs = load_table(spark, sf_dir, "documents")
     par = cpu_partitions(docs)
     chunked = (
@@ -238,6 +240,9 @@ def documents_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(line_chunks(tokens(F.col("text")), 10)).alias("pos", "line"),
         )
     )
+    # the chunk table feeds the frequency aggregate AND the join back —
+    # materialize the explode once (r9 _materialize_index pattern)
+    chunked = _materialize_index(chunked)
     freq = chunked.groupBy("line").agg(F.count("*").alias("c"))
     j = chunked.join(freq, "line")
     kept = F.array_sort(

@@ -160,7 +160,12 @@ def banded_jaccard_pairs(
     bounded join tasks).
     """
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, n, max_bucket_size=max_bucket_size, block_size=block_size
+        df, text_col, id_col, n,
+        max_bucket_size=max_bucket_size, block_size=block_size,
+        # cand is consumed once here and Catalyst reuses the band
+        # exchange across the self-join sides — the eager write is pure
+        # overhead in this composition (+15% measured, r9)
+        materialize=False,
     )
     # the shingle index feeds sizes AND both verification joins
     sh = _materialize_index(shingle_docs(df, text_col, id_col, n))
@@ -614,8 +619,17 @@ def minhash_lsh_candidates(
     n: int = 3,
     max_bucket_size: int | None = None,
     block_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on any minhash band.
+
+    ``materialize``: localCheckpoint the band-bucket table before the
+    self-join (r9 A/B: −26% plain / −19% blocked — the signature
+    computation otherwise runs once per join side). Callers that
+    consume the RESULT once inside a larger plan whose join sides
+    Catalyst already serves from one reused exchange
+    (banded_jaccard_pairs) pass False — there the eager write is pure
+    overhead (+15% measured).
 
     Hot-bucket controls for adversarial corpora (a bucket of m docs
     yields m² pairs — one 10⁶-doc boilerplate bucket is 10¹² pairs):
@@ -632,6 +646,8 @@ def minhash_lsh_candidates(
       buckets).
     """
     exploded = minhash_band_buckets(df, text_col, id_col, n)
+    if materialize:
+        exploded = _materialize_index(exploded)
     if max_bucket_size is not None or block_size is not None:
         sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
         exploded = exploded.join(sizes, ["band", "bucket"])
@@ -768,6 +784,9 @@ def simhash_pairs(
     ).select(
         "doc", "simhash", F.col("ch.cp").alias("cp"), F.col("ch.vi").alias("vi"), F.col("ch.vj").alias("vj")
     )
+    # the chunk-pair table (simhash signatures over the corpus token
+    # stream) feeds both self-join sides — materialize once (r9)
+    chunks = _materialize_index(chunks)
     cand = (
         chunks.alias("a")
         .join(

@@ -54,6 +54,10 @@ PROBE = {
     "dedup_jaccard_banded": "volume:band_candidates",
     "dedup_clusters_banded": "volume:band_candidates",
     "dedup_keep_best_quality_banded": "volume:band_candidates",
+    # r9: the corpus-prep capstone, now banded by default — its
+    # one-decade-up wall must track the band-candidate axis, not the
+    # Σ freq² axis the pre-r9 exact spelling was on
+    "training_data_prep": "volume:band_candidates",
 }
 
 

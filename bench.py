@@ -120,6 +120,8 @@ TIER2 = [
     "training_data_prep",
     "pipeline_multimodal_curation",
     "embeddings_cluster_balanced_sample",
+    "documents_langid_confusion",
+    "dedup_index_persisted",
 ]
 
 

@@ -127,6 +127,66 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_confusion_oracle() -> str:
+    hit_cols = ",\n               ".join(
+        f"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"w -> w IN ({', '.join(repr(w) for w in words)}))) AS BIGINT) AS hits_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    pred = "'unknown'"
+    hits = "0"
+    for lang in STOPWORDS:  # same fixed order + strict > as the operator
+        pred = f"CASE WHEN hits_{lang} > ({hits}) THEN '{lang}' ELSE ({pred}) END"
+        hits = f"CASE WHEN hits_{lang} > ({hits}) THEN hits_{lang} ELSE ({hits}) END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {hit_cols}
+        FROM documents
+    ),
+    p AS (SELECT lang AS true_lang, {pred} AS predicted_lang FROM scored),
+    cm AS (SELECT true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM p GROUP BY true_lang, predicted_lang),
+    tot AS (SELECT true_lang, SUM(n_docs) AS t FROM cm GROUP BY true_lang)
+    SELECT cm.true_lang, cm.predicted_lang, cm.n_docs,
+           CAST((cm.n_docs * 1000000) // t.t AS BIGINT) AS share_ppm
+    FROM cm JOIN tot t USING (true_lang)
+    """
+
+
+@register("documents_langid_confusion", oracle=_langid_confusion_oracle())
+def documents_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (r9): per (true, predicted) doc
+    counts and the row-normalized share in exact ppm — the eval every
+    curation pipeline runs before trusting a language gate (how much
+    of each language would a keep-list drop, and where do the errors
+    go). Prediction is the same single-expression stopword-hit
+    heuristic the langid gate uses, so the matrix audits the EXACT
+    operator that filters the corpus.
+
+    Scale: one map-side prediction expression, one keyed (true, pred)
+    aggregate (≤ |langs|² rows), totals joined back on the aggregated
+    matrix — no window over raw docs, nothing driver-side."""
+    from stream_spark.operators.text import langid_pred
+
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            langid_pred(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = cm.groupBy("true_lang").agg(F.sum("n_docs").alias("t"))
+    # broadcast-ok: tot is one row per TRUE language (bounded class set)
+    return (
+        cm.join(F.broadcast(tot), "true_lang")
+        .withColumn("share_ppm", F.expr("(n_docs * 1000000) DIV t").cast("long"))
+        .select("true_lang", "predicted_lang", "n_docs", "share_ppm")
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""

@@ -120,6 +120,10 @@ PROBE = [
     # balanced selection (map-only assignment + salted two-stage rank)
     "pipeline_multimodal_curation",
     "embeddings_cluster_balanced_sample",
+    # r9 late additions: the stored-index incremental shape (write +
+    # load + probe lifecycle) and the langid eval matrix
+    "dedup_index_persisted",
+    "documents_langid_confusion",
 ]
 
 

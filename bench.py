@@ -74,6 +74,11 @@ SF1_EXTRAS = [
     # now, so the primary signal must cover them.
     "dedup_winnowed_pairs",
     "dedup_exact_substring",
+    # r10 (VERDICT r9 item 4): the two compositions a user actually
+    # runs end to end were probe-only at scale — pin them in the
+    # primary signal.
+    "training_data_prep",
+    "pipeline_multimodal_curation",
 ]
 
 #: tier 2: scale-sensitive C-block operators invisible to the frozen
@@ -135,14 +140,24 @@ def _time_query(spark, fn, sf_dir) -> tuple[float, int]:
     (standard steady-state practice) filters one-off scheduler/GC
     spikes that showed 2-4x outliers on single-shot runs of an
     otherwise unchanged plan; the floor, not the average, is the
-    compute cost."""
+    compute cost.
+
+    Each timed rep re-CONSTRUCTS the DataFrame and counts it in ONE
+    window (r10, ADVICE r9): the r9 index-materialization act made
+    fn() eager for ~9 queries (localCheckpoint at construction), so
+    the old construct-untimed/count-timed split silently excluded the
+    index build from the recorded number. Timing construct+count
+    together restores the r1–r8 regime (construction was lazy then, so
+    the whole compute already sat in the timed window) and makes an
+    index-computation regression visible again. The payload stamps
+    ``timed_window: construct+count``."""
     df = fn(spark, sf_dir)
     df.count()
     best, n = None, 0
     for _rep in range(2):
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
-        n = df.count()
+        n = fn(spark, sf_dir).count()
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
     return best, n
@@ -335,7 +350,12 @@ def main() -> None:
     # warmup pass (r7) and the sf1 tier (r8) changed what the recorded
     # numbers mean — stamp the regime so cross-round comparisons can
     # detect it mechanically, not via BASELINE.md prose.
-    payload: dict = {"tier2": tier2, "sf": sf, "warmup_pass": True}
+    payload: dict = {
+        "tier2": tier2,
+        "sf": sf,
+        "warmup_pass": True,
+        "timed_window": "construct+count",
+    }
 
     # frozen sf1 tier — always emitted (r8): auto-derives the dataset
     # (deterministic 10x replication of sf0.1) on first run.
@@ -425,6 +445,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "warmup_pass": True,
+        "timed_window": "construct+count",
         "tier2_total": round(sum(t2_times.values()), 3),
         "streaming_replay_rows_per_sec": tier2.get("streaming_replay_rows_per_sec"),
         "streaming_minhash_docs_per_sec": tier2.get("streaming_minhash_docs_per_sec"),

@@ -99,7 +99,7 @@ def mmr_select(
     cand: DataFrame,
     pair_sims: DataFrame,
     k: int = 8,
-    shards: int = 8,
+    shards: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein
     1998) over a BOUNDED per-query candidate set — the diversity
@@ -127,7 +127,12 @@ def mmr_select(
     queries INSIDE each Arrow batch (the first_seen_fold sharding
     shape, r9 VERDICT item 7), so Python dispatch cost is per-shard,
     not per-query — at 1M queries the per-group dispatch that
-    dominated the r5 streaming fold never reappears. At 100 TB the
+    dominated the r5 streaming fold never reappears. ``shards``
+    defaults to ``cpu_partitions(pair_sims)`` — sized from the pair
+    matrix, the memory-dominant side (N·(N−1) rows per query), so
+    per-batch pandas memory stays ~bounded and parallelism grows with
+    the query volume instead of capping at a constant (r9 ADVICE);
+    pass an explicit value only as a floor for tests. At 100 TB the
     candidate generator swaps to the IVF/PQ probe path and this
     operator is unchanged.
 
@@ -175,6 +180,10 @@ def mmr_select(
             greedy_one(int(qid), cq, by_q.get(qid, empty), rows)
         return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "mmr_score"])
 
+    if shards is None:
+        from stream_spark.operators.rownum import cpu_partitions
+
+        shards = cpu_partitions(pair_sims)
     sh = F.pmod(F.col("query_id"), F.lit(int(shards)))
     return (
         cand.withColumn("_shard", sh)

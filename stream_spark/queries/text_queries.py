@@ -179,8 +179,8 @@ def documents_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
     tot = cm.groupBy("true_lang").agg(F.sum("n_docs").alias("t"))
-    # broadcast-ok: tot is one row per TRUE language (bounded class set)
     return (
+        # broadcast-ok: tot is one row per TRUE language (bounded class set)
         cm.join(F.broadcast(tot), "true_lang")
         .withColumn("share_ppm", F.expr("(n_docs * 1000000) DIV t").cast("long"))
         .select("true_lang", "predicted_lang", "n_docs", "share_ppm")

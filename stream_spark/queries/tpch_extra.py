@@ -721,12 +721,19 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     # per-order supplier stats: EXISTS(other supplier) == n_supp > 1,
-    # NOT EXISTS(other supplier with R) == n_supp_r = 1 (l1 is R itself)
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_r"),
+    # NOT EXISTS(other supplier with R) == n_supp_r = 1 (l1 is R itself).
+    # Spelled as a two-level aggregate instead of two countDistinct:
+    # the multi-distinct Expand rewrite assigns gid branches in a
+    # nondeterministic order across sessions (flaky frozen-plan
+    # snapshot), and the Expand doubles pre-shuffle row volume anyway.
+    stats = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("has_r").alias("n_supp_r"),
+        )
     )
     return (
         li.filter(F.col("l_returnflag") == "R")

@@ -52,11 +52,13 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in names}
     for r in range(rounds):
         for n in names:  # interleaved: session drift hits all equally
-            df = QUERIES[n](spark, sf1_dir)
-            df.count()  # per-measurement warm build
+            QUERIES[n](spark, sf1_dir).count()  # per-measurement warm pass
             spark.sparkContext._jvm.System.gc()
+            # construct+count in ONE timed window (r10, matches
+            # bench._time_query): eager index materialization would
+            # otherwise fall outside the measurement
             t0 = time.time()
-            df.count()
+            QUERIES[n](spark, sf1_dir).count()
             samples[n].append(round(time.time() - t0, 3))
         print(f"# round {r + 1}/{rounds} done", file=sys.stderr)
 

@@ -127,6 +127,10 @@ TIER2 = [
     "embeddings_cluster_balanced_sample",
     "documents_langid_confusion",
     "dedup_index_persisted",
+    # round-10 additions: the index-update lifecycle and the
+    # real-bytes media ingest
+    "dedup_index_update",
+    "pipeline_media_hash_binary",
 ]
 
 

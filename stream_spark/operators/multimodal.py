@@ -201,6 +201,18 @@ def _md5_pattern(salt: str, src_id: int) -> int:
     )
 
 
+def _profiled_image_payload(did: int) -> bytes:
+    """One profiled P6 payload (see ``synthetic_profiled_image_table``)
+    — extracted so the generator, the column-preserving streaming
+    attach, and the binary-corpus stager share ONE encode path."""
+    p = _md5_pattern("i", did + 3 if did % 10 == 0 else did)
+    cells = ((p >> np.arange(49)) & 1).reshape(7, 7)
+    px = np.where(cells == 1, 200, 50).astype(np.uint8)
+    px = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)  # 14×14
+    px = np.repeat(px[:, :, None], 3, axis=2)
+    return encode_ppm(14, 14, px)
+
+
 def synthetic_profiled_image_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """14×14 P6 corpus whose 7×7 brightness-cell grid carries 49 bits
     of md5-derived entropy: cell c (row-major over 2×2-pixel blocks) is
@@ -221,20 +233,21 @@ def synthetic_profiled_image_table(df: DataFrame, id_col: str = "doc_id") -> Dat
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids: list[int] = []
-            payloads: list[bytes] = []
-            for did in pdf[id_col]:
-                did = int(did)
-                p = _md5_pattern("i", did + 3 if did % 10 == 0 else did)
-                cells = ((p >> np.arange(49)) & 1).reshape(7, 7)
-                px = np.where(cells == 1, 200, 50).astype(np.uint8)
-                px = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)  # 14×14
-                px = np.repeat(px[:, :, None], 3, axis=2)
-                ids.append(did)
-                payloads.append(encode_ppm(14, 14, px))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+            ids = [int(d) for d in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_profiled_image_payload(d) for d in ids]}
+            )
 
     return df.select(F.col(id_col)).mapInPandas(batches, "doc_id long, payload binary")
+
+
+def _profiled_audio_payload(did: int) -> bytes:
+    """One profiled WAV payload (see ``synthetic_profiled_audio_table``)
+    — the shared encode path, same extraction rationale as the image
+    twin."""
+    p = _md5_pattern("a", did + 2 if did % 7 == 0 else did)
+    amp = np.where(((p >> np.arange(49)) & 1) == 1, 1000, 100)
+    return encode_wav_pcm16(8000, np.repeat(amp, 16).astype(np.int16))
 
 
 def synthetic_profiled_audio_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -249,16 +262,10 @@ def synthetic_profiled_audio_table(df: DataFrame, id_col: str = "doc_id") -> Dat
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids: list[int] = []
-            payloads: list[bytes] = []
-            for did in pdf[id_col]:
-                did = int(did)
-                p = _md5_pattern("a", did + 2 if did % 7 == 0 else did)
-                amp = np.where(((p >> np.arange(49)) & 1) == 1, 1000, 100)
-                samples = np.repeat(amp, 16).astype(np.int16)
-                ids.append(did)
-                payloads.append(encode_wav_pcm16(8000, samples))
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+            ids = [int(d) for d in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_profiled_audio_payload(d) for d in ids]}
+            )
 
     return df.select(F.col(id_col)).mapInPandas(batches, "doc_id long, payload binary")
 
@@ -350,34 +357,46 @@ def ahash_image(media: DataFrame, hash_size: int = 4) -> DataFrame:
     hamming-banded join (near). All integer ops ⇒ the oracle recomputes
     every hash arithmetically on the synthetic corpus."""
 
-    n = hash_size * hash_size
-    if n >= 64:
-        # 1 << 63 overflows the signed ahash long (and numpy int64
-        # shifts wrap silently) — 64+ bits needs a multi-long packing
-        raise ValueError(f"hash_size {hash_size} needs {n} bits; ahash packs into one signed long (max 63)")
-    weights = 1 << np.arange(n).astype(np.int64)
+    _check_hash_bits(hash_size * hash_size, "hash_size " + str(hash_size))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {"doc_id": [], "img_width": [], "img_height": [], "ahash": []}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                if b[:2] != b"P6":
-                    raise NotImplementedError("compressed image decode requires pillow")
-                w, h, px = decode_ppm(b)
-                small = resize_nearest(px, hash_size, hash_size).astype(np.int64)
-                gray = small.sum(axis=2) // 3
-                total = int(gray.sum())
-                bits = (gray.reshape(-1) * n >= total).astype(np.int64)
+                w, h, hv = ahash_image_payload(bytes(payload), hash_size)
                 out["doc_id"].append(did)
                 out["img_width"].append(w)
                 out["img_height"].append(h)
-                out["ahash"].append(int((bits * weights).sum()))
+                out["ahash"].append(hv)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
         batches, "doc_id long, img_width long, img_height long, ahash long"
     )
+
+
+def _check_hash_bits(n: int, what: str) -> None:
+    if n >= 64:
+        # 1 << 63 overflows the signed ahash long (and numpy int64
+        # shifts wrap silently) — 64+ bits needs a multi-long packing
+        raise ValueError(f"{what} needs {n} bits; ahash packs into one signed long (max 63)")
+
+
+def ahash_image_payload(b: bytes, hash_size: int) -> tuple[int, int, int]:
+    """aHash one PPM payload → (width, height, hash) — the pure decode
+    → downsample → integer mean-threshold path ``ahash_image`` runs per
+    row, extracted so every caller (batch, streaming attach, binary
+    ingest) hashes through ONE implementation."""
+    if b[:2] != b"P6":
+        raise NotImplementedError("compressed image decode requires pillow")
+    n = hash_size * hash_size
+    w, h, px = decode_ppm(b)
+    small = resize_nearest(px, hash_size, hash_size).astype(np.int64)
+    gray = small.sum(axis=2) // 3
+    total = int(gray.sum())
+    bits = (gray.reshape(-1) * n >= total).astype(np.int64)
+    weights = 1 << np.arange(n).astype(np.int64)
+    return w, h, int((bits * weights).sum())
 
 
 AUDIO_SCHEMA = StructType(
@@ -496,31 +515,70 @@ def ahash_audio(media: DataFrame, n_windows: int = 16) -> DataFrame:
     bits, so grouping is a hash groupBy (exact) or hamming-banded
     join (near) — all integer ops, so the oracle recomputes every
     hash arithmetically on the synthetic corpus."""
-    if n_windows >= 64:
-        raise ValueError(f"n_windows {n_windows} needs {n_windows} bits; ahash packs into one signed long (max 63)")
-    weights = 1 << np.arange(n_windows).astype(np.int64)
+    _check_hash_bits(n_windows, "n_windows " + str(n_windows))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {"doc_id": [], "sample_rate": [], "n_samples": [], "audio_hash": []}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, samples = decode_wav_pcm16(bytes(payload))
-                a = np.abs(samples.astype(np.int64))
-                n = len(a)
-                wi = (np.arange(n) * n_windows) // n
-                # np.bincount(weights=) accumulates in float64 — keep the
-                # energy sums exact int64 via indexed integer accumulation
-                e = np.zeros(n_windows, dtype=np.int64)
-                np.add.at(e, wi, a)
-                nw = np.bincount(wi, minlength=n_windows).astype(np.int64)
-                total = int(a.sum())
-                bits = _energy_bits(e, nw, total, n)
+                rate, n, hv = ahash_audio_payload(bytes(payload), n_windows)
                 out["doc_id"].append(did)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n)
-                out["audio_hash"].append(int((bits * weights).sum()))
+                out["audio_hash"].append(hv)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
         batches, "doc_id long, sample_rate long, n_samples long, audio_hash long"
     )
+
+
+def attach_profiled_hash(
+    df: DataFrame, modality: str, id_col: str = "doc_id", out: str | None = None
+) -> DataFrame:
+    """Attach the profiled perceptual hash as a NEW COLUMN, keeping
+    every input column — the streaming-legal spelling of the
+    media_hash stage (the batch stage joins a (id, hash) frame back on
+    the id key; a stream cannot self-join without watermark state, so
+    here generate → encode → decode → hash runs in ONE Arrow
+    mapInPandas pass over the full row batch). Exactly the same
+    payload and hash paths as the batch stage (the shared
+    ``_profiled_*_payload`` / ``ahash_*_payload`` helpers), so batch
+    and streaming agree bit-for-bit."""
+    if modality == "image":
+        def hash_one(did: int) -> int:
+            return ahash_image_payload(_profiled_image_payload(did), 7)[2]
+    elif modality == "audio":
+        def hash_one(did: int) -> int:
+            return ahash_audio_payload(_profiled_audio_payload(did), 49)[2]
+    else:
+        raise ValueError(f"unsupported attach_profiled_hash modality: {modality!r}")
+    out = out or f"{modality}_hash"
+    schema = StructType(df.schema.fields + [StructField(out, LongType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out] = [hash_one(int(d)) for d in pdf[id_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, schema)
+
+
+def ahash_audio_payload(b: bytes, n_windows: int) -> tuple[int, int, int]:
+    """aHash one WAV payload → (sample_rate, n_samples, hash) — the
+    pure per-clip path ``ahash_audio`` runs per row (same extraction
+    rationale as ``ahash_image_payload``)."""
+    rate, samples = decode_wav_pcm16(b)
+    a = np.abs(samples.astype(np.int64))
+    n = len(a)
+    wi = (np.arange(n) * n_windows) // n
+    # np.bincount(weights=) accumulates in float64 — keep the
+    # energy sums exact int64 via indexed integer accumulation
+    e = np.zeros(n_windows, dtype=np.int64)
+    np.add.at(e, wi, a)
+    nw = np.bincount(wi, minlength=n_windows).astype(np.int64)
+    total = int(a.sum())
+    bits = _energy_bits(e, nw, total, n)
+    weights = 1 << np.arange(n_windows).astype(np.int64)
+    return rate, n, int((bits * weights).sum())

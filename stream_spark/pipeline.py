@@ -296,18 +296,48 @@ def _stage_langid(df: DataFrame, s: dict, ctx, spark, sf_dir) -> DataFrame:
 def _stage_media_hash(df, s, ctx, spark, sf_dir):
     """Perceptual fingerprint stage: attach an ``image``/``audio``
     aHash column keyed by ``id`` — the multimodal-curation ingest step.
-    The payloads here are the deterministic synthetic corpus (the
-    oracle-replayable decode stub; a real crawl swaps the generator for
-    a binaryFile scan + codec in the SAME Arrow mapInPandas slot — the
-    schema, batching and join-back are exactly what production runs).
-    Hashing is a keyed doc_id equi-join back onto the frame — linear,
-    shuffle on the id key only."""
+
+    Three sources, one hash implementation:
+
+    - default (synthetic): payloads from the deterministic profiled
+      generators (the oracle-replayable decode stub); hashing is a
+      keyed doc_id equi-join back onto the frame — linear, shuffle on
+      the id key only.
+    - ``source: "binary"`` (+ ``path``/``glob``): REAL bytes — a
+      binaryFile scan of one-file-per-row payloads (ids from file
+      names), native PPM/WAV decode → aHash in the same Arrow slot,
+      joined back on id. The production ingest shape end to end;
+      compressed formats still raise the clean PIL install hint.
+    - a STREAMING frame: the join-back is not streaming-legal
+      (stream-stream self-join), so generate→encode→decode→hash runs
+      in one column-preserving Arrow pass
+      (operators/multimodal.attach_profiled_hash — bit-identical to
+      the batch path, same shared per-payload helpers)."""
     from stream_spark.operators import multimodal as mm
 
     modality = s["modality"]
     id_col = s.get("id", "doc_id")
     out = s.get("out", f"{modality}_hash")
     gen = s.get("generator", "profiled")
+    if df.isStreaming:
+        return mm.attach_profiled_hash(df, modality, id_col=id_col, out=out)
+    if s.get("source") == "binary":
+        from stream_spark.sources import read_binary_files
+
+        media = read_binary_files(
+            spark, s["path"], glob=s.get("glob", "*.bin")
+        ).select("doc_id", "payload")
+        if modality == "image":
+            h = mm.ahash_image(media, hash_size=int(s.get("hashSize", 7))).select(
+                F.col("doc_id").alias(id_col), F.col("ahash").alias(out)
+            )
+        elif modality == "audio":
+            h = mm.ahash_audio(media, n_windows=int(s.get("nWindows", 49))).select(
+                F.col("doc_id").alias(id_col), F.col("audio_hash").alias(out)
+            )
+        else:
+            raise ValueError(f"unsupported media_hash modality: {modality!r}")
+        return df.join(h, id_col)
     if modality == "image":
         make = (
             mm.synthetic_profiled_image_table if gen == "profiled" else mm.synthetic_image_table
@@ -335,6 +365,13 @@ def _stage_dedup_by(df, s, ctx, spark, sf_dir):
     shape as the text dedup stage."""
     from pyspark.sql.window import Window
 
+    if df.isStreaming:
+        raise ValueError(
+            "dedup_by is a batch stage (whole-partition window min); on a "
+            "stream use streaming.dedup.multi_hash_first_seen over the "
+            "media_hash columns — the online first-seen register (see "
+            "streaming_pipeline_multimodal)"
+        )
     id_col = s.get("id", "doc_id")
     w = Window.partitionBy(s["column"])
     return (

@@ -1301,6 +1301,84 @@ def streaming_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "n_docs", "n_contaminated", "sum_hits")
 
 
+from stream_spark.queries.pipeline_queries import (  # noqa: E402
+    MM_AUDIO_HASH as _MM_AH,
+    MM_IMAGE_HASH as _MM_IH,
+    mm_gate_ctes as _mm_gate_ctes,
+)
+
+
+@register(
+    "streaming_pipeline_multimodal",
+    oracle=f"""
+    WITH {_mm_gate_ctes()},
+    hx AS (SELECT doc_id, {_MM_IH} AS ih, {_MM_AH} AS ah FROM gate0),
+    im AS (SELECT ih, MIN(doc_id) AS m FROM hx GROUP BY ih),
+    am AS (SELECT ah, MIN(doc_id) AS m FROM hx GROUP BY ah)
+    SELECT h.doc_id,
+           CAST(CASE WHEN h.doc_id > im.m THEN 1 ELSE 0 END AS BIGINT) AS dup_image,
+           CAST(CASE WHEN h.doc_id > am.m THEN 1 ELSE 0 END AS BIGINT) AS dup_audio,
+           CAST(CASE WHEN h.doc_id > im.m OR h.doc_id > am.m THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM hx h JOIN im ON h.ih = im.ih JOIN am ON h.ah = am.ah
+    """,
+)
+def streaming_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-curation capstone's ONLINE ingest shape (r10,
+    VERDICT r9 item 6): the SAME declarative DSL stages C92 runs in
+    batch — quality gate, image media_hash, audio media_hash — compiled
+    onto a LIVE id-ordered replay stream via ``Pipeline.run_on`` (the
+    streaming ``media_hash`` path is the column-preserving Arrow attach;
+    the batch join-back is not streaming-legal), then both hash columns
+    unpivot into ONE tagged stream feeding the shared first-seen fold
+    (streaming/dedup.multi_hash_first_seen): every arriving gated doc
+    claims its image AND audio perceptual hashes; a doc is flagged per
+    modality when an earlier id already claimed that hash. Per-doc
+    (dup_image, dup_audio, is_dup) aggregated batch-side after the
+    sink — the online register a crawl ingest keeps in front of the
+    batch curation pass. The oracle replays the gate, both 49-bit
+    closed-form hashes, and the earlier-id claim semantics exactly."""
+    from stream_spark.pipeline import Pipeline
+    from stream_spark.streaming import ordered_replay_stream
+    from stream_spark.streaming.dedup import multi_hash_first_seen
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = f"{_SCRATCH}/pipeline_multimodal"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = ordered_replay_stream(
+        spark, docs.select("doc_id", "text"), stage, ["doc_id"], n_slices=4
+    )
+    pipe = Pipeline.from_dict(
+        {
+            "name": "stream_multimodal",
+            "source": {"table": "documents"},
+            "stages": [
+                {"type": "quality_gate", "settings": {"column": "text", "minWords": 20}},
+                {"type": "media_hash", "settings": {"modality": "image", "id": "doc_id"}},
+                {"type": "media_hash", "settings": {"modality": "audio", "id": "doc_id"}},
+            ],
+        }
+    )
+    hashed = pipe.run_on(stream, spark)
+    out = run_stream_to_memory(
+        multi_hash_first_seen(hashed, [(0, "image_hash"), (1, "audio_hash")]),
+        output_mode="append",
+        state_partitions=16,
+    )
+    return (
+        out.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.max(F.when(F.col("band") == 0, F.col("hit")).otherwise(0))
+            .cast("long")
+            .alias("dup_image"),
+            F.max(F.when(F.col("band") == 1, F.col("hit")).otherwise(0))
+            .cast("long")
+            .alias("dup_audio"),
+            F.max("hit").cast("long").alias("is_dup"),
+        )
+        .select("doc_id", "dup_image", "dup_audio", "is_dup")
+    )
+
+
 @register(
     "streaming_dedup_audio",
     oracle="""

@@ -269,6 +269,37 @@ def streaming_embedding_dedup(
     return first_seen_fold(bands)
 
 
+def multi_hash_first_seen(
+    stream: DataFrame,
+    hash_cols: list[tuple[int, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Online MULTI-MODALITY dedup: given a stream that already carries
+    one perceptual-hash column per modality (e.g. the DSL's streaming
+    ``media_hash`` stages), unpivot each row into one tagged
+    (doc, band=modality_tag, bucket=hash) row per modality — a single
+    STATELESS explode, no union of stream branches — and run the shared
+    ``first_seen_fold``. A doc hits when ANY of its hashes was already
+    claimed by an earlier id (every arriving doc claims all its hashes,
+    dup or not — the online ingest register). Emits (doc, band, hit) in
+    append mode; aggregate ``max(hit)`` per doc (or per (doc, band) for
+    per-modality flags) batch-side after the sink."""
+    tagged = stream.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(tag)).alias("band"), F.col(c).cast("long").alias("bucket")
+                    )
+                    for tag, c in hash_cols
+                ]
+            )
+        ).alias("_mh"),
+    ).select("doc", F.col("_mh.band").alias("band"), F.col("_mh.bucket").alias("bucket"))
+    return first_seen_fold(tagged)
+
+
 def streaming_audio_dedup(
     stream: DataFrame,
     payload_col: str = "payload",

@@ -461,3 +461,25 @@ def test_banded_jaccard_blocked_path_identical(hot_bucket_docs):
         for r in banded_jaccard_pairs(hot_bucket_docs, 0.8, block_size=8).collect()
     }
     assert plain == blocked and plain
+
+
+def test_index_staging_dir_repo_derived_and_sweeps_dead_pids(tmp_path, monkeypatch):
+    """The staging helper derives its root from the package location
+    (not a hardcoded path), allocates per-pid, and sweeps sibling dirs
+    whose pid is dead — the unbounded-accumulation fix (ADVICE r9)."""
+    import os
+
+    from stream_spark.queries.dedup_queries import _index_staging_dir
+
+    path = _index_staging_dir("test_staging")
+    base = os.path.dirname(path)
+    assert os.path.basename(path) == str(os.getpid())
+    assert base.endswith(os.path.join(".scratch", "test_staging"))
+    # plant a dir for a pid that cannot be alive (pid_max is < 2^22+2)
+    dead = os.path.join(base, "4194306")
+    os.makedirs(dead, exist_ok=True)
+    live_marker = os.path.join(base, "not_a_pid")
+    os.makedirs(live_marker, exist_ok=True)
+    _index_staging_dir("test_staging")
+    assert not os.path.exists(dead)  # dead pid swept
+    assert os.path.exists(live_marker)  # non-pid dirs untouched

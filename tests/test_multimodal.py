@@ -332,3 +332,53 @@ def test_incremental_verified_is_subset_of_signature_flags(spark, sf_dir):
             assert r["best_match"] is not None and r["best_jaccard"] >= 0.8
         else:
             assert r["best_match"] is None and r["best_jaccard"] is None
+
+
+def test_attach_profiled_hash_matches_batch_join_path(spark):
+    """The column-preserving streaming attach (one combined Arrow pass)
+    must agree BIT-FOR-BIT with the batch media_hash spelling
+    (generator table -> ahash -> join back) for both modalities — the
+    parity claim the streaming pipeline twin rests on — and must keep
+    every input column."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.multimodal import (
+        ahash_audio,
+        ahash_image,
+        attach_profiled_hash,
+        synthetic_profiled_audio_table,
+        synthetic_profiled_image_table,
+    )
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    att = attach_profiled_hash(
+        attach_profiled_hash(df, "image"), "audio"
+    )
+    assert att.columns == ["doc_id", "text", "image_hash", "audio_hash"]
+    got = {r["doc_id"]: (r["text"], r["image_hash"], r["audio_hash"]) for r in att.collect()}
+
+    img = {
+        r["doc_id"]: r["ahash"]
+        for r in ahash_image(synthetic_profiled_image_table(df), hash_size=7).collect()
+    }
+    aud = {
+        r["doc_id"]: r["audio_hash"]
+        for r in ahash_audio(synthetic_profiled_audio_table(df), n_windows=49).collect()
+    }
+    assert len(got) == 40
+    for did, (text, ih, ah) in got.items():
+        assert text == f"t{did}"
+        assert ih == img[did]
+        assert ah == aud[did]
+
+
+def test_attach_profiled_hash_rejects_unknown_modality(spark):
+    import pytest as _pytest
+
+    from stream_spark.operators.multimodal import attach_profiled_hash
+
+    df = spark.range(3).selectExpr("id AS doc_id")
+    with _pytest.raises(ValueError, match="modality"):
+        attach_profiled_hash(df, "video")

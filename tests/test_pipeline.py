@@ -445,3 +445,26 @@ def test_media_and_dedup_stages(spark, sf_dir):
 
     with pytest.raises(ValueError, match="modality"):
         run([{"type": "media_hash", "settings": {"modality": "video"}}]).count()
+
+
+def test_dedup_by_on_stream_raises_with_pointer(spark, tmp_path):
+    """The batch-only dedup_by stage fails FAST on a streaming frame
+    with a pointer to the online first-seen path, instead of a deep
+    Catalyst window-unsupported error."""
+    import pytest as _pytest
+
+    from stream_spark.pipeline import Pipeline
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "CAST(value AS STRING) AS h")
+    )
+    pipe = Pipeline.from_dict(
+        {
+            "name": "bad",
+            "source": {"table": "documents"},
+            "stages": [{"type": "dedup_by", "settings": {"column": "h", "id": "doc_id"}}],
+        }
+    )
+    with _pytest.raises(ValueError, match="multi_hash_first_seen"):
+        pipe.run_on(stream, spark)

@@ -198,6 +198,14 @@ def normalize_plan(plan: str) -> str:
     # but InMemoryFileIndex previews N of M paths where M varies with
     # writer parallelism on staged inputs — mask the counts
     p = re.sub(r"\d+ paths", "N paths", p)
+    # FileScan truncates the DataFilters string at a fixed CHAR budget
+    # BEFORE our id masking runs, so sessions whose raw expression ids
+    # have different widths truncate at different visible points (r10:
+    # three snapshots flapped on `lower(` vs `lowe(` tails — the same
+    # cross-session-flake class as the q21 gid order). DataFilters is
+    # redundant with the Filter node (printed in full) + PushedFilters,
+    # so mask the whole list rather than chase the cut point.
+    p = re.sub(r"DataFilters: \[.*?(?=, Format:)", "DataFilters: [MASKED]", p)
     return p
 
 

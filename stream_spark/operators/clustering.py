@@ -22,7 +22,7 @@ from stream_spark.operators.rownum import cpu_partitions
 
 from pyspark.sql import DataFrame, functions as F
 
-from stream_spark.operators.similarity import dot, norm
+from stream_spark.operators.similarity import dot, dot_sql, norm, norm_sql, sql_dvec
 
 
 def _assign(base: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -37,12 +37,16 @@ def _assign(base: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
             .withColumn("cos", F.lit(None).cast("double"))
             .filter(F.lit(False))
         )
-    coss = F.array(
-        *[
-            dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cv]))
-            / (F.col("nrm") * norm(F.array(*[F.lit(float(x)) for x in cv])))
+    # one parsed expression for all k cosines — the functions-API loop
+    # paid 2 HOF lambda builds × k cells in py4j round trips per Lloyd
+    # iteration (r10; parity pinned in tests/test_ann.py)
+    coss = F.expr(
+        "array("
+        + ", ".join(
+            f"({dot_sql('v', sql_dvec(cv))} / (nrm * {norm_sql(sql_dvec(cv))}))"
             for _cell, cv in cents
-        ]
+        )
+        + ")"
     )
     cells = [c for c, _ in cents]
     d = base.withColumn("_coss", coss)

@@ -38,6 +38,36 @@ def _sq_dist_dec(a: Column, b: Column) -> Column:
     )
 
 
+def _sq_dist_dec_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-text twin of ``_sq_dist_dec`` (same casts, same fold —
+    parity pinned in tests/test_ann.py): one parser call instead of
+    ~10 py4j lambda round trips per instantiation, which matters when
+    the LUT loop builds n_sub×k of these against literal centroids."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
+        "CAST((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) AS DECIMAL(28,12))), "
+        "CAST(0 AS DECIMAL(30,12)), (acc, x) -> CAST(acc + x AS DECIMAL(30,12)))"
+    )
+
+
+def _lut_expr(vec_col: str, books, n_sub: int, k: int, sub: int) -> Column:
+    """The whole per-query (sub, code) → exact-decimal distance table
+    as ONE parsed expression: array of n_sub×k structs, each an
+    ``_sq_dist_dec_sql`` fold of the query subvector against a literal
+    codebook row. Built as SQL text because the functions-API spelling
+    spent ~4 s of driver wall per construction on py4j lambda creation
+    (128 folds × ~10 round trips — profiled r10)."""
+    from stream_spark.operators.similarity import sql_dvec
+
+    entries = [
+        f"struct({s} AS sub, CAST({c} AS BIGINT) AS code, "
+        f"{_sq_dist_dec_sql(f'slice({vec_col}, {s * sub + 1}, {sub})', sql_dvec(books[s][c]))} AS d)"
+        for s in range(n_sub)
+        for c in range(k)
+    ]
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
 def _sq_dist_float(a: Column, b: Column) -> Column:
     """Fast double-fold squared L2 — prefilter only (error ~1e-13 rel)."""
     return F.aggregate(
@@ -119,7 +149,8 @@ def _code_entries(vec: Column, books, n_sub: int, k: int, dim: int) -> Column:
     entries = []
     for s in range(n_sub):
         part = F.slice(vec, s * sub + 1, sub)
-        books_lit = F.array(*[F.array(*[F.lit(w) for w in books[s][c]]) for c in range(k)])
+        # one nested-array literal, not k*sub F.lit py4j round trips (r10)
+        books_lit = F.lit([books[s][c] for c in range(k)])
         entries.append(
             F.struct(F.lit(s).alias("sub"), _argmin_code(part, books_lit, k).alias("code"))
         )
@@ -183,7 +214,7 @@ def topk_ivfpq(
     the LUT is bounded (queries × n_sub × k) and broadcast."""
     from pyspark.sql import Window
 
-    from stream_spark.operators.similarity import cosine
+    from stream_spark.operators.similarity import cell_scores_expr
 
     cents = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -199,13 +230,6 @@ def topk_ivfpq(
         )
     cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
 
-    def cell_scores(vec):
-        entries = []
-        for j, cw in enumerate(cent_vecs):
-            lit = F.array(*[F.lit(w) for w in cw])
-            entries.append(F.struct(cosine(vec, lit).alias("c"), F.lit(-j).alias("nj")))
-        return F.array(*entries)
-
     # Fused Arrow index build (r6): ONE numpy pass per batch computes
     # the coarse cell AND the 8 PQ codes — no second corpus scan, no
     # corpus-sized join, and unlike the Catalyst fusion of the same two
@@ -220,7 +244,9 @@ def topk_ivfpq(
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"),
-            F.slice(F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe).alias("tc"),
+            F.slice(
+                F.reverse(F.array_sort(cell_scores_expr(vec_col, cent_vecs))), 1, n_probe
+            ).alias("tc"),
         )
         .select("query_id", F.explode("tc").alias("t"))
         .select("query_id", (-F.col("t.nj")).alias("cell"))
@@ -229,19 +255,8 @@ def topk_ivfpq(
     books = _codebooks(corpus, id_col, vec_col, n_sub, k, dim)
     k = _clamped_k(books, k)  # 1..k-1-vector corpus: fewer codes, same math
     sub = dim // n_sub
-    lut_entries = []
-    for s in range(n_sub):
-        part = F.slice(F.col(vec_col), s * sub + 1, sub)
-        for c in range(k):
-            lut_entries.append(
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.lit(c).cast("long").alias("code"),
-                    _sq_dist_dec(part, F.array(*[F.lit(w) for w in books[s][c]])).alias("d"),
-                )
-            )
     lut = queries.select(
-        F.col(id_col).alias("query_id"), F.explode(F.array(*lut_entries)).alias("e")
+        F.col(id_col).alias("query_id"), F.explode(_lut_expr(vec_col, books, n_sub, k, sub)).alias("e")
     ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"), F.col("e.d").alias("d"))
 
     scored = (
@@ -293,19 +308,8 @@ def topk_pq(
     sub = dim // n_sub
     # Arrow encode (bit-parity pytested vs the Catalyst pq_codes spelling)
     codes = pq_codes_arrow(corpus, id_col, vec_col, n_sub, k, dim).withColumnRenamed("id", "neighbor_id")
-    lut_entries = []
-    for s in range(n_sub):
-        part = F.slice(F.col(vec_col), s * sub + 1, sub)
-        for c in range(k):
-            lut_entries.append(
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.lit(c).cast("long").alias("code"),
-                    _sq_dist_dec(part, F.array(*[F.lit(w) for w in books[s][c]])).alias("d"),
-                )
-            )
     lut = queries.select(
-        F.col(id_col).alias("query_id"), F.explode(F.array(*lut_entries)).alias("e")
+        F.col(id_col).alias("query_id"), F.explode(_lut_expr(vec_col, books, n_sub, k, sub)).alias("e")
     ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"), F.col("e.d").alias("d"))
     scored = (
         # broadcast-ok: lut is the contract-bounded query set × n_sub × k

@@ -142,6 +142,60 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- SQL-text twins of the decimal folds (r10) -----------------------------
+#
+# Every functions-API higher-order call (zip_with/transform/aggregate)
+# creates its lambdas through ~10 py4j round trips; a query that builds
+# k×n_sub of these folds against literal centroids spends SECONDS of
+# driver wall purely on lambda construction (profiled: 400 HOFs ≈ 5.2 s
+# of ann_topk_ivfpq's construction). The SQL-text spellings below build
+# the IDENTICAL expressions — same casts, same fold shapes, pinned by
+# tests/test_ann.py::test_sql_text_folds_match_functions_api — in ONE
+# F.expr parse per (or even spanning many) fold. Use them wherever a
+# loop instantiates folds against driver-side literal vectors.
+
+
+def sql_dvec(vals) -> str:
+    """SQL literal array<double> for a float list. repr() round-trips
+    exactly through Double.parseDouble, so CAST('<repr>' AS DOUBLE)
+    reproduces each float bit-for-bit."""
+    return "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+
+
+def _dec_sum_sql(arr_sql: str) -> str:
+    return (
+        f"aggregate(transform({arr_sql}, v -> CAST(v AS DECIMAL(28,12))), "
+        "CAST(0 AS DECIMAL(30,12)), (acc, x) -> CAST(acc + x AS DECIMAL(30,12)))"
+    )
+
+
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    z = f"zip_with({a_sql}, {b_sql}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+    return f"CAST({_dec_sum_sql(z)} AS DOUBLE)"
+
+
+def norm_sql(a_sql: str) -> str:
+    t = f"transform({a_sql}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return f"SQRT(CAST({_dec_sum_sql(t)} AS DOUBLE))"
+
+
+def cosine_sql(a_sql: str, b_sql: str) -> str:
+    return f"({dot_sql(a_sql, b_sql)} / ({norm_sql(a_sql)} * {norm_sql(b_sql)}))"
+
+
+def cell_scores_expr(vec_col: str, cent_vecs: list[list[float]]) -> Column:
+    """array<struct<c:cosine, nj:-cell>> of a vector column against
+    every literal centroid — struct max = best cell. ONE parsed
+    expression for all n_cells exact-decimal cosines (the functions-API
+    loop paid ~3 HOF lambda constructions × n_cells in py4j round
+    trips per query build)."""
+    entries = [
+        f"struct({cosine_sql(vec_col, sql_dvec(cw))} AS c, {-j} AS nj)"
+        for j, cw in enumerate(cent_vecs)
+    ]
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
 def _float_cosine(a: Column, b: Column) -> Column:
     """Fast double-fold cosine — used only as a prefilter."""
     fdot = F.aggregate(
@@ -227,7 +281,7 @@ BAND_PLANES = 12
 
 
 def banded_buckets(
-    vec: Column,
+    vec: Column | str,
     n_tables: int = N_TABLES,
     band_planes: int = BAND_PLANES,
     dim: int = DIM,
@@ -249,11 +303,31 @@ def banded_buckets(
     gap this replaces.
     """
     planes = hyperplane_weights(n_tables * band_planes, dim)
+    if isinstance(vec, str):
+        # SQL-text fast path (r10): one parse for all H·b sign-bit
+        # folds instead of H·b py4j lambda constructions — parity with
+        # the Column path pinned in tests/test_ann.py
+        entries_sql = []
+        for t in range(n_tables):
+            bits = []
+            for j in range(band_planes):
+                z = (
+                    f"zip_with({vec}, {sql_dvec(planes[t * band_planes + j])}, "
+                    "(x, y) -> CAST(x AS DOUBLE) * y)"
+                )
+                bits.append(
+                    f"(CASE WHEN CAST({_dec_sum_sql(z)} AS DOUBLE) >= 0 "
+                    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+                )
+            entries_sql.append(
+                f"struct({t} AS t, (CAST(0 AS BIGINT) + " + " + ".join(bits) + ") AS bucket)"
+            )
+        return F.expr("array(" + ", ".join(entries_sql) + ")")
     entries = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for j in range(band_planes):
-            wcol = F.array(*[F.lit(w) for w in planes[t * band_planes + j]])
+            wcol = F.lit(list(planes[t * band_planes + j]))
             proj = _dec_sum(F.zip_with(vec, wcol, lambda x, y: x.cast("double") * y)).cast("double")
             bucket = bucket + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(0)
         entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
@@ -638,10 +712,10 @@ def incremental_embedding_flags(
     row: structurally immune to hot buckets. Returns
     (id, is_dup 0/1) per new vector."""
     nb = new_df.select(
-        F.col(id_col).alias("doc"), F.explode(banded_buckets(F.col(vec_col))).alias("tb")
+        F.col(id_col).alias("doc"), F.explode(banded_buckets(vec_col)).alias("tb")
     ).select("doc", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     cb = (
-        corpus_df.select(F.explode(banded_buckets(F.col(vec_col))).alias("tb"))
+        corpus_df.select(F.explode(banded_buckets(vec_col)).alias("tb"))
         .select(F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
         .distinct()
         .withColumn("_hit", F.lit(1))
@@ -746,7 +820,7 @@ def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
     planes = hyperplane_weights(n_planes, dim)
     bucket = F.lit(0).cast("long")
     for j, weights in enumerate(planes):
-        wcol = F.array(*[F.lit(w) for w in weights])
+        wcol = F.lit(list(weights))  # one literal, not dim F.lit calls (r10)
         proj = _dec_sum(F.zip_with(vec, wcol, lambda x, y: x.cast("double") * y)).cast("double")
         bucket = bucket + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(0)
     return bucket
@@ -769,12 +843,12 @@ def assign_cell_two_phase(vec: Column, cent_vecs: list[list[float]]) -> Column:
     from stream_spark.operators.dedup import _bind_once
 
     n = len(cent_vecs)
-    cents_lit = F.array(*[F.array(*[F.lit(w) for w in cv]) for cv in cent_vecs])
+    cents_lit = F.lit([list(cv) for cv in cent_vecs])  # one nested literal (r10)
     # centroid float norms precomputed driver-side (same IEEE double
     # ops the JVM fold would run; prefilter-only so the 1e-6 margin
     # absorbs any ordering difference anyway)
     fnorms = [sum(w * w for w in cv) ** 0.5 for cv in cent_vecs]
-    fnorms_lit = F.array(*[F.lit(x) for x in fnorms])
+    fnorms_lit = F.lit(fnorms)
 
     def _fdot(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -892,14 +966,6 @@ def topk_ivf(
         )
     cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
 
-    def cell_scores(vec: Column) -> Column:
-        """array<struct<c:cosine, nj:-cell>> — struct max = best cell."""
-        entries = []
-        for j, cw in enumerate(cent_vecs):
-            lit = F.array(*[F.lit(w) for w in cw])
-            entries.append(F.struct(cosine(vec, lit).alias("c"), F.lit(-j).alias("nj")))
-        return F.array(*entries)
-
     for _ in range(refine_iters):
         # Arrow assignment (bit-parity pytested vs assign_cell_two_phase)
         assigned_r = assign_cells_arrow(
@@ -926,7 +992,9 @@ def topk_ivf(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.slice(F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe).alias("top_cells"),
+            F.slice(
+                F.reverse(F.array_sort(cell_scores_expr(vec_col, cent_vecs))), 1, n_probe
+            ).alias("top_cells"),
         )
         .select("query_id", "qv", F.explode("top_cells").alias("tc"))
         .select("query_id", "qv", (-F.col("tc.nj")).alias("cell"))

@@ -1017,8 +1017,10 @@ def dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make every day-1 doc hit its own just-appended bands). At
     100 TB the append is a dynamic-partition or bucketed saveAsTable
     append on (band, bucket) so compaction co-locates without a
-    shuffle; the flat-parquet spelling keeps the gate engine-portable
-    while exercising the same append→compact→probe lifecycle."""
+    shuffle — PROVEN, not just claimed: tests/test_bucketing.py's
+    bucketed-index probe pins Bucketed:true + zero Exchange above the
+    index scan + flag parity with this flat spelling (which stays the
+    gated form because it is engine-portable)."""
     from stream_spark.operators.dedup import minhash_band_buckets
 
     docs = load_table(spark, sf_dir, "documents")

@@ -134,7 +134,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def write_bucketed(
-    df, table_name: str, bucket_col: str, n_buckets: int = 16, sort_col: str | None = None
+    df,
+    table_name: str,
+    bucket_col: str | list[str],
+    n_buckets: int = 16,
+    sort_col: str | None = None,
 ) -> None:
     """Persist a table bucketed (and optionally sorted) on a join key.
 
@@ -142,9 +146,13 @@ def write_bucketed(
     bucketed on the same key with the same bucket count join with NO
     exchange — each task reads matching bucket files from both sides.
     At cluster scale the write targets the metastore; locally it lands
-    in ``spark.sql.warehouse.dir``.
-    """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    in ``spark.sql.warehouse.dir``. ``bucket_col`` may be a list when
+    the join key is composite (e.g. the dedup index's (band, bucket))
+    — the planner only uses a bucketed read whose bucket columns match
+    the join keys; a single-column bucket layout under a two-key join
+    is disabled with "Bucketed: false"."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *cols)
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)

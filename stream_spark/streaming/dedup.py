@@ -262,7 +262,7 @@ def streaming_embedding_dedup(
     bands = (
         stream.select(
             F.col(id_col).alias("doc"),
-            F.explode(banded_buckets(F.col(vec_col))).alias("tb"),
+            F.explode(banded_buckets(vec_col)).alias("tb"),
         )
         .select("doc", F.col("tb.t").alias("band"), F.col("tb.bucket").alias("bucket"))
     )

@@ -864,3 +864,64 @@ def test_pq_topk_clamps_on_undersized_corpus(spark):
     assert len(got) == 2 * 3
     got2 = topk_ivfpq(queries, corpus, topk=3).collect()
     assert len(got2) == 2 * 3
+
+
+def test_sql_text_folds_match_functions_api(spark):
+    """The r10 SQL-text fold twins (sql_dvec / dot_sql / norm_sql /
+    cosine_sql / _sq_dist_dec_sql) must be BIT-IDENTICAL to the
+    functions-API decimal folds they replace — same casts, same fold
+    shapes — including awkward floats (negative zero, subnormal-ish
+    magnitudes, repr with exponent, 12+ significant digits)."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.pq import _sq_dist_dec, _sq_dist_dec_sql
+    from stream_spark.operators.similarity import (
+        cosine,
+        cosine_sql,
+        dot,
+        dot_sql,
+        norm,
+        norm_sql,
+        sql_dvec,
+    )
+
+    lits = [0.123456789012345, -3.5e-7, 12.25, 1013.75, -0.0, 7.000000001, 1e-12, -256.03125]
+    vecs = [
+        [1.5, -2.25, 0.001, 3.0, -7.5, 0.3333333333333333, 1e-9, 42.0],
+        [-0.0, 0.0, 1.0, -1.0, 2.5e-5, 999.999999999, -3.25, 0.1],
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    lit_fn = F.array(*[F.lit(float(x)) for x in lits])
+    lit_sql = sql_dvec(lits)
+    rows = df.select(
+        cosine(F.col("v"), lit_fn).alias("c1"),
+        F.expr(cosine_sql("v", lit_sql)).alias("c2"),
+        dot(F.col("v"), lit_fn).alias("d1"),
+        F.expr(dot_sql("v", lit_sql)).alias("d2"),
+        norm(F.col("v")).alias("n1"),
+        F.expr(norm_sql("v")).alias("n2"),
+        _sq_dist_dec(F.col("v"), lit_fn).alias("s1"),
+        F.expr(_sq_dist_dec_sql("v", lit_sql)).alias("s2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"]
+        assert r["d1"] == r["d2"]
+        assert r["n1"] == r["n2"]
+        assert r["s1"] == r["s2"]
+
+
+def test_banded_buckets_sql_path_matches_column_path(spark, sf_dir):
+    """banded_buckets' r10 SQL-text fast path (string arg) must emit
+    the exact same (t, bucket) entries as the functions-API Column
+    path on real embeddings."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.similarity import banded_buckets
+    from stream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = emb.select("vec_id", F.explode(banded_buckets("embedding")).alias("tb"))
+    b = emb.select("vec_id", F.explode(banded_buckets(F.col("embedding"))).alias("tb"))
+    ra = sorted((r["vec_id"], r["tb"]["t"], r["tb"]["bucket"]) for r in a.collect())
+    rb = sorted((r["vec_id"], r["tb"]["t"], r["tb"]["bucket"]) for r in b.collect())
+    assert ra == rb and len(ra) == 50 * 8

@@ -78,11 +78,16 @@ def _materialize_index(df: DataFrame) -> DataFrame:
     This is the stage-materialization boundary a production pipeline
     writes anyway (the index is reused, not re-derived); localCheckpoint
     persists executor-local — same data volume the next shuffle would
-    spill. Stats caveat (CLAUDE.md): checkpointed frames carry sentinel
-    size stats, so nothing downstream may RELY on auto-broadcast of a
-    derived frame — these indexes are doc/fp-keyed shuffle-join inputs
-    by design and are documented never-broadcast."""
-    return df.localCheckpoint(eager=True)
+    spill. eager=False (r10): the cache write runs at the caller's
+    FIRST action instead of at DataFrame construction — the same
+    compute-once guarantee (every consumer reads the one cached RDD),
+    without the construction-time side effect that silently moved work
+    out of the old bench window (ADVICE r9). Stats caveat (CLAUDE.md):
+    checkpointed frames carry sentinel size stats, so nothing
+    downstream may RELY on auto-broadcast of a derived frame — these
+    indexes are doc/fp-keyed shuffle-join inputs by design and are
+    documented never-broadcast."""
+    return df.localCheckpoint(eager=False)
 
 
 def ngram_jaccard_pairs(

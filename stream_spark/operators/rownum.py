@@ -106,38 +106,111 @@ def cpu_partitions(df: DataFrame) -> int:
     return sized_partitions(df, CPU_TARGET_PARTITION_BYTES)
 
 
-def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn") -> DataFrame:
-    spark = df.sparkSession
-    # Both the counts job and the row-number job must see the SAME
-    # partition layout or the offsets are garbage. Two pins:
-    # an explicit numPartitions (user-specified counts are exempt from
-    # AQE coalescing), and an EAGER localCheckpoint so the second job
-    # reuses the materialized partitions instead of re-running the
-    # (sampled) range exchange. localCheckpoint, not persist():
-    # persist() pins the dataset in the CacheManager until someone
-    # calls unpersist — which no caller of a returned DataFrame ever
-    # can at the right time — while checkpoint blocks are reference-
-    # counted by the ContextCleaner and freed as soon as the result
-    # DataFrame is garbage-collected (tests/test_operators_misc.py
-    # asserts the release).
-    n_parts = sized_partitions(df)
-    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
-    ranged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+def _ranged_pid(df: DataFrame, order_cols: list[str], n_parts: int) -> DataFrame:
+    """Range-partition + partition-sort ``df`` on the total order,
+    stamp each row's physical partition id, and pin the layout with a
+    LAZY localCheckpoint.
 
-    counts = ranged.groupBy("_pid").count().collect()
-    cum = 0
-    offsets = []
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], cum))
-        cum += row["count"]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
-
-    local = Window.partitionBy("_pid").orderBy(*order_cols)
+    Layout-consistency contract: the offsets subtree and the main
+    subtree both consume this frame and MUST see the same range
+    boundaries — range SAMPLING is seeded per RDD id, so two
+    independent executions of the exchange can pick different
+    boundaries. Exchange reuse canonicalization is NOT a safe pin:
+    column pruning gives the two consumers different exchange children
+    (the offsets side drops the payload columns), reuse silently
+    fails, and every window straddling a boundary miscounts — observed
+    r10 before this spelling, caught by the oracle gate. A lazy
+    localCheckpoint pins it structurally: both subtrees reference ONE
+    RDD, materialized once and read from cache by every consumer.
+    eager=False (r10; was eager=True) defers the cache write (under
+    AQE the checkpoint's toRdd still materializes the exchange stages
+    at construction — the part that no longer runs eagerly is the
+    blockwise caching job and, vs the old design, the O(n_parts)
+    driver collect). localCheckpoint, not persist(): checkpoint blocks are
+    reference-counted by the ContextCleaner and freed when the result
+    DataFrame is garbage-collected (pytest-asserted), while persist()
+    pins the CacheManager until an unpersist no caller can place."""
+    # _pid and the 1-based local row number both come from ONE
+    # monotonically_increasing_id projection evaluated on the sorted
+    # partition iterator (upper bits = partition id, lower 33 bits =
+    # consecutive record number — a partition would need 2^33 rows to
+    # overflow, 3 orders of magnitude past the 128 MB target): no
+    # WindowExec, no extra hashpartitioning(_pid) exchange, no
+    # per-consumer re-sort — the plan above the checkpoint is pure
+    # projection.
     return (
-        ranged.withColumn("_lrn", F.row_number().over(local))
-        # broadcast-ok: off_df is one row per partition (bounded metadata)
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        # one _mid column, derived twice: the expression is
+        # nondeterministic (per-partition row counter), so it must be
+        # evaluated exactly once per row, never duplicated per use
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33).cast("int"))
+        .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
+        .drop("_mid")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _exclusive_prefix_offsets(per_pid: DataFrame, n_parts: int, agg: str) -> DataFrame:
+    """(._pid, ._val) → (_pid, _off): the EXCLUSIVE prefix (sum | max)
+    over partition ids, entirely IN-PLAN — no driver collect, no
+    materialization barrier (r10; this replaced the two-job
+    collect+checkpoint design, which forced the whole range
+    exchange+sort to run at DataFrame-construction time).
+
+    Scale shape: a flat "fan every pid to all later pids" explode is
+    O(n_parts²) rows — 8.6e9 at the 131 072-partition cap — so the
+    prefix decomposes over √n blocks (Blelloch two-level scan): each
+    pid contributes to the later pids INSIDE its block, each block
+    total contributes to every pid of LATER blocks; both fan-outs are
+    ≤ n_parts^1.5/2 rows (~24M at the cap, trivial next to the data),
+    one union + one keyed aggregate, no window, no single-partition
+    stage. Missing pids (no contributions) are left-join gaps the
+    callers coalesce/greatest away."""
+    import math
+
+    agg_fn = F.sum if agg == "sum" else F.max
+    B = max(1, math.isqrt(max(1, n_parts)))
+    last = n_parts - 1
+    pid = F.col("_pid")
+    blk_end = F.expr(f"least({last}, (_pid DIV {B}) * {B} + {B - 1})")
+    intra_to = F.when(
+        pid + 1 <= blk_end, F.sequence((pid + 1).cast("int"), blk_end.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    intra = per_pid.select(F.explode(intra_to).alias("_pid"), F.col("_val").alias("_c"))
+    btot = (
+        per_pid.groupBy(F.expr(f"_pid DIV {B}").alias("_blk"))
+        .agg(agg_fn(F.col("_val")).alias("_c"))
+    )
+    nxt = (F.col("_blk") + 1) * B
+    bto = F.when(
+        nxt <= F.lit(last), F.sequence(nxt.cast("int"), F.lit(last).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    bfan = btot.select(F.explode(bto).alias("_pid"), "_c")
+    return intra.unionByName(bfan).groupBy("_pid").agg(agg_fn(F.col("_c")).alias("_off"))
+
+
+def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn") -> DataFrame:
+    """Global row number over a total order with NO global sort, NO
+    driver barrier, and (r10) NO eager work at construction: one lazy
+    plan — the range layout pinned by a lazy checkpoint (materialized
+    once at the first action, read by every consumer), per-partition
+    local row numbers, plus the in-plan exclusive prefix of
+    per-partition counts broadcast back onto the id (the old design
+    collect()ed the counts to the driver, which both forced the whole
+    exchange+sort to run at construction time and put an O(n_parts)
+    driver round trip on the path). See ``_ranged_pid`` for the
+    layout-consistency contract and ``_exclusive_prefix_offsets`` for
+    the scan shape."""
+    n_parts = sized_partitions(df)
+    ranged = _ranged_pid(df, order_cols, n_parts)
+    per_pid = ranged.groupBy("_pid").agg(F.count("*").cast("long").alias("_val"))
+    offs = _exclusive_prefix_offsets(per_pid, n_parts, "sum")
+    return (
+        # broadcast-ok: offs is at most one row per partition (bounded metadata)
+        ranged.join(F.broadcast(offs), "_pid", "left")
+        .withColumn(out, (F.col("_lrn") + F.coalesce(F.col("_off"), F.lit(0))).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
 
@@ -155,29 +228,16 @@ def with_global_cumsum(
     broadcast offset), so no single-partition stage at any scale.
 
     ``value_cast`` must make addition exact (integral ``long`` or a
-    DECIMAL type); Python accumulates the per-partition partials in
-    int/Decimal, which is exact either way. ``out`` is the INCLUSIVE
-    prefix sum; subtract the row's value for the exclusive form.
+    DECIMAL type — the in-plan prefix aggregates in that type, so the
+    sum is exact either way). ``out`` is the INCLUSIVE prefix sum;
+    subtract the row's value for the exclusive form.
     """
-    spark = df.sparkSession
     n_parts = sized_partitions(df)
-    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
-    # eager localCheckpoint for the same two reasons as
-    # with_global_row_number: layout consistency across the two jobs,
-    # and ContextCleaner-managed release instead of a CacheManager pin
-    ranged = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+    ranged = _ranged_pid(df, order_cols, n_parts).withColumn(
         "_v", F.col(value_col).cast(value_cast)
-    ).localCheckpoint(eager=True)
-
-    partials = ranged.groupBy("_pid").agg(F.sum("_v").alias("s")).collect()
-    cum = 0
-    offsets = []
-    for row in sorted(partials, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], cum))
-        cum += row["s"] or 0
-    off_df = spark.createDataFrame(
-        [(int(p), o) for p, o in offsets] or [(0, 0)], f"_pid int, _off {value_cast}"
     )
+    per_pid = ranged.groupBy("_pid").agg(F.sum("_v").cast(value_cast).alias("_val"))
+    offs = _exclusive_prefix_offsets(per_pid, n_parts, "sum")
 
     local = (
         Window.partitionBy("_pid")
@@ -186,9 +246,12 @@ def with_global_cumsum(
     )
     return (
         ranged.withColumn("_lcs", F.sum("_v").over(local))
-        # broadcast-ok: off_df is one row per partition (bounded metadata)
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn(out, (F.col("_lcs") + F.col("_off")).cast(value_cast))
+        # broadcast-ok: offs is at most one row per partition (bounded metadata)
+        .join(F.broadcast(offs), "_pid", "left")
+        .withColumn(
+            out,
+            (F.col("_lcs") + F.coalesce(F.col("_off"), F.lit(0).cast(value_cast))).cast(value_cast),
+        )
         .drop("_pid", "_lrn", "_lcs", "_off", "_v")
     )
 
@@ -201,31 +264,19 @@ def with_global_cummax(
     value_cast: str = "long",
 ) -> DataFrame:
     """Global running MAX over a total order — the prefix-max sibling
-    of ``with_global_cumsum`` (per-range partial maxima → driver-side
+    of ``with_global_cumsum`` (per-range partial maxima → in-plan
     exclusive prefix maxima → local window max combined with
-    ``greatest``), so no single-partition stage at any scale. The
-    partition-0 offset is NULL; ``greatest`` skips nulls, so the first
-    range's running max is purely local. ``out`` is the INCLUSIVE
-    running max.
+    ``greatest``), so no single-partition stage at any scale. A
+    partition with no earlier contributions gets a NULL offset via the
+    left join; ``greatest`` skips nulls, so the first range's running
+    max is purely local. ``out`` is the INCLUSIVE running max.
     """
-    spark = df.sparkSession
     n_parts = sized_partitions(df)
-    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
-    # eager localCheckpoint for the same two reasons as
-    # with_global_row_number: layout consistency across the two jobs,
-    # and ContextCleaner-managed release instead of a CacheManager pin
-    ranged = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+    ranged = _ranged_pid(df, order_cols, n_parts).withColumn(
         "_v", F.col(value_col).cast(value_cast)
-    ).localCheckpoint(eager=True)
-
-    partials = ranged.groupBy("_pid").agg(F.max("_v").alias("m")).collect()
-    best = None
-    offsets = []
-    for row in sorted(partials, key=lambda r: r["_pid"]):
-        offsets.append((int(row["_pid"]), best))  # EXCLUSIVE prefix max
-        if row["m"] is not None:
-            best = row["m"] if best is None else max(best, row["m"])
-    off_df = spark.createDataFrame(offsets or [(0, None)], f"_pid int, _off {value_cast}")
+    )
+    per_pid = ranged.groupBy("_pid").agg(F.max("_v").alias("_val"))
+    offs = _exclusive_prefix_offsets(per_pid, n_parts, "max")
 
     local = (
         Window.partitionBy("_pid")
@@ -234,8 +285,8 @@ def with_global_cummax(
     )
     return (
         ranged.withColumn("_lcm", F.max("_v").over(local))
-        # broadcast-ok: off_df is one row per partition (bounded metadata)
-        .join(F.broadcast(off_df), "_pid")
+        # broadcast-ok: offs is at most one row per partition (bounded metadata)
+        .join(F.broadcast(offs), "_pid", "left")
         .withColumn(out, F.greatest(F.col("_lcm"), F.col("_off")).cast(value_cast))
-        .drop("_pid", "_lcm", "_off", "_v")
+        .drop("_pid", "_lrn", "_lcm", "_off", "_v")
     )

@@ -271,11 +271,11 @@ def test_asof_cogrouped_matches_catalyst_carry(spark):
         assert ka == kb, f"tol={tol}: implementations disagree"
 
 
-def test_rownum_primitives_release_their_cached_blocks(spark):
-    """VERDICT r2 #3: the two-pass global-order primitives must not pin
-    executor memory for the session's lifetime. localCheckpoint blocks
-    are reference-counted: once the query's DataFrames are dropped, the
-    ContextCleaner frees them — getPersistentRDDs returns to its
+def test_rownum_primitives_lazy_and_release_their_blocks(spark):
+    """VERDICT r2 #3: the global-order primitives must not pin
+    executor memory for the session's lifetime — checkpoint blocks are
+    reference-counted, so once the query's DataFrames are dropped the
+    ContextCleaner frees them and getPersistentRDDs returns to its
     pre-query baseline."""
     import gc
     import time
@@ -293,13 +293,16 @@ def test_rownum_primitives_release_their_cached_blocks(spark):
 
     def run_queries() -> set:
         # inner scope: every DataFrame reference dies when this returns,
-        # so the poll below isn't at the mercy of test-frame locals
+        # so the poll below isn't at the mercy of test-frame locals.
+        # (Construction still materializes the AQE stages behind the
+        # lazy checkpoint's toRdd — "lazy" buys the absent driver
+        # collect and the deferred cache write, not zero jobs.)
         df = spark.range(50_000).select(F.col("id"), (F.col("id") % 97).alias("v"))
         assert with_global_row_number(df, ["id"]).count() == 50_000
         assert with_global_cumsum(df, "v", ["id"]).count() == 50_000
         return rdd_ids() - baseline
 
-    created = run_queries()  # the primitives' checkpoint blocks
+    created = run_queries()  # the primitives' lazy-checkpoint blocks
     assert created
 
     # cleaner runs async off JVM GC (periodic GC interval is 30 min) —
@@ -315,6 +318,34 @@ def test_rownum_primitives_release_their_cached_blocks(spark):
         time.sleep(0.5)
     # track the SPECIFIC ids (other tests' cached data may coexist)
     assert not (rdd_ids() & created)
+
+
+def test_rownum_in_plan_offsets_survive_arrow_collect(spark):
+    """The r10 in-plan offsets are consumed by TWO subtrees of one
+    plan; an exchange-reuse-based pin silently broke under column
+    pruning (different exchange children → no reuse → divergent range
+    sampling → straddling windows miscounted, visible only via the
+    Arrow toPandas path). The lazy-checkpoint pin must hold for BOTH
+    collect paths, with payload columns forcing asymmetric pruning."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.rownum import with_global_row_number
+
+    df = spark.range(30_000).select(
+        F.col("id"),
+        (F.col("id") * 37 % 9973).alias("k"),
+        F.concat(F.lit("payload"), F.col("id")).alias("txt"),
+    )
+    rn = with_global_row_number(df, ["k", "id"])
+    # windowed completeness over rn — the exact shape that broke
+    win = (
+        rn.withColumn("w", ((F.col("rn") - 1) / 100).cast("long"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == 100)
+    )
+    assert win.count() == 300
+    assert len(win.toPandas()) == 300
 
 
 def test_triangle_counts_known_graph(spark):

@@ -127,10 +127,13 @@ TIER2 = [
     "embeddings_cluster_balanced_sample",
     "documents_langid_confusion",
     "dedup_index_persisted",
-    # round-10 additions: the index-update lifecycle and the
-    # real-bytes media ingest
+    # round-10 addition: the index-update lifecycle.
+    # (pipeline_media_hash_binary stays GATED but out of the timed
+    # tier: ~90% of its wall is the test harness exporting 2×N
+    # one-file-per-row payloads so the binaryFile scan has something
+    # to read — at 15 s it would be 16% of tier-2 total while
+    # measuring the stand-in, not the engine.)
     "dedup_index_update",
-    "pipeline_media_hash_binary",
 ]
 
 

@@ -1306,6 +1306,14 @@ from stream_spark.queries.pipeline_queries import (  # noqa: E402
     MM_IMAGE_HASH as _MM_IH,
     mm_gate_ctes as _mm_gate_ctes,
 )
+from stream_spark.operators.dedup import (  # noqa: E402
+    BAND_SIZE as _idx_band_size,
+    PERMS as _idx_perms,
+)
+from stream_spark.queries.dedup_queries import (  # noqa: E402
+    _MH_PERM as _idx_mh_perm,
+    _SHINGLES3 as _idx_shingles3,
+)
 
 
 @register(
@@ -1376,6 +1384,65 @@ def streaming_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("hit").cast("long").alias("is_dup"),
         )
         .select("doc_id", "dup_image", "dup_audio", "is_dup")
+    )
+
+
+@register(
+    "streaming_dedup_index_probe",
+    oracle=f"""
+    WITH {_idx_shingles3},
+    h AS (
+        SELECT doc, p, MIN({_idx_mh_perm}) AS mh
+        FROM sh, unnest(generate_series(0, {_idx_perms - 1})) t(p)
+        GROUP BY doc, p
+    ),
+    bands AS (
+        SELECT doc, p // {_idx_band_size} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bucket
+        FROM h GROUP BY doc, p // {_idx_band_size}
+    ),
+    corp AS (SELECT DISTINCT band, bucket FROM bands WHERE doc % 4 <> 0)
+    SELECT n.doc AS doc_id,
+           CAST(MAX(CASE WHEN c.bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
+    FROM (SELECT * FROM bands WHERE doc % 4 = 0) n
+    LEFT JOIN corp c ON n.band = c.band AND n.bucket = c.bucket
+    GROUP BY n.doc
+    """,
+)
+def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index lifecycle's ONLINE consumer (r10, completes
+    C95/C96): yesterday's persisted (band, bucket) LSH index is loaded
+    as a STATIC frame and today's documents arrive on a LIVE stream —
+    stateless Arrow band projection per arriving doc, then a
+    stream-STATIC left equi-join against the loaded index. No state
+    store anywhere (the index IS the state, on disk — the difference
+    from C42's first-seen fold, which registers arrivals); arrival
+    order is irrelevant, so plain 4-slice replay suffices. Per-doc
+    flags aggregate batch-side after the sink. Same oracle as the
+    batch probe (`dedup_index_persisted`), pinning online == offline
+    == stored-index semantics three ways."""
+    from stream_spark.operators.dedup import minhash_band_buckets, minhash_band_rows_arrow
+    from stream_spark.queries.dedup_queries import _index_staging_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    idx_dir = _index_staging_dir("dedup_index_stream")
+    minhash_band_buckets(corpus).select("band", "bucket").distinct().write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+
+    stage = f"{_SCRATCH}/index_probe"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = file_replay_stream(spark, batch.select("doc_id", "text"), stage, n_slices=4)
+    bands = minhash_band_rows_arrow(stream)
+    loaded = spark.read.parquet(idx_dir).withColumn("_hit", F.lit(1))
+    probed = bands.join(loaded, ["band", "bucket"], "left").select(
+        "doc", F.coalesce(F.col("_hit"), F.lit(0)).alias("hit")
+    )
+    out = run_stream_to_memory(probed, output_mode="append")
+    return out.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.max("hit").cast("long").alias("is_dup")
     )
 
 

@@ -24,11 +24,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = [
-    "tpch_q5_local_supplier",       # r8 worst vs pin (1.74x)
-    "dedup_minhash_lsh",            # r8 second worst (1.62x)
-    "text_quality_score",           # r8 1.38x
-    "dedup_winnowed_pairs",         # r9: added to the sf1 tier (drift watch)
-    "dedup_exact_substring",        # r9: added to the sf1 tier (drift watch)
+    # r10 watch list: the sf1-tier entries whose construct+count pins
+    # are newest (BASELINE r10) — sample these first when adjudicating
+    "embeddings_knn_graph",
+    "embeddings_label_propagation",
+    "training_data_prep",
+    "pipeline_multimodal_curation",
+    "dedup_keep_best_quality_banded",  # 11.4 s at r10 close — largest sf1 entry after the capstone
+    "dedup_clusters_banded",
 ]
 
 

@@ -554,6 +554,12 @@ def attach_profiled_hash(
     else:
         raise ValueError(f"unsupported attach_profiled_hash modality: {modality!r}")
     out = out or f"{modality}_hash"
+    if out in df.columns:
+        raise ValueError(
+            f"attach_profiled_hash output column {out!r} already exists in the "
+            "input; pass a distinct `out` name (a silent duplicate would make "
+            "every downstream reference ambiguous)"
+        )
     schema = StructType(df.schema.fields + [StructField(out, LongType())])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

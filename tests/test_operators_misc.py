@@ -271,12 +271,31 @@ def test_asof_cogrouped_matches_catalyst_carry(spark):
         assert ka == kb, f"tol={tol}: implementations disagree"
 
 
+def test_rownum_boundary_layout_pins_no_blocks(spark):
+    """r11: the boundary layout (numeric key, scan-rooted input) is a
+    single linear plan — no checkpoint, no cache write, so it must not
+    register ANY persistent RDD at all."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.rownum import with_global_cumsum, with_global_row_number
+
+    def rdd_ids() -> set:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    baseline = rdd_ids()
+    df = spark.range(50_000).select(F.col("id"), (F.col("id") % 97).alias("v"))
+    assert with_global_row_number(df, ["id"]).count() == 50_000
+    assert with_global_cumsum(df, "v", ["id"]).count() == 50_000
+    assert not (rdd_ids() - baseline)
+
+
 def test_rownum_primitives_lazy_and_release_their_blocks(spark):
     """VERDICT r2 #3: the global-order primitives must not pin
     executor memory for the session's lifetime — checkpoint blocks are
     reference-counted, so once the query's DataFrames are dropped the
     ContextCleaner frees them and getPersistentRDDs returns to its
-    pre-query baseline."""
+    pre-query baseline. A STRING first order key forces the
+    sampled-range fallback (the only layout that checkpoints, r11)."""
     import gc
     import time
 
@@ -297,9 +316,11 @@ def test_rownum_primitives_lazy_and_release_their_blocks(spark):
         # (Construction still materializes the AQE stages behind the
         # lazy checkpoint's toRdd — "lazy" buys the absent driver
         # collect and the deferred cache write, not zero jobs.)
-        df = spark.range(50_000).select(F.col("id"), (F.col("id") % 97).alias("v"))
-        assert with_global_row_number(df, ["id"]).count() == 50_000
-        assert with_global_cumsum(df, "v", ["id"]).count() == 50_000
+        df = spark.range(50_000).select(
+            F.format_string("k%08d", F.col("id")).alias("s"), (F.col("id") % 97).alias("v")
+        )
+        assert with_global_row_number(df, ["s"]).count() == 50_000
+        assert with_global_cumsum(df, "v", ["s"]).count() == 50_000
         return rdd_ids() - baseline
 
     created = run_queries()  # the primitives' lazy-checkpoint blocks
@@ -346,6 +367,107 @@ def test_rownum_in_plan_offsets_survive_arrow_collect(spark):
     )
     assert win.count() == 300
     assert len(win.toPandas()) == 300
+
+
+def test_rownum_fallback_offsets_survive_arrow_collect(spark):
+    """The sampled-range fallback (string first key, r11) keeps the
+    r10 lazy-checkpoint pin — same straddling-window shape, both
+    collect paths."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.rownum import with_global_row_number
+
+    df = spark.range(30_000).select(
+        F.col("id"),
+        F.format_string("k%05d", (F.col("id") * 37 % 9973)).alias("k"),
+        F.concat(F.lit("payload"), F.col("id")).alias("txt"),
+    )
+    rn = with_global_row_number(df, ["k", "id"])
+    win = (
+        rn.withColumn("w", ((F.col("rn") - 1) / 100).cast("long"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == 100)
+    )
+    assert win.count() == 300
+    assert len(win.toPandas()) == 300
+
+
+def test_rownum_meta_cache_hits_and_invalidates(spark, tmp_path):
+    """r11 boundary layout: the construction-metadata cache (quantile
+    boundaries + per-bucket totals) must HIT for a repeated identical
+    plan over unchanged files and MISS (recompute, stay exact) after an
+    append changes the file set."""
+    from pyspark.sql import functions as F
+
+    import stream_spark.operators.rownum as rn
+
+    p = str(tmp_path / "t")
+    spark.range(5000).select(
+        (F.col("id") * 13 % 5000).alias("k"), F.col("id").alias("i")
+    ).write.parquet(p)
+    before = len(rn._META_CACHE)
+    assert rn.with_global_row_number(spark.read.parquet(p), ["k", "i"]).count() == 5000
+    assert len(rn._META_CACHE) == before + 1
+    # second construction: same canonical plan + same files → hit
+    assert rn.with_global_row_number(spark.read.parquet(p), ["k", "i"]).count() == 5000
+    assert len(rn._META_CACHE) == before + 1
+    # append → new file in the leaf set → new key, exact new numbering
+    spark.range(5000, 7000).select(
+        (F.col("id") * 13 % 5000).alias("k"), F.col("id").alias("i")
+    ).write.mode("append").parquet(p)
+    out = rn.with_global_row_number(spark.read.parquet(p), ["k", "i"])
+    rows = out.orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 7001))
+    assert rows == sorted(rows, key=lambda r: (r["k"], r["i"]))
+    assert len(rn._META_CACHE) == before + 2
+
+
+def test_rownum_boundary_bucketing_is_monotone_and_total(spark):
+    """Adversarial key distributions through the boundary layout: heavy
+    duplicates (ties must never split buckets), all-equal keys
+    (degenerates to one bucket, still exact), and NULL keys (sort
+    first, bucket 0)."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.rownum import with_global_row_number
+
+    dup = spark.range(2000).select((F.col("id") % 3).alias("k"), F.col("id").alias("i"))
+    rows = with_global_row_number(dup, ["k", "i"]).orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 2001))
+    assert rows == sorted(rows, key=lambda r: (r["k"], r["i"]))
+
+    eq = spark.range(500).select(F.lit(7).alias("k"), F.col("id").alias("i"))
+    rows = with_global_row_number(eq, ["k", "i"]).orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 501))
+
+    withnull = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("i"),
+    )
+    rows = with_global_row_number(withnull, ["k", "i"]).orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 1001))
+    # nulls-first total order
+    keyed = [((0, 0) if r["k"] is None else (1, r["k"]), r["i"]) for r in rows]
+    assert keyed == sorted(keyed)
+
+
+def test_rownum_two_level_bucket_search_exact(spark):
+    """Force >64 boundaries (the √m block-search spelling) and verify
+    the numbering stays exact end to end."""
+    from pyspark.sql import functions as F
+
+    import stream_spark.operators.rownum as rn
+
+    df = spark.range(20_000).select((F.col("id") * 7919 % 20_000).alias("k"), F.col("id").alias("i"))
+    skey = rn._surrogate_sql(df, "k")
+    bounds = rn._key_boundaries(df, skey, 200)
+    assert bounds is not None and len(bounds) > 64
+    sql = rn._pid_sql(bounds, skey)
+    got = df.selectExpr("k", f"{sql} AS p").collect()
+    for r in got:
+        want = sum(1 for b in bounds if b < float(r["k"]))
+        assert r["p"] == want, (r["k"], r["p"], want)
 
 
 def test_triangle_counts_known_graph(spark):

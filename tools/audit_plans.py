@@ -205,7 +205,23 @@ def normalize_plan(plan: str) -> str:
     # cross-session-flake class as the q21 gid order). DataFilters is
     # redundant with the Filter node (printed in full) + PushedFilters,
     # so mask the whole list rather than chase the cut point.
-    p = re.sub(r"DataFilters: \[.*?(?=, Format:)", "DataFilters: [MASKED]", p)
+    # rownum boundary-layout bucket literals (lambda var `_rnb` marks
+    # them): approx-quantile boundaries are merge-order-dependent run
+    # to run — they move bucket edges, never results (pinned by
+    # test_partition_independence) — so mask every numeric token on
+    # those lines, including the n_parts-derived block constants.
+    p = "\n".join(
+        re.sub(r"-?\d+(\.\d+)?([eE][+-]?\d+)?", "NUM", ln) if "_rnb" in ln else ln
+        for ln in p.split("\n")
+    )
+    # fall back to end-of-line when the char budget cut the string
+    # BEFORE the `, Format:` token — otherwise the flaky tail survives
+    p = re.sub(
+        r"DataFilters: \[[^\n]*?(?=, Format:|$)",
+        "DataFilters: [MASKED]",
+        p,
+        flags=re.MULTILINE,
+    )
     return p
 
 

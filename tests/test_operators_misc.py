@@ -401,17 +401,18 @@ def test_rownum_meta_cache_hits_and_invalidates(spark, tmp_path):
     from pyspark.sql import functions as F
 
     import stream_spark.operators.rownum as rn
+    from stream_spark.operators import metacache
 
     p = str(tmp_path / "t")
     spark.range(5000).select(
         (F.col("id") * 13 % 5000).alias("k"), F.col("id").alias("i")
     ).write.parquet(p)
-    before = len(rn._META_CACHE)
+    before = len(metacache._CACHE)
     assert rn.with_global_row_number(spark.read.parquet(p), ["k", "i"]).count() == 5000
-    assert len(rn._META_CACHE) == before + 1
+    assert len(metacache._CACHE) == before + 1
     # second construction: same canonical plan + same files → hit
     assert rn.with_global_row_number(spark.read.parquet(p), ["k", "i"]).count() == 5000
-    assert len(rn._META_CACHE) == before + 1
+    assert len(metacache._CACHE) == before + 1
     # append → new file in the leaf set → new key, exact new numbering
     spark.range(5000, 7000).select(
         (F.col("id") * 13 % 5000).alias("k"), F.col("id").alias("i")
@@ -420,7 +421,7 @@ def test_rownum_meta_cache_hits_and_invalidates(spark, tmp_path):
     rows = out.orderBy("rn").collect()
     assert [r["rn"] for r in rows] == list(range(1, 7001))
     assert rows == sorted(rows, key=lambda r: (r["k"], r["i"]))
-    assert len(rn._META_CACHE) == before + 2
+    assert len(metacache._CACHE) == before + 2
 
 
 def test_rownum_boundary_bucketing_is_monotone_and_total(spark):

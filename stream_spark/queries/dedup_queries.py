@@ -965,9 +965,10 @@ def _probe_index(nb: DataFrame, idx: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_index_update",
-    oracle=f"""
+#: shared by the flat-parquet lifecycle (the engine-portable gated
+#: form) and its bucketed saveAsTable twin — the two spellings must
+#: satisfy ONE oracle
+_INDEX_UPDATE_ORACLE = f"""
     WITH {_SHINGLES3},
     h AS (
         SELECT doc, p, MIN({_MH_PERM}) AS mh
@@ -996,8 +997,10 @@ def _probe_index(nb: DataFrame, idx: DataFrame) -> DataFrame:
         GROUP BY n.doc
     )
     SELECT * FROM f1 UNION ALL SELECT * FROM f2
-    """,
-)
+    """
+
+
+@register("dedup_index_update", oracle=_INDEX_UPDATE_ORACLE)
 def dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored-index lifecycle CLOSED (r10, VERDICT r9 item 5):
     ``dedup_index_persisted`` proves write→load→probe; production runs
@@ -1041,6 +1044,75 @@ def dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(v1).distinct().write.mode("overwrite").parquet(v2)
 
     flags2 = _probe_index(minhash_band_buckets(day2), spark.read.parquet(v2))
+    return flags1.withColumn("day", F.lit(1).cast("long")).unionByName(
+        flags2.withColumn("day", F.lit(2).cast("long"))
+    ).select("doc_id", "day", "is_dup")
+
+
+@register("dedup_index_update_bucketed", oracle=_INDEX_UPDATE_ORACLE)
+def dedup_index_update_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index lifecycle in its 100 TB SPELLING, gated and
+    timed end to end (r11, VERDICT r10 item 6): the same two-day
+    probe→append→compact→probe loop as ``dedup_index_update``, but the
+    index lives in a table BUCKETED on the composite join key
+    (band, bucket) — ``bucketBy`` saveAsTable:
+
+    - the daily delta APPENDS as new bucket files (``mode("append")``
+      with matching bucketing — the existing multi-TB index is never
+      rewritten or reshuffled),
+    - COMPACTION's distinct-on-(band, bucket) reads the bucketed table
+      already hash-clustered on exactly those keys, so the dedup
+      aggregate needs NO exchange over the index (the shuffle was paid
+      once at write time), and the compacted v2 writes back bucketed,
+    - both probes join the bucketed scan on its bucket columns
+      (Bucketed: true; only the small daily batch shuffles —
+      tests/test_bucketing.py pins the exchange-free plan shape).
+
+    Flags must match the flat-parquet spelling bit-for-bit: ONE oracle
+    gates both (the flat form stays gated too — it is the
+    engine-portable spelling). Tables are per-pid (concurrent gate
+    shards each own their warehouse names) and rewritten per
+    construction."""
+    import os
+
+    from stream_spark.operators.dedup import minhash_band_buckets
+    from stream_spark.sources import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 >= 2)
+    day1 = docs.filter(F.col("doc_id") % 4 == 1)
+    day2 = docs.filter(F.col("doc_id") % 4 == 0)
+
+    v1 = f"b_idx_upd_v1_{os.getpid()}"
+    v2 = f"b_idx_upd_v2_{os.getpid()}"
+    for t in (v1, v2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(
+        minhash_band_buckets(corpus).select("band", "bucket").distinct(),
+        v1,
+        ["band", "bucket"],
+        8,
+        sort_col="bucket",
+    )
+
+    b1 = minhash_band_buckets(day1)
+    flags1 = _probe_index(b1, spark.table(v1)).localCheckpoint(eager=True)
+    # daily delta: new bucket files appended under the SAME layout —
+    # no rewrite, no shuffle of the stored index
+    (
+        b1.select("band", "bucket")
+        .distinct()
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(8, "band", "bucket")
+        .sortBy("bucket")
+        .saveAsTable(v1)
+    )
+    # compaction: the bucketed read is already clustered on the
+    # distinct key — no exchange over the index — and v2 lands bucketed
+    write_bucketed(spark.table(v1).distinct(), v2, ["band", "bucket"], 8, sort_col="bucket")
+
+    flags2 = _probe_index(minhash_band_buckets(day2), spark.table(v2))
     return flags1.withColumn("day", F.lit(1).cast("long")).unionByName(
         flags2.withColumn("day", F.lit(2).cast("long"))
     ).select("doc_id", "day", "is_dup")

@@ -134,6 +134,12 @@ TIER2 = [
     # to read — at 15 s it would be 16% of tier-2 total while
     # measuring the stand-in, not the engine.)
     "dedup_index_update",
+    # round-11 additions (VERDICT r10 items 6-7): the bucketed
+    # saveAsTable spelling of the same lifecycle — the timed artifact
+    # behind the "at 100 TB the index is bucketed" claim — and the
+    # streaming maintain loop (per-batch probe + delta append).
+    "dedup_index_update_bucketed",
+    "streaming_dedup_index_maintain",
 ]
 
 

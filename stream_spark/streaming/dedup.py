@@ -321,3 +321,74 @@ def streaming_audio_dedup(
         F.col("doc_id").alias("doc"), F.lit(0).alias("band"), F.col("audio_hash").alias("bucket")
     )
     return first_seen_fold(bands)
+
+
+def streaming_index_maintain(
+    bands_stream: DataFrame,
+    idx_dir: str,
+    out_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """ONLINE MAINTENANCE of the persisted (band, bucket) LSH index —
+    the read/write completion of ``streaming_dedup_index_probe``'s
+    read-only shape (reference lifecycle: dedup_queries.
+    dedup_index_update, the batch probe→append→compact loop at
+    dedup_queries.py:1001). Each micro-batch of (doc, band, bucket)
+    rows:
+
+    1. probes the CURRENT stored index (stream-static left equi-join
+       semantics, executed batch-side inside foreachBatch so this
+       batch's append cannot be seen by its own probe),
+    2. resolves WITHIN-batch arrivals by doc id — a keyed
+       min-per-(band, bucket) window, the same earlier-id-wins
+       convention every first-seen fold uses — so the flag for a doc
+       is "some earlier-id doc or the stored corpus already claimed
+       one of its buckets" REGARDLESS of how the replay slices into
+       micro-batches (range-sampled slice boundaries are
+       nondeterministic; the semantics must not be),
+    3. appends the flag rows to ``out_dir`` (this write MATERIALIZES
+       the probe before step 4 — the same flags-before-append pin the
+       batch lifecycle uses), and
+    4. appends the batch's distinct new (band, bucket) rows to
+       ``idx_dir`` — the daily-delta write; the next micro-batch's
+       probe reads them. Compaction stays the offline companion pass
+       (dedup_index_update's v2 rewrite; at 100 TB a bucketed
+       saveAsTable append keeps it shuffle-free —
+       tests/test_bucketing.py).
+
+    No state store anywhere: the index on disk IS the state, exactly
+    one distinct-bucket scan bigger per batch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        idx = spark.read.parquet(idx_dir).withColumn("_hit", F.lit(1))
+        flags = (
+            batch_df.withColumn("_mn", F.min("doc").over(w))
+            .join(idx, ["band", "bucket"], "left")
+            .groupBy("doc")
+            .agg(
+                F.max(
+                    F.greatest(
+                        F.coalesce(F.col("_hit"), F.lit(0)),
+                        (F.col("_mn") < F.col("doc")).cast("int"),
+                    )
+                )
+                .cast("long")
+                .alias("is_dup")
+            )
+        )
+        flags.write.mode("append").parquet(out_dir)
+        batch_df.select("band", "bucket").distinct().write.mode("append").parquet(idx_dir)
+
+    q = (
+        bands_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"index-maintain stream still running after {timeout_s}s")

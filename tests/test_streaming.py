@@ -844,3 +844,54 @@ def test_first_seen_fold_sharded_parity(spark, tmp_path):
             first_seen_fold(stream, shards=shards), output_mode="append"
         )
         assert {(r["doc"], r["band"]): r["hit"] for r in out.collect()} == expected, shards
+
+
+def test_streaming_index_maintain_folds_new_bands_per_batch(spark, tmp_path):
+    """r11 C100: each micro-batch probes the stored index, then appends
+    its distinct bands — a later doc is flagged when it collides with
+    the persisted corpus, with an earlier BATCH's appended doc, or with
+    an earlier-id doc in the SAME batch; never the other way, and never
+    from being the first claimant."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.dedup import minhash_band_buckets, minhash_band_rows_arrow
+    from stream_spark.streaming import ordered_replay_stream
+    from stream_spark.streaming.dedup import streaming_index_maintain
+
+    corp_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    live_dup = "one two three four five six seven eight nine ten eleven"
+    corpus = spark.createDataFrame([(100, corp_text)], "doc_id long, text string")
+    rows = [
+        (1, corp_text),  # hits the persisted corpus index
+        (2, live_dup),   # first claimant of its buckets — never flagged
+        (3, live_dup + " tail"),  # near dup of 2, SAME/adjacent batch
+        (4, "totally different unrelated vocabulary in this document body"),
+        (5, live_dup),   # exact dup of 2, later batch (sees appended bands)
+        (6, "yet another fully distinct text with private token set"),
+    ]
+    live = spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "flags")
+    minhash_band_buckets(corpus).select("band", "bucket").distinct().write.parquet(idx_dir)
+    stream = ordered_replay_stream(spark, live, str(tmp_path / "stage"), ["doc_id"], n_slices=3)
+    streaming_index_maintain(minhash_band_rows_arrow(stream), idx_dir, out_dir)
+
+    flags = {
+        r["doc"]: r["is_dup"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert flags[1] == 1  # stored-corpus hit
+    assert flags[2] == 0  # first claimant
+    assert flags[3] == 1  # earlier-id collision (batch-boundary-free)
+    assert flags[4] == 0
+    assert flags[5] == 1  # appended-delta hit, later batch
+    assert flags[6] == 0
+    # the index grew: corpus bands ∪ every live doc's distinct bands
+    grown = spark.read.parquet(idx_dir).distinct().count()
+    want = (
+        minhash_band_buckets(corpus.unionByName(live))
+        .select("band", "bucket")
+        .distinct()
+        .count()
+    )
+    assert grown == want

@@ -124,6 +124,16 @@ PROBE = [
     # load + probe lifecycle) and the langid eval matrix
     "dedup_index_persisted",
     "documents_langid_confusion",
+    # r11 (VERDICT r10 item 5): the stored-index LIFECYCLE under the
+    # probe — the two-day append/compact/probe loop (index-I/O-shaped:
+    # two writes + a compaction rewrite inside the timed window), the
+    # zero-state online probe, and the per-batch maintain fold; all
+    # keyed equi-join + distinct shapes whose cost axis is bands
+    # (linear in docs)
+    "dedup_index_update",
+    "dedup_index_update_bucketed",
+    "streaming_dedup_index_probe",
+    "streaming_dedup_index_maintain",
 ]
 
 

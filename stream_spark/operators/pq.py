@@ -126,18 +126,24 @@ def _argmin_code(part: Column, books_lit: Column, k: int) -> Column:
 
 def _codebooks(corpus: DataFrame, id_col: str, vec_col: str, n_sub: int, k: int, dim: int):
     """n_sub × k × (dim/n_sub) centroid floats from the k lowest-id
-    corpus vectors (bounded metadata collect)."""
-    rows = (
-        corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
-        .orderBy("_i")
-        .limit(k)
-        .collect()  # bounded metadata: k seed rows by contract
-    )
-    sub = dim // n_sub
-    return [
-        [[float(r["_v"][s * sub + j]) for j in range(sub)] for r in rows]
-        for s in range(n_sub)
-    ]
+    corpus vectors (bounded metadata collect) — deterministic given the
+    data, so cacheable construction metadata (operators.metacache)."""
+    from stream_spark.operators.metacache import cached
+
+    def compute():
+        rows = (
+            corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+            .orderBy("_i")
+            .limit(k)
+            .collect()  # bounded metadata: k seed rows by contract
+        )
+        sub = dim // n_sub
+        return [
+            [[float(r["_v"][s * sub + j]) for j in range(sub)] for r in rows]
+            for s in range(n_sub)
+        ]
+
+    return cached(corpus, ("pq_codebooks", n_sub, k, dim, id_col, vec_col), compute)
 
 
 def _code_entries(vec: Column, books, n_sub: int, k: int, dim: int) -> Column:
@@ -216,19 +222,15 @@ def topk_ivfpq(
 
     from stream_spark.operators.similarity import cell_scores_expr
 
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(n_cells)
-        .collect()  # bounded metadata collect: n_cells rows by contract
-    )
-    if not cents:
+    from stream_spark.operators.similarity import ivf_centroids
+
+    cent_vecs = ivf_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    if not cent_vecs:
         # empty corpus: a zero-entry F.array() of cell scores is type
         # VOID and fails analysis — short-circuit to an empty result
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, adist double, rank long"
         )
-    cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
 
     # Fused Arrow index build (r6): ONE numpy pass per batch computes
     # the coarse cell AND the 8 PQ codes — no second corpus scan, no

@@ -636,14 +636,24 @@ def topk_bruteforce(
     import pandas as pd
     from pyspark.sql import Window
 
+    from stream_spark.operators.metacache import cached
+
     m = max(2 * k, k + 10)
     spark = queries.sparkSession
-    qrows = queries.select(id_col, vec_col).collect()  # bounded metadata: query set
-    if not qrows:
+
+    def collect_queries() -> tuple[list[int], list[list[float]]]:
+        rows = queries.select(id_col, vec_col).collect()  # bounded metadata: query set
+        return (
+            [int(r[id_col]) for r in rows],
+            [[float(x) for x in r[vec_col]] for r in rows],
+        )
+
+    qids_l, qvecs_l = cached(queries, ("query_set", id_col, vec_col), collect_queries)
+    if not qids_l:
         empty = "query_id long, neighbor_id long, cosine double, rank int"
         return spark.createDataFrame([], empty)
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qids = np.array(qids_l, dtype=np.int64)
+    qmat = np.array(qvecs_l, dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
@@ -921,6 +931,57 @@ def assign_cell_two_phase(vec: Column, cent_vecs: list[list[float]]) -> Column:
     return _bind_once(vec, inner)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> list[list[float]]:
+    """The IVF coarse-quantizer centroid table: seeds are the
+    embeddings of the ``n_cells`` smallest corpus ids, optionally
+    tightened by ``refine_iters`` Lloyd rounds (Arrow assignment +
+    decimal-exact means; a cell that loses all members keeps its
+    seed). Deterministic given the data — min-id seeds, exact-decimal
+    means, lowest-cell ties — so it is construction METADATA, memoized
+    per (plan, file-state, params) via ``operators.metacache``: a
+    repeat construction of the same query skips the seed collect and
+    every refine round. Returns [] for an empty corpus."""
+    from stream_spark.operators.metacache import cached
+
+    def compute() -> list[list[float]]:
+        cents = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .limit(n_cells)
+            .collect()  # bounded metadata collect: n_cells rows by contract
+        )
+        cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
+        for _ in range(refine_iters):
+            # Arrow assignment (bit-parity pytested vs assign_cell_two_phase)
+            assigned_r = assign_cells_arrow(
+                corpus, cent_vecs, id_col, vec_col, keep_vec=True, vec_out="v"
+            ).select("v", "cell")
+            rows = (
+                assigned_r.select("cell", F.posexplode("v").alias("i", "x"))
+                .groupBy("cell", "i")
+                .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+                .collect()  # bounded metadata: n_cells × dim rows
+            )
+            upd: dict[int, dict[int, float]] = {}
+            for r in rows:
+                upd.setdefault(int(r["cell"]), {})[int(r["i"])] = float(r["m"])
+            cent_vecs = [
+                [upd[j][i] for i in sorted(upd[j])] if j in upd else cent_vecs[j]
+                for j in range(len(cent_vecs))
+            ]
+        return cent_vecs
+
+    return cached(
+        corpus, ("ivf_centroids", n_cells, refine_iters, id_col, vec_col), compute
+    )
+
+
 def topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -952,38 +1013,15 @@ def topk_ivf(
     """
     from pyspark.sql import Window
 
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(n_cells)
-        .collect()  # bounded metadata collect: n_cells rows by contract
+    cent_vecs = ivf_centroids(
+        corpus, n_cells, id_col=id_col, vec_col=vec_col, refine_iters=refine_iters
     )
-    if not cents:
+    if not cent_vecs:
         # empty corpus: no cells, no neighbors — a literal F.array() of
         # zero centroid entries is type VOID and fails analysis
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
-
-    for _ in range(refine_iters):
-        # Arrow assignment (bit-parity pytested vs assign_cell_two_phase)
-        assigned_r = assign_cells_arrow(
-            corpus, cent_vecs, id_col, vec_col, keep_vec=True, vec_out="v"
-        ).select("v", "cell")
-        rows = (
-            assigned_r.select("cell", F.posexplode("v").alias("i", "x"))
-            .groupBy("cell", "i")
-            .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
-            .collect()  # bounded metadata: n_cells × dim rows
-        )
-        upd: dict[int, dict[int, float]] = {}
-        for r in rows:
-            upd.setdefault(int(r["cell"]), {})[int(r["i"])] = float(r["m"])
-        cent_vecs = [
-            [upd[j][i] for i in sorted(upd[j])] if j in upd else cent_vecs[j]
-            for j in range(len(cent_vecs))
-        ]
 
     assigned = assign_cells_arrow(
         corpus, cent_vecs, id_col, vec_col, id_out="neighbor_id", keep_vec=True, vec_out="cv"

@@ -358,7 +358,11 @@ def semantic_dedup_clusters(
     from stream_spark.operators.components import connected_components_star
     from stream_spark.operators.similarity import _guarded_cosine
 
-    n = emb.count()
+    from stream_spark.operators.metacache import cached
+
+    # the corpus size only sizes k — a pure function of the data, so
+    # the count job is cacheable construction metadata too
+    n = cached(emb, ("count",), emb.count)
     k = min(max(8, n // members_per_cluster), max_k)
     assigned = kmeans_assign_inplan(emb, k, iters=iters, id_col=id_col, vec_col=vec_col)
 

@@ -1073,20 +1073,16 @@ def dedup_index_update_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable spelling). Tables are per-pid (concurrent gate
     shards each own their warehouse names) and rewritten per
     construction."""
-    import os
-
     from stream_spark.operators.dedup import minhash_band_buckets
-    from stream_spark.sources import write_bucketed
+    from stream_spark.sources import pid_scoped_table, write_bucketed
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 4 >= 2)
     day1 = docs.filter(F.col("doc_id") % 4 == 1)
     day2 = docs.filter(F.col("doc_id") % 4 == 0)
 
-    v1 = f"b_idx_upd_v1_{os.getpid()}"
-    v2 = f"b_idx_upd_v2_{os.getpid()}"
-    for t in (v1, v2):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    v1 = pid_scoped_table(spark, "b_idx_upd_v1")
+    v2 = pid_scoped_table(spark, "b_idx_upd_v2")
     write_bucketed(
         minhash_band_buckets(corpus).select("band", "bucket").distinct(),
         v1,

@@ -1446,9 +1446,10 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_dedup_index_maintain",
-    oracle=f"""
+#: one oracle for BOTH spellings of the online maintain loop (flat
+#: parquet deltas and the bucketed saveAsTable twin) — corpus ∪
+#: earlier-id replay, independent of micro-batch slicing
+_IDX_MAINTAIN_ORACLE = f"""
     WITH {_idx_shingles3},
     h AS (
         SELECT doc, p, MIN({_idx_mh_perm}) AS mh
@@ -1469,8 +1470,10 @@ def streaming_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN corp c ON n.band = c.band AND n.bucket = c.bucket
     LEFT JOIN nb e ON n.band = e.band AND n.bucket = e.bucket AND e.doc < n.doc
     GROUP BY n.doc
-    """,
-)
+    """
+
+
+@register("streaming_dedup_index_maintain", oracle=_IDX_MAINTAIN_ORACLE)
 def streaming_dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-index MAINTENANCE online (r11, VERDICT r10 item 7):
     C99 probes yesterday's static index; production also folds today's
@@ -1506,6 +1509,46 @@ def streaming_dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFram
         spark, live.select("doc_id", "text"), stage, ["doc_id"], n_slices=4
     )
     streaming_index_maintain(minhash_band_rows_arrow(stream), idx_dir, out_dir)
+    return spark.read.parquet(out_dir).select(
+        F.col("doc").alias("doc_id"), F.col("is_dup").cast("long").alias("is_dup")
+    )
+
+
+@register("streaming_dedup_index_maintain_bucketed", oracle=_IDX_MAINTAIN_ORACLE)
+def streaming_dedup_index_maintain_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online maintain loop in its 100 TB spelling (r11, closes
+    VERDICT r10 items 6+7 TOGETHER): the persisted index is a table
+    bucketed on (band, bucket) — each micro-batch probes the bucketed
+    scan shuffle-free on the index side and appends its delta as new
+    bucket files under the same layout
+    (streaming/dedup.streaming_index_maintain_bucketed). Flags must be
+    bit-identical to the flat spelling: ONE oracle gates both, and the
+    flat form stays gated as the engine-portable spelling."""
+    from stream_spark.operators.dedup import minhash_band_buckets, minhash_band_rows_arrow
+    from stream_spark.sources import pid_scoped_table, write_bucketed
+    from stream_spark.streaming import ordered_replay_stream
+    from stream_spark.streaming.dedup import streaming_index_maintain_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    live = docs.filter(F.col("doc_id") % 4 == 0)
+    tbl = pid_scoped_table(spark, "b_idx_mnt")
+    write_bucketed(
+        minhash_band_buckets(corpus).select("band", "bucket").distinct(),
+        tbl,
+        ["band", "bucket"],
+        8,
+        sort_col="bucket",
+    )
+    out_dir = f"{_SCRATCH}/index_maintain_bucketed_flags"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    stage = f"{_SCRATCH}/index_maintain_bucketed"
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = ordered_replay_stream(
+        spark, live.select("doc_id", "text"), stage, ["doc_id"], n_slices=4
+    )
+    streaming_index_maintain_bucketed(minhash_band_rows_arrow(stream), tbl, out_dir)
     return spark.read.parquet(out_dir).select(
         F.col("doc").alias("doc_id"), F.col("is_dup").cast("long").alias("is_dup")
     )

@@ -133,6 +133,34 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def pid_scoped_table(spark, base: str) -> str:
+    """Per-pid warehouse table name (``{base}_{pid}``) with the same
+    two hygiene rules as the per-pid staging dirs: sibling table dirs
+    left by DEAD pids are swept at allocation time (concurrent oracle
+    shards / pytest / bench each allocate fresh names — without the
+    sweep the warehouse accumulates unboundedly; the in-memory catalog
+    of a dead session holds no entry, only orphan files), and any
+    same-pid leftover catalog entry is dropped so the caller starts
+    clean."""
+    import os
+    import re
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+    pat = re.compile(re.escape(base) + r"_(\d+)$")
+    try:
+        for d in os.listdir(wh_path):
+            m = pat.match(d)
+            if m and int(m.group(1)) != os.getpid() and not os.path.exists(f"/proc/{m.group(1)}"):
+                shutil.rmtree(os.path.join(wh_path, d), ignore_errors=True)
+    except OSError:
+        pass
+    name = f"{base}_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return name
+
+
 def write_bucketed(
     df,
     table_name: str,

@@ -895,3 +895,86 @@ def test_streaming_index_maintain_folds_new_bands_per_batch(spark, tmp_path):
         .count()
     )
     assert grown == want
+
+
+def test_streaming_index_maintain_bucketed_parity_and_layout(spark, tmp_path):
+    """r11: the bucketed maintain twin must produce bit-identical flags
+    to the flat spelling on the same replay, the probe plan must read
+    the index Bucketed with NO exchange on the index side, and the
+    grown table must stay bucketed (delta appends land as bucket
+    files, never a rewrite)."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.dedup import minhash_band_buckets, minhash_band_rows_arrow
+    from stream_spark.sources import write_bucketed
+    from stream_spark.streaming import ordered_replay_stream
+    from stream_spark.streaming.dedup import (
+        streaming_index_maintain,
+        streaming_index_maintain_bucketed,
+    )
+
+    corp_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    live_dup = "one two three four five six seven eight nine ten eleven"
+    corpus = spark.createDataFrame([(100, corp_text)], "doc_id long, text string")
+    rows = [
+        (1, corp_text),
+        (2, live_dup),
+        (3, live_dup + " tail"),
+        (4, "totally different unrelated vocabulary in this document body"),
+        (5, live_dup),
+        (6, "yet another fully distinct text with private token set"),
+    ]
+    live = spark.createDataFrame(rows, "doc_id long, text string")
+    bands0 = minhash_band_buckets(corpus).select("band", "bucket").distinct()
+
+    flat_idx, flat_out = str(tmp_path / "fidx"), str(tmp_path / "fflags")
+    bands0.write.parquet(flat_idx)
+    s1 = ordered_replay_stream(spark, live, str(tmp_path / "s1"), ["doc_id"], n_slices=3)
+    streaming_index_maintain(minhash_band_rows_arrow(s1), flat_idx, flat_out)
+
+    from stream_spark.sources import pid_scoped_table
+
+    tbl = pid_scoped_table(spark, "b_idx_mnt_test")
+    write_bucketed(bands0, tbl, ["band", "bucket"], 4, sort_col="bucket")
+    b_out = str(tmp_path / "bflags")
+    s2 = ordered_replay_stream(spark, live, str(tmp_path / "s2"), ["doc_id"], n_slices=3)
+    streaming_index_maintain_bucketed(minhash_band_rows_arrow(s2), tbl, b_out, n_buckets=4)
+
+    flat = {(r["doc"], r["is_dup"]) for r in spark.read.parquet(flat_out).collect()}
+    buck = {(r["doc"], r["is_dup"]) for r in spark.read.parquet(b_out).collect()}
+    assert flat == buck and len(buck) == 6
+
+    # grown table: the appended deltas kept the bucketed layout (the
+    # catalog metadata is what the planner trusts) and a
+    # non-broadcast probe still reads it Bucketed: true — formatted
+    # explain puts the marker on its own line, immune to the FileScan
+    # toString char budget the pid-suffixed table name overflows
+    import contextlib
+    import io
+
+    desc = {str(r[0]): str(r[1]) for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()}
+    assert desc.get("Num Buckets") == "4"
+    assert desc.get("Bucket Columns") == "[`band`, `bucket`]"
+    probe = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
+    pb = minhash_band_buckets(probe).select("band", "bucket")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pb.join(spark.table(tbl), ["band", "bucket"], "left").explain("formatted")
+        assert "Bucketed: true" in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the index grew to corpus ∪ live bands, exactly once each
+    grown = spark.table(tbl).count()
+    want_d = spark.table(tbl).distinct().count()
+    want = (
+        minhash_band_buckets(corpus.unionByName(live))
+        .select("band", "bucket")
+        .distinct()
+        .count()
+    )
+    # appends are dup-tolerant (a later batch may re-claim a bucket);
+    # compaction is the offline companion pass — distinct must be exact
+    assert want_d == want and grown >= want

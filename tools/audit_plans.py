@@ -201,7 +201,7 @@ def normalize_plan(plan: str) -> str:
     # pid-suffixed staging table names (bucketed-index lifecycle tables
     # are saveAsTable'd per-pid so concurrent oracle shards don't
     # collide — the same isolation rule as the per-pid staging dirs)
-    p = re.sub(r"(b_idx_upd_v\d+)_\d+", r"\1_PID", p)
+    p = re.sub(r"(b_idx_\w+?)_\d+\b", r"\1_PID", p)
     # FileScan truncates the DataFilters string at a fixed CHAR budget
     # BEFORE our id masking runs, so sessions whose raw expression ids
     # have different widths truncate at different visible points (r10:

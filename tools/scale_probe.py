@@ -134,6 +134,7 @@ PROBE = [
     "dedup_index_update_bucketed",
     "streaming_dedup_index_probe",
     "streaming_dedup_index_maintain",
+    "streaming_dedup_index_maintain_bucketed",
 ]
 
 

@@ -164,6 +164,11 @@ def banded_jaccard_pairs(
     adversarial-swarm control (blocked path: identical candidates,
     bounded join tasks).
     """
+    # ONE tokenize+explode pass for the whole query (r11, guide §2.4):
+    # the materialized shingle index feeds the signature build (via
+    # ``shingles=``), sizes, AND both verification joins — previously
+    # the candidate path re-ran its own shingle_docs pass.
+    sh = _materialize_index(shingle_docs(df, text_col, id_col, n))
     cand = minhash_lsh_candidates(
         df, text_col, id_col, n,
         max_bucket_size=max_bucket_size, block_size=block_size,
@@ -171,9 +176,8 @@ def banded_jaccard_pairs(
         # exchange across the self-join sides — the eager write is pure
         # overhead in this composition (+15% measured, r9)
         materialize=False,
+        shingles=sh,
     )
-    # the shingle index feeds sizes AND both verification joins
-    sh = _materialize_index(shingle_docs(df, text_col, id_col, n))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     # pair-keyed verification: expand each candidate pair by doc_a's
     # shingles, probe doc_b's set — volume = |cand| × shingles/doc,
@@ -343,15 +347,27 @@ def perm_consts(p: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """PERMS min-hashes per doc.
 
     One md5 per shingle, then PERMS cheap affine permutations
     h_p = (a_p·h31 + b_p) mod 2^31-1 over the 31-bit base hash —
     ~PERMS× less hashing than md5-per-permutation, and a·h stays under
     2^62 so the arithmetic is exact BIGINT in any engine.
+
+    ``shingles``: a precomputed ``shingle_docs`` frame (columns
+    ``doc``, ``g``). Callers that ALSO need the exploded shingle index
+    (the banded verify-on-candidates family) pass their materialized
+    index here so the corpus is tokenized + exploded ONCE per query
+    instead of once per consumer (guide §2.4: remove repeated passes).
     """
-    sh = shingle_docs(df, text_col, id_col, n).withColumn(
+    sh = (shingles if shingles is not None else shingle_docs(df, text_col, id_col, n)).withColumn(
         "h31", md5_long(F.col("g")) % MERSENNE31
     )
     aggs = []
@@ -382,11 +398,16 @@ def _explode_band_buckets(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_band_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band, bucket) LSH index rows — the joinable form of the
-    banded minhash signature (bucket = md5 of the band's hash run)."""
-    return _explode_band_buckets(minhash_signatures(df, text_col, id_col, n))
+    banded minhash signature (bucket = md5 of the band's hash run).
+    ``shingles`` passes through to ``minhash_signatures``."""
+    return _explode_band_buckets(minhash_signatures(df, text_col, id_col, n, shingles=shingles))
 
 
 def _bind_once(expr, f):
@@ -625,8 +646,11 @@ def minhash_lsh_candidates(
     max_bucket_size: int | None = None,
     block_size: int | None = None,
     materialize: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on any minhash band.
+    ``shingles`` passes through to the signature build (see
+    ``minhash_signatures``).
 
     ``materialize``: localCheckpoint the band-bucket table before the
     self-join (r9 A/B: −26% plain / −19% blocked — the signature
@@ -650,7 +674,7 @@ def minhash_lsh_candidates(
       oracle-gated query runs with both off — test corpora have no hot
       buckets).
     """
-    exploded = minhash_band_buckets(df, text_col, id_col, n)
+    exploded = minhash_band_buckets(df, text_col, id_col, n, shingles=shingles)
     if materialize:
         exploded = _materialize_index(exploded)
     if max_bucket_size is not None or block_size is not None:

@@ -160,7 +160,9 @@ def _dec_sum_py(products) -> float:
     return float(sum(Decimal(p).quantize(q, rounding=ROUND_HALF_UP) for p in products))
 
 
-def _assign_arrow(base: DataFrame, cells, mat, id_type: str) -> DataFrame:
+def _assign_arrow(
+    base: DataFrame, cells, mat, id_type: str, keep_vec: bool = False
+) -> DataFrame:
     """One assignment pass as ONE numpy matmul per Arrow batch — the
     shape a real 100 TB assignment pass takes (FAISS flat-assign:
     map-only, O(n·k·dim) flops in BLAS, no n×k row explosion). The
@@ -178,6 +180,14 @@ def _assign_arrow(base: DataFrame, cells, mat, id_type: str) -> DataFrame:
     decimal path. NaN columns (zero-norm centroid) match Spark's
     NaN-is-largest + lowest-cell ordering because np.argmax also
     returns the first NaN position.
+
+    ``keep_vec``: pass the input vector column through unchanged
+    (bit-exact — the Arrow doubles are re-emitted, never recomputed),
+    so callers that need (id, v, cluster) avoid a corpus re-join with
+    the base frame — one fewer shuffle of the vector payload
+    (guide §2.4/§8: the vectors already cross the Python boundary for
+    the matmul; shipping them back out is the same order, a JOIN back
+    is an extra exchange).
     """
     import math
 
@@ -211,16 +221,16 @@ def _assign_arrow(base: DataFrame, cells, mat, id_type: str) -> DataFrame:
                         if best_cos is None or cosv > best_cos:
                             best_cos, best_c = cosv, int(c)
                     top[r] = best_c
-            yield pd.DataFrame({"_id": ids, "cluster": cells_arr[top]})
+            out = {"_id": ids, "cluster": cells_arr[top]}
+            if keep_vec:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
 
     # repartition first: a single-split parquet would score the whole
     # corpus in one task otherwise (map-only either way)
     par = cpu_partitions(base)
-    return (
-        base.select("_id", "v")
-        .repartition(par, F.col("_id"))
-        .mapInPandas(gen, f"_id {id_type}, cluster bigint")
-    )
+    schema = f"_id {id_type}, cluster bigint" + (", v array<double>" if keep_vec else "")
+    return base.select("_id", "v").repartition(par, F.col("_id")).mapInPandas(gen, schema)
 
 
 def kmeans_assign_inplan(
@@ -229,6 +239,8 @@ def kmeans_assign_inplan(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attach_cos: bool = True,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Lloyd k-means for large k — SemDeDup-style clustering wants
     k ∝ corpus/target_cluster_size, past what ``kmeans_assign``'s
@@ -251,6 +263,16 @@ def kmeans_assign_inplan(
     the single-partition top-k, the same contract as every top-N).
     Ties argmax to the lowest cell. Returns (id, cluster, cos) after
     ``iters`` assignment rounds.
+
+    ``attach_cos=False`` skips the final-cos attachment entirely —
+    callers that only consume (id, cluster) (SemDeDup pair generation,
+    cluster labeling/sampling) otherwise pay a corpus join back with
+    the base frame plus the broadcast-centroid join for a column
+    Catalyst cannot prune away (the inner joins survive projection
+    pruning). ``keep_vec`` (with attach_cos=False) additionally passes
+    the double-cast vectors through the Arrow pass, so (id, v, cluster)
+    consumers need NO join at all (guide §2.4: remove exchanges
+    outright).
     """
     import numpy as np
 
@@ -299,13 +321,19 @@ def kmeans_assign_inplan(
     # a repeat construction skips the whole iterative-collect loop.
     cells, mat_l = cached(emb, ("kmeans_inplan", k, iters, id_col, vec_col), lloyd)
     if not cells:
-        return (
-            emb.select(
-                F.col(id_col), F.lit(0).cast("bigint").alias("cluster"), F.lit(0.0).alias("cos")
-            ).limit(0)
-        )
+        empty = emb.select(
+            F.col(id_col), F.lit(0).cast("bigint").alias("cluster"), F.lit(0.0).alias("cos")
+        ).limit(0)
+        if not attach_cos:
+            empty = empty.drop("cos")
+            if keep_vec:
+                empty = empty.withColumn("v", F.array().cast("array<double>"))
+        return empty
     mat = np.array(mat_l)
-    assigned = _assign_arrow(base, cells, mat, id_type)
+    assigned = _assign_arrow(base, cells, mat, id_type, keep_vec=(keep_vec and not attach_cos))
+    if not attach_cos:
+        out_cols = [F.col("_id").alias(id_col), "cluster"] + (["v"] if keep_vec else [])
+        return assigned.select(*out_cols)
 
     cent_df = emb.sparkSession.createDataFrame(
         [(int(c), [float(x) for x in row]) for c, row in zip(cells, mat.tolist())],
@@ -364,12 +392,12 @@ def semantic_dedup_clusters(
     # the count job is cacheable construction metadata too
     n = cached(emb, ("count",), emb.count)
     k = min(max(8, n // members_per_cluster), max_k)
-    assigned = kmeans_assign_inplan(emb, k, iters=iters, id_col=id_col, vec_col=vec_col)
-
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mem = emb.select(F.col(id_col).alias("_id"), vec_d.alias("v")).join(
-        assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id"
-    )
+    # (id, v, cluster) straight out of the Arrow assignment pass — no
+    # corpus re-join, no broadcast-centroid join (attach_cos=False),
+    # one fewer exchange of the vector payload (guide §2.4)
+    mem = kmeans_assign_inplan(
+        emb, k, iters=iters, id_col=id_col, vec_col=vec_col, attach_cos=False, keep_vec=True
+    ).select(F.col(id_col).alias("_id"), "v", "cluster")
     a = mem.select(F.col("_id").alias("id_a"), F.col("v").alias("va"), "cluster")
     b = mem.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"), "cluster")
     pairs = (

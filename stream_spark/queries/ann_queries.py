@@ -1775,7 +1775,7 @@ def embeddings_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    assign = kmeans_assign_inplan(emb, k=_KM_K, iters=2).select("vec_id", "cluster")
+    assign = kmeans_assign_inplan(emb, k=_KM_K, iters=2, attach_cos=False).select("vec_id", "cluster")
     tok = docs.select(
         "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
     )
@@ -1898,7 +1898,7 @@ def embeddings_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> Data
     from stream_spark.operators.text import md5_long
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_assign_inplan(emb, k=_KM_K, iters=2).select("vec_id", "cluster")
+    assign = kmeans_assign_inplan(emb, k=_KM_K, iters=2, attach_cos=False).select("vec_id", "cluster")
     keyed = assign.withColumn("hk", md5_long(F.col("vec_id").cast("string")))
     salted = Window.partitionBy("cluster", F.pmod(F.col("vec_id"), F.lit(64))).orderBy(
         "hk", "vec_id"

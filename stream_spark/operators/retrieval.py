@@ -23,8 +23,9 @@ floored at scale 12 to a BIGINT; per-doc totals are then integer sums.
 Scale shape: the term filter prunes the exploded token stream to the
 query vocabulary BEFORE any shuffle; df and the 1-row corpus stats
 are broadcast; the only single-partition exchange is the sanctioned
-global stats aggregate; top-k uses the two-pass partition-offset row
-number (operators/rownum) — no global-ordered window.
+global stats aggregate; top-k is Spark's native TakeOrderedAndProject
+(rownum.with_topk_rank — per-partition bounded heaps, k rows per
+partition merged once; no global-ordered window, no range layout).
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stream_spark.operators.rownum import with_global_row_number
+from stream_spark.operators.rownum import with_topk_rank
 from stream_spark.operators.text import normalize_text, tokens
 
 
@@ -85,8 +86,11 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 10) -> DataFrame:
         )
         .withColumn("neg_score", -F.col("score_scaled"))
     )
-    ranked = with_global_row_number(scored, ["neg_score", "doc_id"], out="rank")
-    return ranked.filter(F.col("rank") <= k).select(
+    # native TakeOrderedAndProject top-k (rownum.with_topk_rank): ranks
+    # identical to the global-rownum + filter spelling, no range
+    # exchange / layout checkpoint / offsets subtree (r11, guide §2.4)
+    ranked = with_topk_rank(scored, ["neg_score", "doc_id"], k, out="rank")
+    return ranked.select(
         "doc_id",
         "matched_terms",
         "score_scaled",

@@ -473,6 +473,27 @@ def with_global_row_number(df: DataFrame, order_cols: list[str], out: str = "rn"
     )
 
 
+def with_topk_rank(df: DataFrame, order_cols: list[str], k: int, out: str = "rank") -> DataFrame:
+    """Exact global top-``k`` with ranks 1..k — result-identical to
+    ``with_global_row_number(df, order_cols).filter(out <= k)`` when
+    ``order_cols`` is a TOTAL order (tie-broken), but planned as
+    Spark's native ``TakeOrderedAndProject``: per-partition bounded
+    heaps merged once (k rows per upstream partition cross the wire),
+    no range exchange, no layout checkpoint, no offsets subtree, no
+    WindowExec — the canonical top-k shape at any scale (guide §2.4:
+    an ``orderBy`` used only to rank a bounded head is not worth a
+    global layout). Ranks are stamped on the single sorted output
+    partition via the per-partition record counter (same local-stamp
+    contract as ``_ranged_pid``; no window, no exchange). ``k`` must be
+    a bounded constant (the same boundedness contract as every top-N)."""
+    taken = df.orderBy(*order_cols).limit(k)
+    return (
+        taken.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(out, (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("long"))
+        .drop("_mid")
+    )
+
+
 def with_global_cumsum(
     df: DataFrame,
     value_col: str,

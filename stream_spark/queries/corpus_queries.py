@@ -863,12 +863,14 @@ def documents_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is the exact-decimal cosine floored at scale 12 to a BIGINT
     (floor on both engines — rule 4), so every rank and the RRF sum
     (integer DIV — rule 8) is engine-identical, ties by id. Scale:
-    both rankings use the two-pass partition-offset top-k; the fused
+    both rankings are native TakeOrderedAndProject top-k
+    (rownum.with_topk_rank — bounded per-partition heaps, no global
+    window, no range layout); the fused
     set is <= 100 rows by construction; the dense side here is the
     bruteforce baseline — at 100 TB it swaps to the IVF/PQ probe path
     (C13 family) with fusion unchanged."""
     from stream_spark.operators.retrieval import bm25_topk
-    from stream_spark.operators.rownum import with_global_row_number
+    from stream_spark.operators.rownum import with_topk_rank
     from stream_spark.operators.similarity import cosine
 
     docs = load_table(spark, sf_dir, "documents")
@@ -889,8 +891,7 @@ def documents_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg", -F.col("cs"))
     )
-    dr = with_global_row_number(dsc, ["neg", "vec_id"], out="r")
-    dense = dr.filter(F.col("r") <= 50).select(
+    dense = with_topk_rank(dsc, ["neg", "vec_id"], 50, out="r").select(
         F.col("vec_id").alias("doc_id"), F.col("r").alias("dense_rank")
     )
     fused = (
@@ -906,8 +907,8 @@ def documents_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg", -F.col("rrf_scaled"))
     )
-    ranked = with_global_row_number(fused, ["neg", "doc_id"], out="rank")
-    return ranked.filter(F.col("rank") <= 20).select(
+    ranked = with_topk_rank(fused, ["neg", "doc_id"], 20, out="rank")
+    return ranked.select(
         "doc_id", "rrf_scaled", "sparse_rank", "dense_rank", F.col("rank").cast("long").alias("rank")
     )
 

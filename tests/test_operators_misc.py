@@ -695,3 +695,39 @@ def test_sized_partitions_unknown_stats_fall_back_to_floor(spark):
     floor = spark.sparkContext.defaultParallelism
     assert sized_partitions(df) == floor
     assert cpu_partitions(df) == floor
+
+
+def test_topk_rank_matches_global_rownum_filter(spark):
+    """with_topk_rank's contract: result-identical to
+    with_global_row_number + filter(rank <= k), planned as the native
+    TakeOrderedAndProject (no range layout, no WindowExec). Parity is
+    asserted on a frame with duplicate sort keys (ties broken by id)
+    and on both collect paths; the plan must carry TakeOrderedAndProject
+    and no Window."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.rownum import with_global_row_number, with_topk_rank
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.col("id") * 37 % 997).alias("k"),  # duplicate keys → tie-broken order
+    )
+    k = 25
+    fast = with_topk_rank(df, ["k", "id"], k, out="rank")
+    slow = (
+        with_global_row_number(df, ["k", "id"], out="rank")
+        .filter(F.col("rank") <= k)
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    assert sorted(map(tuple, fast.toPandas().itertuples(index=False))) == sorted(
+        map(tuple, slow.toPandas().itertuples(index=False))
+    )
+    plan = fast._jdf.queryExecution().executedPlan().treeString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    # empty input and k larger than the frame
+    empty = with_topk_rank(df.filter(F.lit(False)), ["k", "id"], 5)
+    assert empty.count() == 0
+    small = with_topk_rank(df.filter(F.col("id") < 3), ["id"], 10, out="r").collect()
+    assert sorted((r["id"], r["r"]) for r in small) == [(0, 1), (1, 2), (2, 3)]

@@ -85,6 +85,13 @@ SCALAR_SUBQUERY_OK = {
     # 1-row global max-timestamp anchor broadcast onto the scan —
     # scalar by construction.
     "events_decay_sample",
+    # 1-row BM25 corpus-stats aggregate (n_docs, total_toks) broadcast
+    # onto the term-filtered tf table; hybrid additionally broadcasts
+    # the 1-row dense query vector. Previously hidden behind the
+    # rownum fallback's localCheckpoint; the r11 TakeOrderedAndProject
+    # top-k exposes the full lineage to the audit.
+    "documents_bm25_search",
+    "documents_hybrid_search",
 }
 
 

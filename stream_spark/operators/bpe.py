@@ -22,7 +22,7 @@ tokens; the fold is O(tokens) per document with no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -54,29 +54,72 @@ def top_merge(pair_counts: DataFrame) -> DataFrame:
 
 
 def apply_merge(toked: DataFrame, rule: DataFrame, toks_col: str = "toks") -> DataFrame:
-    """Greedy left-to-right merge application as a Catalyst fold.
+    """Greedy left-to-right merge application, O(tokens) per document.
 
-    The fold's init is the first token (slice 1,1 — empty array stays
-    empty), so a just-created merged unit sits at acc[-1] and only
-    re-merges if it equals the rule's left side — BPE pass semantics.
+    Semantics are BPE's single pass: scan left to right, merge every
+    (a, b) occurrence, and a just-created unit is never re-consumed by
+    a later match in the same pass. Spelled as three linear steps
+    instead of an ``aggregate`` fold (whose per-step accumulator concat
+    copies the array — O(n²) per document):
+
+    1. match flags — one '0'/'1' char per adjacent position;
+    2. greedy non-overlapping selection — a left-to-right scan is
+       exactly regexp_replace's left-to-right non-overlapping "11"→"10"
+       (scanning resumes AFTER a replacement, so the right half of a
+       taken match can't start another);
+    3. rebuild — per position: taken(i-1) drops the token (consumed as
+       a right half), taken(i) emits the merged unit, else passthrough.
+
+    The selection arrays enter as HOF *arguments* (evaluated once per
+    row); inside the lambdas only plain attributes are referenced —
+    never re-derive a computed expression per element (Catalyst does
+    not CSE inside lambda bodies; doing so re-ran the whole flag build
+    per token, 7× slower than the fold it replaced).
     """
     toks = F.col(toks_col)
 
-    def step(acc: Column, x: Column) -> Column:
-        hit = (F.element_at(acc, -1) == F.col("a")) & (x == F.col("b"))
-        return F.when(
-            hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("merged")))
-        ).otherwise(F.concat(acc, F.array(x)))
-
     # LEFT join against the ≤1-row rule: an EMPTY rule frame (corpus
-    # with no 2-token document) leaves a/b/merged NULL, the fold's hit
-    # predicate evaluates NULL → otherwise-branch, and every document
-    # passes through unchanged instead of being dropped by an inner join
+    # with no 2-token document) leaves a/b/merged NULL, the match
+    # predicate evaluates NULL → '0', and every document passes
+    # through unchanged instead of being dropped by an inner join
     out = toked.withColumn("_one", F.lit(1)).join(
         F.broadcast(rule.withColumn("_one", F.lit(1))), "_one", "left"  # broadcast-ok: 1-row top-1 aggregate
     )
-    folded = F.aggregate(F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                         F.slice(toks, 1, 1), step)
+    n = F.size(toks)
+    flags = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.when(
+                (F.element_at(toks, i.cast("int")) == F.col("a"))
+                & (F.element_at(toks, (i + 1).cast("int")) == F.col("b")),
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    taken = F.regexp_replace(flags, "11", "10")
+    # shifted char views over positions 1..n (split() keeps a trailing
+    # "" under limit -1 — the junk element is guarded in the lambda)
+    prevs = F.split(F.concat(F.lit("0"), taken), "")  # [taken(i-1)]
+    takes = F.split(F.concat(taken, F.lit("0")), "")  # [taken(i)]
+    marks = F.zip_with(prevs, takes, lambda p, q: F.struct(p.alias("p"), q.alias("q")))
+    folded_core = F.filter(
+        F.transform(
+            marks,
+            lambda m, i: F.when(m["p"] == "", F.lit(None))  # split()'s trailing junk
+            .when(m["p"] == "1", F.lit(None))  # consumed as the right half of a merge
+            .when(m["q"] == "1", F.col("merged"))
+            .otherwise(F.element_at(toks, (i + 1).cast("int"))),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # <2 tokens: nothing can merge (and the flag machinery would index
+    # out of bounds under ANSI) — passthrough; NULL toks stay NULL
+    folded = (
+        F.when(n >= 2, folded_core)
+        .when(n >= 0, toks)
+        .otherwise(F.lit(None).cast("array<string>"))
+    )
     return out.withColumn(toks_col, folded).drop("a", "b", "merged", "pair_count", "_one")
 
 
@@ -106,7 +149,12 @@ def bpe_merge_rounds(
     outs = []
     cur = toked
     for r in range(1, rounds + 1):
-        rule = top_merge(adjacent_pair_counts(cur, toks_col))
+        # pin the 1-row rule: it has TWO consumers (the apply fold's
+        # broadcast AND the output union), and without the pin the
+        # output side re-runs the round's whole pair-count pass over
+        # the corpus at collection time (r11 A/B: one count-pass per
+        # round saved; the checkpoint itself is one row)
+        rule = top_merge(adjacent_pair_counts(cur, toks_col)).localCheckpoint()
         outs.append(
             rule.select(
                 F.lit(r).cast("bigint").alias("round"),

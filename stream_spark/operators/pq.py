@@ -126,9 +126,8 @@ def _argmin_code(part: Column, books_lit: Column, k: int) -> Column:
 
 def _codebooks(corpus: DataFrame, id_col: str, vec_col: str, n_sub: int, k: int, dim: int):
     """n_sub × k × (dim/n_sub) centroid floats from the k lowest-id
-    corpus vectors (bounded metadata collect) — deterministic given the
-    data, so cacheable construction metadata (operators.metacache)."""
-    from stream_spark.operators.metacache import cached
+    corpus vectors (bounded metadata collect, run at every
+    construction)."""
 
     def compute():
         rows = (
@@ -143,7 +142,7 @@ def _codebooks(corpus: DataFrame, id_col: str, vec_col: str, n_sub: int, k: int,
             for s in range(n_sub)
         ]
 
-    return cached(corpus, ("pq_codebooks", n_sub, k, dim, id_col, vec_col), compute)
+    return compute()
 
 
 def _code_entries(vec: Column, books, n_sub: int, k: int, dim: int) -> Column:

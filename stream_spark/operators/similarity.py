@@ -636,8 +636,6 @@ def topk_bruteforce(
     import pandas as pd
     from pyspark.sql import Window
 
-    from stream_spark.operators.metacache import cached
-
     m = max(2 * k, k + 10)
     spark = queries.sparkSession
 
@@ -648,7 +646,7 @@ def topk_bruteforce(
             [[float(x) for x in r[vec_col]] for r in rows],
         )
 
-    qids_l, qvecs_l = cached(queries, ("query_set", id_col, vec_col), collect_queries)
+    qids_l, qvecs_l = collect_queries()
     if not qids_l:
         empty = "query_id long, neighbor_id long, cosine double, rank int"
         return spark.createDataFrame([], empty)
@@ -943,11 +941,9 @@ def ivf_centroids(
     tightened by ``refine_iters`` Lloyd rounds (Arrow assignment +
     decimal-exact means; a cell that loses all members keeps its
     seed). Deterministic given the data — min-id seeds, exact-decimal
-    means, lowest-cell ties — so it is construction METADATA, memoized
-    per (plan, file-state, params) via ``operators.metacache``: a
-    repeat construction of the same query skips the seed collect and
-    every refine round. Returns [] for an empty corpus."""
-    from stream_spark.operators.metacache import cached
+    means, lowest-cell ties. The seed collect and every refine round
+    run at EVERY construction (bounded metadata jobs; no
+    cross-construction memo). Returns [] for an empty corpus."""
 
     def compute() -> list[list[float]]:
         cents = (
@@ -977,9 +973,7 @@ def ivf_centroids(
             ]
         return cent_vecs
 
-    return cached(
-        corpus, ("ivf_centroids", n_cells, refine_iters, id_col, vec_col), compute
-    )
+    return compute()
 
 
 def topk_ivf(

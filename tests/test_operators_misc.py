@@ -393,27 +393,24 @@ def test_rownum_fallback_offsets_survive_arrow_collect(spark):
     assert len(win.toPandas()) == 300
 
 
-def test_rownum_meta_cache_hits_and_invalidates(spark, tmp_path):
-    """r11 boundary layout: the construction-metadata cache (quantile
-    boundaries + per-bucket totals) must HIT for a repeated identical
-    plan over unchanged files and MISS (recompute, stay exact) after an
-    append changes the file set."""
+def test_rownum_boundary_layout_repeat_and_append_exact(spark, tmp_path):
+    """r11 boundary layout: the construction metadata (quantile
+    boundaries + per-bucket totals) is recomputed at EVERY construction
+    — a repeated identical plan stays exact, and an append to the file
+    set is immediately reflected in the numbering (no stale
+    cross-construction state anywhere)."""
     from pyspark.sql import functions as F
 
     import stream_spark.operators.rownum as rn
-    from stream_spark.operators import metacache
 
     p = str(tmp_path / "t")
     spark.range(5000).select(
         (F.col("id") * 13 % 5000).alias("k"), F.col("id").alias("i")
     ).write.parquet(p)
-    before = len(metacache._CACHE)
     assert rn.with_global_row_number(spark.read.parquet(p), ["k", "i"]).count() == 5000
-    assert len(metacache._CACHE) == before + 1
-    # second construction: same canonical plan + same files → hit
+    # second construction: same plan, independent metadata jobs, exact
     assert rn.with_global_row_number(spark.read.parquet(p), ["k", "i"]).count() == 5000
-    assert len(metacache._CACHE) == before + 1
-    # append → new file in the leaf set → new key, exact new numbering
+    # append → the very next construction numbers the grown file set
     spark.range(5000, 7000).select(
         (F.col("id") * 13 % 5000).alias("k"), F.col("id").alias("i")
     ).write.mode("append").parquet(p)
@@ -421,7 +418,6 @@ def test_rownum_meta_cache_hits_and_invalidates(spark, tmp_path):
     rows = out.orderBy("rn").collect()
     assert [r["rn"] for r in rows] == list(range(1, 7001))
     assert rows == sorted(rows, key=lambda r: (r["k"], r["i"]))
-    assert len(metacache._CACHE) == before + 2
 
 
 def test_rownum_boundary_bucketing_is_monotone_and_total(spark):

@@ -199,13 +199,17 @@ def _key_boundaries(df: DataFrame, skey_sql: str, n_parts: int) -> list[float] |
     tiny job at construction over the PRUNED key column (the analogue
     of the sampling pass repartitionByRange runs internally), collected
     to the driver (bounded metadata: ≤ n_parts doubles) and embedded as
-    plan literals. Accuracy scales with the bucket count but is capped:
-    past the cap boundaries land within ~a bucket width of their exact
-    rank, bounding any bucket at ~2× the 128 MB target. Returns None on
+    plan literals. Accuracy scales with the bucket count (4× margin:
+    rank error ≤ ~1/4 bucket width, bounding any bucket at ~2× the
+    128 MB target) and is floored at 1000 — the r11 optimization round
+    measured the sketch build itself as the bulk of this job at the old
+    10000 floor (~2× the whole-job cost of acc=1000 on the sf0.1 key
+    scan), pure construction overhead for a 32-bucket layout whose
+    boundaries only need bucket-width accuracy. Returns None on
     non-finite boundaries (±inf data) → caller falls back."""
     if n_parts <= 1:
         return []
-    acc = max(10_000, min(100_000, 4 * n_parts))
+    acc = max(1_000, min(100_000, 4 * n_parts))
     pcts = [i / n_parts for i in range(1, n_parts)]
     row = (
         df.selectExpr(f"{skey_sql} AS _k")
@@ -221,16 +225,26 @@ def _key_boundaries(df: DataFrame, skey_sql: str, n_parts: int) -> list[float] |
 def _pid_sql(bounds: list[float], skey_sql: str) -> str:
     """Deterministic bucket id: ``|{b in bounds : b < key}|`` — strict
     ``<`` so equal keys never split across buckets, NULL keys (which
-    sort first) fall through to bucket 0 via three-valued logic. The
-    lambda variables are named ``_rnb*`` ON PURPOSE: the plan auditor
-    masks numeric literals on ``_rnb`` lines (quantile-sketch
+    sort first) go to bucket 0 explicitly.
+
+    Up to 128 boundaries the id is a balanced binary-search ``CASE``
+    tree (r11 optimization round): higher-order functions
+    (``filter``/``transform``) are CodegenFallback — every row paid ~m
+    INTERPRETED comparisons, which dominated both the construction-time
+    counts job and the main pass (measured 0.7–1.0 s → 0.3–0.4 s on the
+    sf0.1 counts job). The CASE tree whole-stage-codegens to ~log2(m)
+    branch instructions per row. Tie semantics match the filter
+    spelling exactly: descend left on ``key <= bounds[mid]`` ⇔ the
+    bucket is ``|{b : b < key}|``. The plan auditor masks numeric
+    literals on the ``AS _pid#`` projection line (quantile-sketch
     boundaries are merge-order-dependent run to run; they change the
     bucketing, never the result — test_partition_independence).
 
-    Flat scan up to 64 boundaries; past that a two-level √m block
-    search (filter over block maxima, then over one block) keeps the
-    per-row comparison count at ~3√m — ~1.1k at the 131 072-partition
-    cap instead of 131k."""
+    Past 128 boundaries a two-level √m block search (filter over block
+    maxima, then over one block) keeps the per-row comparison count at
+    ~3√m — ~1.1k at the 131 072-partition cap — without inlining 131k
+    literals into one CASE expression (plan/codegen size). The lambda
+    variables there are named ``_rnb*`` for the same auditor mask."""
     if not bounds:
         return "CAST(0 AS INT)"
 
@@ -238,8 +252,17 @@ def _pid_sql(bounds: list[float], skey_sql: str) -> str:
         return ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs)
 
     m = len(bounds)
-    if m <= 64:
-        return f"CAST(size(filter(array({lits(bounds)}), _rnb -> _rnb < ({skey_sql}))) AS INT)"
+    if m <= 128:
+        def go(lo: int, hi: int) -> str:
+            if lo == hi:
+                return str(lo)
+            mid = (lo + hi) // 2
+            return (
+                f"(CASE WHEN ({skey_sql}) <= CAST({bounds[mid]!r} AS DOUBLE) "
+                f"THEN {go(lo, mid)} ELSE {go(mid + 1, hi)} END)"
+            )
+
+        return f"CAST(CASE WHEN ({skey_sql}) IS NULL THEN 0 ELSE {go(0, m)} END AS INT)"
     B = max(1, math.isqrt(m))
     chunks = [bounds[i : i + B] for i in range(0, m, B)]
     nch = len(chunks)

@@ -216,13 +216,19 @@ def normalize_plan(plan: str) -> str:
     # cross-session-flake class as the q21 gid order). DataFilters is
     # redundant with the Filter node (printed in full) + PushedFilters,
     # so mask the whole list rather than chase the cut point.
-    # rownum boundary-layout bucket literals (lambda var `_rnb` marks
-    # them): approx-quantile boundaries are merge-order-dependent run
-    # to run — they move bucket edges, never results (pinned by
+    # rownum boundary-layout bucket literals: approx-quantile
+    # boundaries are merge-order-dependent run to run — they move
+    # bucket edges, never results (pinned by
     # test_partition_independence) — so mask every numeric token on
-    # those lines, including the n_parts-derived block constants.
+    # those lines. Two markers: the `AS _pid#` projection line (the
+    # binary-search CASE spelling, m <= 128) and the lambda var `_rnb`
+    # (the two-level block-search spelling past 128 boundaries, plus
+    # the `_rnb_off` offsets alias), including the n_parts-derived
+    # block constants.
     p = "\n".join(
-        re.sub(r"-?\d+(\.\d+)?([eE][+-]?\d+)?", "NUM", ln) if "_rnb" in ln else ln
+        re.sub(r"-?\d+(\.\d+)?([eE][+-]?\d+)?", "NUM", ln)
+        if ("_rnb" in ln or "AS _pid#" in ln)
+        else ln
         for ln in p.split("\n")
     )
     # fall back to end-of-line when the char budget cut the string

@@ -124,6 +124,78 @@ def grouped_global_tumbling_count(
     )
 
 
+def _sliding_count_blocked(
+    d: DataFrame,
+    value_col: str,
+    function: str,
+    size: int,
+    resolution: int,
+    group_by: Sequence[str] | None,
+    exact_decimal: bool,
+) -> DataFrame:
+    """Two-level (block-combined) spelling of the sliding count window
+    for decomposable aggregates when ``resolution`` divides ``size``.
+
+    Window k = rows rn in [k·r+1, k·r+N]; with r | N it is exactly the
+    m = N/r consecutive r-aligned blocks k..k+m-1 (block b = rows
+    (b·r, b·r+r]), and every row of a block belongs to the same m
+    windows. So aggregate rows into per-block PARTIALS first — the
+    groupBy map-side-combines, so the exchange carries ~n/r partial
+    rows instead of the explode path's N/r-per-row fan-out (guide §2.3:
+    aggregate before you shuffle; ~50× fewer shuffled rows at
+    N=50/r=10) — then fan each block partial to its m covering windows
+    and combine per window.
+
+    Result-identical to the row-explode spelling for every emitted row:
+    decimal partial sums re-sum exactly (decimal addition is exact and
+    associative); min/max/count are associative; the integral
+    (non-exact-decimal) sum/avg path sums exact longs. Windows missing
+    rows still drop via the n_samples == size gate (candidate window
+    ids are the same clamped [max(0, b-m+1), b] ranges the row explode
+    produces)."""
+    m = size // resolution
+    val = F.col(value_col)
+    keys = [*group_by] if group_by else []
+    blk = ((F.col("rn") - 1) / F.lit(resolution)).cast("long")
+    part: list[Column] = [F.count("*").alias("_c")]
+    if function in ("sum", "avg"):
+        part.append(
+            F.sum(val.cast(EXACT_DECIMAL) if exact_decimal else val).alias("_s")
+        )
+        if function == "avg":
+            part.append(F.count(val).alias("_cv"))
+    elif function == "min":
+        part.append(F.min(val).alias("_s"))
+    elif function == "max":
+        part.append(F.max(val).alias("_s"))
+    else:  # count
+        part.append(F.count(val).alias("_s"))
+    blocks = d.withColumn("_blk", blk).groupBy(*keys, "_blk").agg(*part)
+    ks = F.sequence(
+        F.greatest(F.lit(0).cast("long"), (F.col("_blk") - (m - 1)).cast("long")),
+        F.col("_blk").cast("long"),
+    )
+    fanned = blocks.withColumn("window_id", F.explode(ks))
+    if function == "sum":
+        result = F.sum("_s").cast("double") if exact_decimal else F.sum("_s")
+    elif function == "avg":
+        num = F.sum("_s").cast("double") if exact_decimal else F.sum("_s")
+        result = num / F.sum("_cv")
+    elif function == "min":
+        result = F.min("_s")
+    elif function == "max":
+        result = F.max("_s")
+    else:  # count
+        result = F.sum("_s")
+    return (
+        fanned.groupBy(*keys, "window_id")
+        .agg(result.alias("result"), F.sum("_c").alias("n_samples"))
+        .filter(F.col("n_samples") == size)
+        .withColumn("emit_rn", (F.col("window_id") * resolution + size).cast("long"))
+        .drop("n_samples")
+    )
+
+
 def sliding_count_window(
     df: DataFrame,
     value_col: str,
@@ -139,10 +211,25 @@ def sliding_count_window(
     exploded ``sequence`` — shuffle-on-emit-id, not a global frame, so
     the plan is scale-safe. Emits with fewer than N rows (stream tail)
     are dropped, matching the reference's canEmit warmup gate.
+
+    When ``resolution`` divides ``size`` (and r > 1) the decomposable
+    aggregates take the two-level block-combined plan
+    (``_sliding_count_blocked``) — same emitted rows, ~50× fewer
+    shuffled rows at the default N=50/r=10. ``accumulate`` (an ordered
+    list, not a decomposable scalar) keeps the row explode.
     """
     if size <= 0 or resolution <= 0:
         raise ValueError("size and resolution must be positive")
     d = _ordered(df, order_cols, group_by)
+    if (
+        function != "accumulate"
+        and resolution > 1
+        and size >= resolution
+        and size % resolution == 0
+    ):
+        return _sliding_count_blocked(
+            d, value_col, function, size, resolution, group_by, _fractional(df, value_col)
+        )
     # emit k happens at row offset + k*r and covers the last `size`
     # rows; offset = max(size, r) reproduces the reference's first-emit
     # position (ring full AND r samples since last reset)

@@ -152,3 +152,75 @@ def test_pipeline_accepts_total_count_modifier(spark, sf_dir):
     }
     out = Pipeline.from_dict(cfg).run(spark, sf_dir)
     assert out.count() > 0 and "result" in out.columns
+
+
+def test_sliding_count_blocked_matches_row_explode(spark):
+    """The two-level block-combined sliding plan (r11: resolution | size)
+    must emit EXACTLY the row-explode spelling's rows for every
+    decomposable function — including NULL values (count/avg skip them,
+    min/max propagate absence), tie-broken duplicate timestamps, and the
+    dropped partial tail."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.windows import (
+        _fractional,
+        _ordered,
+        _sliding_count_blocked,
+    )
+    from stream_spark.functions.aggregates import agg_expr
+
+    base = dt.datetime(2024, 1, 1)
+    # 23 rows (partial tail past the last full window), NULL values at
+    # every 5th row, duplicate ts pairs tie-broken by event_id
+    rows = [
+        (i, base + dt.timedelta(seconds=10 * (i // 2)), None if i % 5 == 0 else float(i) + 0.25)
+        for i in range(23)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    size, res = 8, 2
+
+    def explode_ref(fn):
+        d = _ordered(df, ("ts", "event_id"), None)
+        offset = max(size, res)
+        k_min = F.greatest(
+            F.lit(0).cast("long"), F.ceil((F.col("rn") - offset) / F.lit(res)).cast("long")
+        )
+        k_max = F.floor((F.col("rn") + size - 1 - offset) / F.lit(res)).cast("long")
+        ks = F.when(k_max >= k_min, F.sequence(k_min, k_max)).otherwise(
+            F.array().cast("array<long>")
+        )
+        d = d.withColumn("window_id", F.explode(ks))
+        return (
+            d.groupBy("window_id")
+            .agg(
+                agg_expr(fn, F.col("value"), F.col("rn"), alias="result",
+                         exact_decimal=_fractional(df, "value")),
+                F.count("*").alias("n_samples"),
+            )
+            .filter(F.col("n_samples") == size)
+            .withColumn("emit_rn", (F.col("window_id") * res + offset).cast("long"))
+            .drop("n_samples")
+        )
+
+    for fn in ["sum", "avg", "min", "max", "count"]:
+        d = _ordered(df, ("ts", "event_id"), None)
+        got = _sliding_count_blocked(d, "value", fn, size, res, None, _fractional(df, "value"))
+        want = explode_ref(fn)
+        g = {r["window_id"]: (r["result"], r["emit_rn"]) for r in got.collect()}
+        w = {r["window_id"]: (r["result"], r["emit_rn"]) for r in want.collect()}
+        assert g == w, f"{fn}: {g} != {w}"
+
+
+def test_sliding_count_blocked_guard(tiny_events):
+    """accumulate and indivisible resolutions keep the row-explode plan
+    (Generate directly above the Window; no block aggregate)."""
+    out = sliding_count_window(tiny_events, "value", "accumulate", 4, 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # explode path: no aggregate between the Generate and the Window
+    assert "HashAggregate" not in plan[plan.index("Generate") : plan.index("Window")]
+    blocked = sliding_count_window(tiny_events, "value", "sum", 4, 2)
+    bplan = blocked._jdf.queryExecution().executedPlan().toString()
+    # blocked path: the block-partial aggregate sits between them
+    assert "HashAggregate" in bplan[bplan.index("Generate") : bplan.index("Window")]

@@ -483,3 +483,51 @@ def test_index_staging_dir_repo_derived_and_sweeps_dead_pids(tmp_path, monkeypat
     _index_staging_dir("test_staging")
     assert not os.path.exists(dead)  # dead pid swept
     assert os.path.exists(live_marker)  # non-pid dirs untouched
+
+
+def test_simhash_inline_matches_explode_reference(spark):
+    """The one-pass zip_with-accumulator simhash (r11) must reproduce
+    the explode-per-bit spelling bit for bit — including NULL text
+    (emits no row), whitespace-only text (tokens() yields one ''
+    token, which hashes — both spellings keep the doc), single-token
+    docs (signature == the token hash), and repeated tokens
+    (array_distinct)."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.dedup import SIMHASH_BITS, simhash
+    from stream_spark.operators.text import md5_long, normalize_text, tokens
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),          # exact dup
+        (3, "alpha  beta   gamma delta "),       # whitespace noise
+        (4, "alpha alpha alpha beta"),           # repeated tokens
+        (5, "единственный"),                     # single non-ascii token
+        (6, "   "),                              # whitespace-only: one '' token
+        (7, None),                               # NULL text
+        (8, "tok"),                              # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def explode_ref(d):
+        toks = (
+            d.select(
+                F.col("doc_id").alias("doc"),
+                F.array_distinct(tokens(normalize_text(F.col("text")))).alias("ws"),
+            )
+            .select("doc", F.explode(F.col("ws")).alias("w"))
+            .withColumn("h", md5_long(F.col("w")))
+        )
+        bits = toks.select(
+            "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+        ).withColumn("contrib", F.expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END"))
+        sums = bits.groupBy("doc", "j").agg(F.sum("contrib").alias("s"))
+        return sums.groupBy("doc").agg(
+            F.sum(
+                F.expr("CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END")
+            ).alias("simhash")
+        )
+
+    got = {(r["doc"], r["simhash"]) for r in simhash(df).collect()}
+    want = {(r["doc"], r["simhash"]) for r in explode_ref(df).collect()}
+    assert got == want and {d for d, _ in got} == {1, 2, 3, 4, 5, 6, 8}

@@ -210,6 +210,15 @@ def triangle_counts(
     enumerates its full neighborhood square. Returns (node,
     n_triangles) for nodes in ≥1 triangle.
     """
+    # The canonical edge set feeds SIX consuming subtrees (sym twice,
+    # deg through sym, both wedge sides through oriented, the closing
+    # probe) — unmaterialized, Catalyst re-derives the caller's whole
+    # edge pipeline per reference (r11: the co-purchase query's
+    # lineitem self-join appeared 78 times in the frozen plan, the
+    # same disease the r7 pagerank pin fixed). One lineage cut here
+    # and one on `oriented` (both wedge-join sides) leave exactly one
+    # derivation of each (guide §2.4 / §5; same lazy-localCheckpoint
+    # contract as dedup._materialize_index).
     und = (
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("u"),
@@ -217,6 +226,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sym = und.select("u", "v").union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
@@ -225,9 +235,13 @@ def triangle_counts(
         .join(deg.withColumnRenamed("u", "v1").withColumnRenamed("d", "dv"), F.col("v") == F.col("v1"))
         .select("u", "v", "du", "dv")
     )
-    oriented = ranked.filter(
-        (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ).select("u", "v")
+    oriented = (
+        ranked.filter(
+            (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (
         e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
@@ -238,11 +252,10 @@ def triangle_counts(
         (F.least(F.col("b"), F.col("c")) == F.col("_bu"))
         & (F.greatest(F.col("b"), F.col("c")) == F.col("_bv")),
     ).select("a", "b", "c")
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
-    )
+    # one triangle row fans to its three corners via explode — the old
+    # 3-way union of `tri` evaluated the whole wedge+probe pipeline
+    # three times
+    nodes = tri.select(F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node"))
     return nodes.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
 
 

@@ -992,8 +992,19 @@ def incremental_verified_flags(
     """
     from pyspark.sql import Window
 
-    nb = minhash_band_buckets(new_df, text_col, id_col, n)
-    cb = minhash_band_buckets(corpus_df, text_col, id_col, n).select(
+    # ONE shingle pass per side (r11, the banded_jaccard_pairs
+    # discipline): the exploded shingle index feeds the band-index
+    # build AND the sizes AND the verify joins — unmaterialized, each
+    # consumer re-ran tokenize+explode (7 documents scans in the
+    # frozen plan; now 2, one per side). EAGER checkpoints: the three
+    # consumers are parallel subtrees of one job, and a lazy pin lets
+    # their stages race on the uncached RDD (measured worse than the
+    # duplicate evaluation it removes); eager materializes once before
+    # any consumer plans.
+    shn = shingle_docs(new_df, text_col, id_col, n).localCheckpoint()
+    shc = shingle_docs(corpus_df, text_col, id_col, n).localCheckpoint()
+    nb = minhash_band_buckets(new_df, text_col, id_col, n, shingles=shn)
+    cb = minhash_band_buckets(corpus_df, text_col, id_col, n, shingles=shc).select(
         F.col("doc").alias("cd"), "band", "bucket"
     )
     cand = (
@@ -1001,8 +1012,6 @@ def incremental_verified_flags(
         .select(F.col("doc").alias("nd"), "cd")
         .distinct()
     )
-    shn = shingle_docs(new_df, text_col, id_col, n)
-    shc = shingle_docs(corpus_df, text_col, id_col, n)
     sn = shn.groupBy("doc").agg(F.count("*").alias("sz_n"))
     sc = shc.groupBy("doc").agg(F.count("*").alias("sz_c"))
     expanded = cand.join(shn.alias("a"), cand["nd"] == F.col("a.doc")).select(

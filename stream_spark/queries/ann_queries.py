@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stream_spark.operators.clustering import kmeans_assign
+from stream_spark.operators.clustering import kmeans_assign_inplan
 from stream_spark.operators.multimodal import extract_binary_features, sample_frames, to_media_table
 from stream_spark.operators.similarity import N_CELLS, N_PLANES, N_PROBE, topk_bruteforce, topk_ivf, topk_lsh
 from stream_spark.queries.registry import register
@@ -435,7 +435,12 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact arithmetic) — the oracle replays both rounds in SQL
     and the assignments + cosines must match bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, k=_KM_K, iters=2)
+    # the Arrow in-plan assignment (r11): bit-identical to the literal-
+    # centroid spelling (test_kmeans_inplan_matches_literal_path) and
+    # -23% at sf0.1 (3.01 -> 2.32 warm min-of-3) — the literal path's
+    # n x k per-row decimal folds are the cost the Arrow matmul removes;
+    # kmeans_assign stays as the decimal reference implementation
+    return kmeans_assign_inplan(emb, k=_KM_K, iters=2)
 
 
 _SEM_TAU = 0.4
@@ -1688,14 +1693,24 @@ def embeddings_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
     topc = topk_bruteforce(q, c, 16)
+    # EAGER lineage cuts (r11): `cand` feeds the candidate-vector join
+    # AND the greedy selector, `ce` feeds both pair-join sides —
+    # unmaterialized, each reference re-derived the full two-phase
+    # top-k corpus pass (8 embeddings scans in the frozen plan; now 1).
+    # Both frames are bounded (≤ 10 queries × 16 candidates) by
+    # construction; eager because the consumers are parallel subtrees
+    # of one job (a lazy pin lets their stages race on the uncached
+    # RDD — measured worse).
     cand = topc.select(
         "query_id",
         F.col("neighbor_id").alias("cid"),
         F.floor(F.col("cosine") * F.lit(1e12)).cast("long").alias("s_q"),
+    ).localCheckpoint()
+    ce = (
+        cand.join(emb.select(F.col("vec_id").alias("cid"), "embedding"), "cid")
+        .select("query_id", "cid", "embedding")
+        .localCheckpoint()
     )
-    ce = cand.join(
-        emb.select(F.col("vec_id").alias("cid"), "embedding"), "cid"
-    ).select("query_id", "cid", "embedding")
     ps = (
         ce.alias("L")
         .join(

@@ -326,14 +326,22 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok")).filter(
         F.length("tok") > 0
     )
-    tot = tok.groupBy("tok").agg(F.count("*").alias("ct"))
+    # ONE token explode pass (r11): aggregate at the finer (tok,
+    # source) grain first and re-aggregate for the global counts — the
+    # old spelling derived `tok` independently for the vocabulary AND
+    # the per-source counts, re-running the full corpus explode+count
+    # per consumer (9 documents scans in the frozen plan). The EAGER
+    # lineage cut pins the one aggregated pass for both consumers (the
+    # frame is aggregate-sized — distinct (tok, source) — never raw
+    # tokens; eager because the consumers are parallel subtrees of one
+    # job and a lazy pin lets their stages race on the uncached RDD).
+    sc0 = (
+        tok.groupBy("source", "tok").agg(F.count("*").alias("cs")).localCheckpoint()
+    )
+    tot = sc0.groupBy("tok").agg(F.sum("cs").alias("ct"))
     vocab = tot.orderBy(F.col("ct").desc(), "tok").limit(_DRIFT_V)
     # broadcast-ok: vocabulary is LIMIT {_DRIFT_V} rows by construction
-    sc = (
-        tok.join(F.broadcast(vocab.select("tok")), "tok")  # broadcast-ok: LIMIT-bounded vocabulary
-        .groupBy("source", "tok")
-        .agg(F.count("*").alias("cs"))
-    )
+    sc = sc0.join(F.broadcast(vocab.select("tok")), "tok").select("source", "tok", "cs")  # broadcast-ok: LIMIT-bounded vocabulary
     sources = docs.select("source").distinct().withColumn("_one", F.lit(1))
     # broadcast-ok: vocabulary is LIMIT {_DRIFT_V} rows by construction
     grid = (

@@ -160,6 +160,39 @@ def _dec_sum_py(products) -> float:
     return float(sum(Decimal(p).quantize(q, rounding=ROUND_HALF_UP) for p in products))
 
 
+def _kmeans_argmax_kernel(mat, cn_f, cn_exact, k_):
+    """The per-batch argmax of ``_assign_arrow`` factored out so the
+    fused mean-partials pass (``_kmeans_mean_partials_arrow``) uses the
+    IDENTICAL two-phase exactness contract: float cosines pick the max,
+    any cell within 1e-6 re-resolves with the exact decimal emulation,
+    ties to the LOWEST cell; NaN columns keep np.argmax's first-NaN
+    (Spark's NaN-is-largest + lowest-cell). Returns V → int indices
+    into ``mat`` rows."""
+    import math
+
+    import numpy as np
+
+    def argmax(V):
+        S = (V @ mat.T) / (np.sqrt((V * V).sum(axis=1))[:, None] * cn_f[None, :])
+        top = S.argmax(axis=1)
+        if k_ > 1:
+            mx = S[np.arange(len(V)), top]
+            near = S >= (mx - 1e-6)[:, None]
+            for r in np.where(near.sum(axis=1) > 1)[0]:
+                vrow = V[r].tolist()
+                nv = math.sqrt(_dec_sum_py(x * x for x in vrow))
+                best_cos, best_c = None, 0
+                for c in np.where(near[r])[0]:
+                    d = _dec_sum_py(x * w for x, w in zip(vrow, mat[c].tolist()))
+                    cosv = d / (nv * cn_exact[c])
+                    if best_cos is None or cosv > best_cos:
+                        best_cos, best_c = cosv, int(c)
+                top[r] = best_c
+        return top
+
+    return argmax
+
+
 def _assign_arrow(
     base: DataFrame, cells, mat, id_type: str, keep_vec: bool = False
 ) -> DataFrame:
@@ -193,10 +226,10 @@ def _assign_arrow(
 
     import numpy as np
 
-    k_ = len(cells)
     cells_arr = np.asarray(cells, dtype=np.int64)
     cn_f = np.sqrt((mat * mat).sum(axis=1))
     cn_exact = [math.sqrt(_dec_sum_py(x * x for x in row)) for row in mat.tolist()]
+    argmax = _kmeans_argmax_kernel(mat, cn_f, cn_exact, len(cells))
 
     def gen(batches):
         import pandas as pd
@@ -206,21 +239,7 @@ def _assign_arrow(
                 continue
             ids = pdf["_id"].to_numpy()
             V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-            S = (V @ mat.T) / (np.sqrt((V * V).sum(axis=1))[:, None] * cn_f[None, :])
-            top = S.argmax(axis=1)
-            if k_ > 1:
-                mx = S[np.arange(len(V)), top]
-                near = S >= (mx - 1e-6)[:, None]
-                for r in np.where(near.sum(axis=1) > 1)[0]:
-                    vrow = V[r].tolist()
-                    nv = math.sqrt(_dec_sum_py(x * x for x in vrow))
-                    best_cos, best_c = None, 0
-                    for c in np.where(near[r])[0]:
-                        d = _dec_sum_py(x * w for x, w in zip(vrow, mat[c].tolist()))
-                        cosv = d / (nv * cn_exact[c])
-                        if best_cos is None or cosv > best_cos:
-                            best_cos, best_c = cosv, int(c)
-                    top[r] = best_c
+            top = argmax(V)
             out = {"_id": ids, "cluster": cells_arr[top]}
             if keep_vec:
                 out["v"] = pdf["v"]
@@ -231,6 +250,66 @@ def _assign_arrow(
     par = cpu_partitions(base)
     schema = f"_id {id_type}, cluster bigint" + (", v array<double>" if keep_vec else "")
     return base.select("_id", "v").repartition(par, F.col("_id")).mapInPandas(gen, schema)
+
+
+def _refine_means(base: DataFrame, cells, mat) -> list[tuple[int, list[float]]]:
+    """One Lloyd refine round as ONE fused corpus pass (guide §2.3 —
+    aggregate before you shuffle): the Arrow batch runs the IDENTICAL
+    argmax kernel as ``_assign_arrow`` and then accumulates EXACT
+    per-cluster partial sums of the scale-12-quantized elements
+    (similarity._mean_partials_from_batch — the vectorized Spark
+    double→DECIMAL(28,12) cast). The post-Python exchange carries
+    ~n_batches×k tiny partial rows instead of the former spelling's n
+    assigned vectors posexploded to n×dim rows through two keyed
+    exchanges. Scaled-integer addition is exact and associative, so the
+    resulting means are bit-identical to
+    ``sum(cast(x as decimal(28,12))).cast("double") / count(x)`` —
+    pinned end to end by test_kmeans_inplan_matches_literal_path (the
+    literal path keeps the Catalyst posexplode spelling as reference).
+    Domain: dense fixed-dim vectors without NULL elements — the same
+    domain ``_assign_arrow`` already requires (np.array would reject
+    ragged/None rows). Returns [(cell, centroid)] sorted by cell;
+    clusters that lost all members drop, exactly as the posexplode
+    aggregate produced no row for them."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from stream_spark.operators.similarity import (
+        _mean_partials_from_batch,
+        exact_means_by_cell,
+    )
+
+    k_ = len(cells)
+    cells_arr = np.asarray(cells, dtype=np.int64)
+    cn_f = np.sqrt((mat * mat).sum(axis=1))
+    cn_exact = [math.sqrt(_dec_sum_py(x * x for x in row)) for row in mat.tolist()]
+    argmax = _kmeans_argmax_kernel(mat, cn_f, cn_exact, k_)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            top = argmax(V)
+            for present, cnt, acc in _mean_partials_from_batch(V, top, k_):
+                yield pd.DataFrame(
+                    {
+                        "cell": cells_arr[present],
+                        "pcnt": [cnt[c].tolist() for c in present],
+                        "psum": [acc[c].tolist() for c in present],
+                    }
+                )
+
+    par = cpu_partitions(base)
+    partials = (
+        base.select("_id", "v")
+        .repartition(par, F.col("_id"))
+        .mapInPandas(gen, "cell bigint, pcnt array<long>, psum array<long>")
+    )
+    means = exact_means_by_cell(partials)
+    return sorted((c, cv) for c, cv in means.items())
 
 
 def kmeans_assign_inplan(
@@ -292,27 +371,12 @@ def kmeans_assign_inplan(
         cells = list(range(len(seed_rows)))
         mat = np.array([[float(x) for x in r["v"]] for r in seed_rows])
         for _ in range(iters - 1):
-            # keep_vec: the mean pass needs (cluster, v) — the vectors
-            # ride through the Arrow batch bit-exact, so no corpus
-            # re-join per refine round (guide §2.4)
-            assigned = _assign_arrow(base, cells, mat, id_type, keep_vec=True)
-            mean_rows = sorted(
-                (
-                    assigned.select("cluster", F.posexplode("v").alias("i", "x"))
-                    .groupBy("cluster", "i")
-                    .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
-                    .groupBy(F.col("cluster").alias("cell"))
-                    .agg(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
-                        ).alias("cv")
-                    )
-                    .collect()  # bounded: ≤ k rows — the centroid table
-                ),
-                key=lambda r: r["cell"],
-            )
-            cells = [int(r["cell"]) for r in mean_rows]
-            mat = np.array([[float(x) for x in r["cv"]] for r in mean_rows])
+            # fused refine pass: assignment + exact partial means in ONE
+            # corpus scan — no n-row Arrow output, no n×dim posexplode
+            # shuffle (guide §2.3; bit parity via _refine_means)
+            refined = _refine_means(base, cells, mat)
+            cells = [c for c, _ in refined]
+            mat = np.array([cv for _, cv in refined])
         return cells, mat.tolist()
 
     # The Lloyd loop runs at EVERY construction — no cross-construction

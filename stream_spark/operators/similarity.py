@@ -130,6 +130,67 @@ def _exact_cosine_batch(Va, Vb):
     return dots / (na * nb)
 
 
+def _mean_partials_from_batch(V, idx, n_cells):
+    """Exact per-cell partial sums for one Arrow batch of the Lloyd mean
+    pass: ``V`` float64 (n, dim), ``idx`` int cell indices 0..n_cells-1.
+    Each element is quantized exactly as Spark's double→DECIMAL(28,12)
+    cast (``_quantize12_int64``); scaled-integer addition is exact and
+    associative, so re-summing these partials downstream reproduces the
+    Catalyst ``sum(cast(x as decimal(28,12)))`` aggregate bit-for-bit.
+    Non-finite elements contribute 0 to the sums AND are excluded from
+    the per-dimension counts — the former spelling shipped the vectors
+    back across the Arrow boundary, where pandas→Arrow converts NaN to
+    NULL (measured, r11), so ``count(x)`` in the posexplode aggregate
+    skipped exactly these elements. Rows are chunked so no int64
+    partial can overflow (never more than one chunk at embedding
+    magnitudes). Yields (cells_present, (n_cells, dim) finite-element
+    counts, (n_cells, dim) int64 psums) per chunk."""
+    import numpy as np
+
+    fin = np.isfinite(V)
+    Vq = np.where(fin, V, 0.0)
+    Q = _quantize12_int64(Vq)
+    mx = int(np.abs(Q).max()) if Q.size else 0
+    chunk = len(V) if mx == 0 else max(1, (1 << 62) // mx)
+    for lo in range(0, len(V), chunk):
+        sl = slice(lo, lo + chunk)
+        Qc, ic, fc = Q[sl], idx[sl], fin[sl]
+        acc = np.zeros((n_cells, V.shape[1]), dtype=np.int64)
+        np.add.at(acc, ic, Qc)
+        cnt = np.zeros((n_cells, V.shape[1]), dtype=np.int64)
+        np.add.at(cnt, ic, fc.astype(np.int64))
+        present = np.flatnonzero(np.bincount(ic, minlength=n_cells))
+        yield present, cnt, acc
+
+
+def exact_means_by_cell(partials: DataFrame) -> dict[int, list[float]]:
+    """Finish the fused Lloyd mean pass: aggregate the per-batch scaled-
+    integer partials (columns: cell grouping key ``cell``, per-dimension
+    finite-element counts ``pcnt array<long>``, scale-12 sums
+    ``psum array<long>``) with an exact Spark decimal SUM and surface
+    per-dimension means bit-identical to the former posexplode spelling
+    ``sum(cast(x as decimal(28,12))).cast("double") / count(x)`` over
+    the Arrow-returned vectors: Decimal.toDouble is the correctly-
+    rounded S/10^12 (Python int/int true division), then the same IEEE
+    double-by-count division. Collect is bounded: ≤ n_cells rows — the
+    centroid table."""
+    rows = (
+        partials.select("cell", F.posexplode(F.arrays_zip("psum", "pcnt")).alias("i", "z"))
+        .groupBy("cell", "i")
+        .agg(
+            F.sum(F.col("z.psum").cast("decimal(38,0)")).alias("S"),
+            F.sum("z.pcnt").alias("n"),
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "S", "n"))).alias("sums"))
+        .collect()  # bounded metadata: ≤ n_cells rows
+    )
+    return {
+        int(r["cell"]): [(int(s["S"]) / 10**12) / int(s["n"]) for s in r["sums"]]
+        for r in rows
+    }
+
+
 def dot(a: Column, b: Column) -> Column:
     return _dec_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))).cast("double")
 
@@ -954,22 +1015,19 @@ def ivf_centroids(
         )
         cent_vecs = [[float(x) for x in r["cv"]] for r in cents]
         for _ in range(refine_iters):
-            # Arrow assignment (bit-parity pytested vs assign_cell_two_phase)
-            assigned_r = assign_cells_arrow(
-                corpus, cent_vecs, id_col, vec_col, keep_vec=True, vec_out="v"
-            ).select("v", "cell")
-            rows = (
-                assigned_r.select("cell", F.posexplode("v").alias("i", "x"))
-                .groupBy("cell", "i")
-                .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
-                .collect()  # bounded metadata: n_cells × dim rows
+            # fused Arrow pass (guide §2.3 — aggregate before you
+            # shuffle): the same bit-parity assignment kernel, but each
+            # batch emits per-cell EXACT scaled-integer partial sums
+            # (~n_batches×n_cells tiny rows through the post-Python
+            # exchange) instead of n assigned vectors posexploded to
+            # n×dim rows through two keyed exchanges. Means are
+            # bit-identical to the posexplode spelling by construction
+            # (exact_means_by_cell; parity pytested).
+            upd = exact_means_by_cell(
+                _cell_mean_partials_arrow(corpus, cent_vecs, id_col, vec_col)
             )
-            upd: dict[int, dict[int, float]] = {}
-            for r in rows:
-                upd.setdefault(int(r["cell"]), {})[int(r["i"])] = float(r["m"])
             cent_vecs = [
-                [upd[j][i] for i in sorted(upd[j])] if j in upd else cent_vecs[j]
-                for j in range(len(cent_vecs))
+                upd[j] if j in upd else cent_vecs[j] for j in range(len(cent_vecs))
             ]
         return cent_vecs
 
@@ -1161,3 +1219,40 @@ def assign_cells_arrow(
 
     schema = f"{id_out} long, cell int" + (f", {vec_out} array<double>" if keep_vec else "")
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(gen, schema)
+
+
+def _cell_mean_partials_arrow(
+    df: DataFrame,
+    cent_vecs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Lloyd refine round's corpus pass, fused: ``cell_assign_kernel``
+    argmax (the pytested two-phase exactness contract) + per-batch exact
+    partial means (``_mean_partials_from_batch``) in ONE ``mapInPandas``.
+    Output is (cell int, cnt bigint, psum array<long>) — ~batches×cells
+    rows; feed to ``exact_means_by_cell``."""
+    import numpy as np
+    import pandas as pd
+
+    kernel = cell_assign_kernel(cent_vecs)
+    n_cells = len(cent_vecs)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells = kernel(V)
+            for present, cnt, acc in _mean_partials_from_batch(V, cells, n_cells):
+                yield pd.DataFrame(
+                    {
+                        "cell": present.astype(np.int32),
+                        "pcnt": [cnt[c].tolist() for c in present],
+                        "psum": [acc[c].tolist() for c in present],
+                    }
+                )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, "cell int, pcnt array<long>, psum array<long>"
+    )

@@ -148,7 +148,9 @@ def test_kmeans_inplan_matches_literal_path(spark, sf_dir):
     """The large-k in-plan assignment (broadcast centroid table +
     map-side-combined argmax) must be BIT-IDENTICAL to the literal-
     centroid path at any k where both run — same decimal arithmetic,
-    same lowest-cell tie-break, so divergence means a real bug."""
+    same lowest-cell tie-break, so divergence means a real bug. Since
+    the r11 fused refine pass this also pins the fused partial MEANS
+    (inplan) against the Catalyst posexplode means (literal path)."""
     from stream_spark.operators.clustering import kmeans_assign, kmeans_assign_inplan
     from stream_spark.sources import load_table
 
@@ -156,6 +158,123 @@ def test_kmeans_inplan_matches_literal_path(spark, sf_dir):
     lit = {r["vec_id"]: (r["cluster"], r["cos"]) for r in kmeans_assign(emb, k=6, iters=2).collect()}
     inp = {r["vec_id"]: (r["cluster"], r["cos"]) for r in kmeans_assign_inplan(emb, k=6, iters=2).collect()}
     assert lit == inp
+
+
+def _quantize_stress_embeddings(spark, dim=8, n=40, with_nan=False):
+    """Corpus whose components stress the scale-12 HALF_UP
+    quantization the fused mean pass vectorizes: exact half-boundary
+    ties (odd multiples of 1/2^13 — the decimal expansion terminates
+    with a 5 in position 13, where HALF_UP and rint/half-even
+    disagree), shortest-repr values (0.1·j), negatives, zeros, integer
+    values, and a ~1e2 magnitude."""
+    tie = 1.0 / 8192.0
+    rows = []
+    for i in range(n):
+        v = []
+        for j in range(dim):
+            t = (i * dim + j) % 7
+            v.append(
+                [
+                    tie * (2 * (i + j) + 1),
+                    -tie * (2 * i + 3),
+                    0.1 * (j + 1),
+                    -0.7 + 0.013 * i,
+                    float(i - j),
+                    123.456789 + i,
+                    0.0,
+                ][t]
+            )
+        if with_nan and i == 5:
+            v[2] = float("nan")
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_fused_mean_partials_match_catalyst_aggregate(spark):
+    """The fused Lloyd mean pass (per-batch scaled-integer partials:
+    similarity._mean_partials_from_batch + exact_means_by_cell) must be
+    BIT-IDENTICAL to the Catalyst posexplode spelling
+    sum(cast(x as decimal(28,12))).cast("double") / count(x) over the
+    SAME assignment, on the quantize-stress corpus — including a NaN
+    element (cast→NULL skipped by SUM but still counted by count(x);
+    the fused path zeroes the contribution and counts the row)."""
+    import numpy as np
+
+    from stream_spark.operators.clustering import _assign_arrow, _refine_means
+
+    emb = _quantize_stress_embeddings(spark, with_nan=True)
+    base = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seed_rows = base.orderBy("_id").limit(3).collect()
+    cells = list(range(3))
+    mat = np.array([[float(x) for x in r["v"]] for r in seed_rows])
+
+    fused = _refine_means(base, cells, mat)
+
+    assigned = _assign_arrow(base, cells, mat, "bigint", keep_vec=True)
+    ref_rows = (
+        assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+        .groupBy(F.col("cluster").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        .collect()
+    )
+    ref = sorted((int(r["cell"]), [float(x) for x in r["cv"]]) for r in ref_rows)
+    assert [c for c, _ in fused] == [c for c, _ in ref]
+    for (cf, vf), (_cr, vr) in zip(fused, ref):
+        assert vf == vr, (cf, vf, vr)  # bit-identical doubles
+
+
+def test_kmeans_inplan_fused_means_adversarial_parity(spark):
+    """End-to-end: inplan (fused refine means) vs the literal path
+    (Catalyst posexplode means) stay bit-identical over 3 Lloyd rounds
+    on the quantize-stress corpus — every refine round's centroid
+    divergence would compound into different assignments."""
+    from stream_spark.operators.clustering import kmeans_assign, kmeans_assign_inplan
+
+    emb = _quantize_stress_embeddings(spark)
+    lit = {r["vec_id"]: (r["cluster"], r["cos"]) for r in kmeans_assign(emb, k=4, iters=3).collect()}
+    inp = {r["vec_id"]: (r["cluster"], r["cos"]) for r in kmeans_assign_inplan(emb, k=4, iters=3).collect()}
+    assert lit == inp
+
+
+def test_ivf_refined_centroids_fused_match_posexplode(spark):
+    """ivf_centroids' fused refine rounds reproduce the former
+    assign_cells_arrow + posexplode Catalyst spelling bit-for-bit
+    (including the keep-seed-on-empty-cell rule), over 2 rounds on the
+    quantize-stress corpus."""
+    from stream_spark.operators.similarity import assign_cells_arrow, ivf_centroids
+
+    corpus = _quantize_stress_embeddings(spark)
+    fused = ivf_centroids(corpus, 4, refine_iters=2)
+
+    cents = corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")).orderBy("cid").limit(4).collect()
+    ref = [[float(x) for x in r["cv"]] for r in cents]
+    for _ in range(2):
+        assigned_r = assign_cells_arrow(
+            corpus, ref, "vec_id", "embedding", keep_vec=True, vec_out="v"
+        ).select("v", "cell")
+        rows = (
+            assigned_r.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault(int(r["cell"]), {})[int(r["i"])] = float(r["m"])
+        ref = [
+            [upd[j][i] for i in sorted(upd[j])] if j in upd else ref[j]
+            for j in range(len(ref))
+        ]
+    assert fused == ref
 
 
 def test_semantic_dedup_groups_identical_vectors(spark):
@@ -706,6 +825,52 @@ def test_quantize12_matches_scalar_cast_on_boundaries():
     got = _quantize12_int64(vals)
     for v, n in zip(vals, got):
         assert int(n) == int(_dec_q12(float(v)).scaleb(12)), f"quantize mismatch at {v!r}"
+
+
+def test_mean_partials_from_batch_exact_and_chunked():
+    """Pure-numpy pin of the fused mean pass's accumulation: partials
+    re-sum to the exact scaled-integer totals of the scalar cast
+    (Decimal reference), non-finite elements contribute 0 but count,
+    and the int64-overflow chunking path (forced by large-magnitude
+    elements) yields multiple exact partials that still re-sum
+    correctly."""
+    import numpy as np
+
+    from stream_spark.operators.similarity import _dec_q12, _mean_partials_from_batch
+
+    rng = np.random.default_rng(11)
+    V = rng.uniform(-1.0, 1.0, size=(100, 5))
+    V[3, 2] = float("nan")
+    V[7, 4] = float("inf")
+    idx = rng.integers(0, 3, size=100)
+    tot = np.zeros((3, 5), dtype=object)
+    cnt_ref = np.zeros((3, 5), dtype=np.int64)
+    for r in range(100):
+        for j in range(5):
+            x = V[r, j]
+            if np.isfinite(x):
+                cnt_ref[idx[r], j] += 1
+                tot[idx[r], j] += int(_dec_q12(float(x)).scaleb(12))
+    got = np.zeros((3, 5), dtype=object)
+    cnt_got = np.zeros((3, 5), dtype=np.int64)
+    n_chunks = 0
+    for present, cnt, acc in _mean_partials_from_batch(V, idx, 3):
+        n_chunks += 1
+        for c in present:
+            got[c] += acc[c]
+            cnt_got[c] += cnt[c]
+    assert n_chunks == 1
+    assert (got == tot).all() and (cnt_got == cnt_ref).all()
+
+    # force chunking: |scaled| ~ 2.5e16 ⇒ chunk = 2^62 // 2.5e16 ≈ 184 rows
+    W = np.full((500, 2), 25000.0)
+    W[:, 1] = -25000.0
+    widx = np.zeros(500, dtype=np.int64)
+    chunks = list(_mean_partials_from_batch(W, widx, 1))
+    assert len(chunks) > 1
+    s = sum(int(acc[0, 0]) for _p, _c, acc in chunks)
+    n = sum(int(cnt[0, 0]) for _p, cnt, _a in chunks)
+    assert s == 500 * int(_dec_q12(25000.0).scaleb(12)) and n == 500
 
 
 def _pair_tie_corpus(spark):

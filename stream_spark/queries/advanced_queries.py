@@ -872,9 +872,19 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
     )
-    edges = co.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionByName(
-        co.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
+    # symmetrize by EXPLODING each undirected pair into its two
+    # directions instead of unioning two projections of `co` — the
+    # union spelling re-derived the lineitem fact-fact self-join +
+    # groupBy once PER SIDE inside pagerank's edge-checkpoint job
+    # (r11 §13, guide §2.4; same row multiset, order-free consumer)
+    edges = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("part_a").alias("src"), F.col("part_b").alias("dst")),
+                F.struct(F.col("part_b").alias("src"), F.col("part_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     out = pagerank_integer(edges, iters=2)
     return out.select(F.col("node").alias("part_id"), F.col("r").alias("rank_micro"))
 

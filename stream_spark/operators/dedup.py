@@ -168,7 +168,23 @@ def banded_jaccard_pairs(
     # the materialized shingle index feeds the signature build (via
     # ``shingles=``), sizes, AND both verification joins — previously
     # the candidate path re-ran its own shingle_docs pass.
-    sh = _materialize_index(shingle_docs(df, text_col, id_col, n))
+    # The materialized index carries the 60-bit md5 of each shingle
+    # (``gh``), not the shingle text (r12, guide §2.3 — narrower types):
+    # every downstream consumer is hash-compatible — the signature
+    # build's base hash IS md5_long(g) (``gh % MERSENNE31``), sizes only
+    # count rows, and the verification joins compare set membership,
+    # which the md5 key preserves exactly (``(doc, g)`` rows are
+    # distinct, so per-doc row counts and pair-overlap counts are
+    # unchanged absent a 60-bit collision inside one candidate pair's
+    # shingle sets — md5_long is the repo's one sanctioned hash, oracle
+    # rule 2, and the full 3-SF oracle gate pins the results). The
+    # cached RDD and the two verify exchanges carry an 8-byte long
+    # instead of ~20-40 bytes of n-gram text.
+    sh = _materialize_index(
+        shingle_docs(df, text_col, id_col, n).select(
+            "doc", md5_long(F.col("g")).alias("gh")
+        )
+    )
     cand = minhash_lsh_candidates(
         df, text_col, id_col, n,
         max_bucket_size=max_bucket_size, block_size=block_size,
@@ -183,12 +199,12 @@ def banded_jaccard_pairs(
     # shingles, probe doc_b's set — volume = |cand| × shingles/doc,
     # keyed equi-joins only (no self-join, no Σ freq² blowup)
     expanded = cand.join(sh.alias("a"), cand["doc_a"] == F.col("a.doc")).select(
-        "doc_a", "doc_b", F.col("a.g").alias("_ga")
+        "doc_a", "doc_b", F.col("a.gh").alias("_ga")
     )
     common = (
         expanded.join(
             sh.alias("b"),
-            (F.col("doc_b") == F.col("b.doc")) & (F.col("_ga") == F.col("b.g")),
+            (F.col("doc_b") == F.col("b.doc")) & (F.col("_ga") == F.col("b.gh")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
@@ -367,9 +383,11 @@ def minhash_signatures(
     index here so the corpus is tokenized + exploded ONCE per query
     instead of once per consumer (guide §2.4: remove repeated passes).
     """
-    sh = (shingles if shingles is not None else shingle_docs(df, text_col, id_col, n)).withColumn(
-        "h31", md5_long(F.col("g")) % MERSENNE31
-    )
+    sh = shingles if shingles is not None else shingle_docs(df, text_col, id_col, n)
+    # a pre-hashed index (column ``gh`` = md5_long(g)) folds to the
+    # identical base hash: h31 = md5_long(g) % M31 = gh % M31
+    base = F.col("gh") if "gh" in sh.columns else md5_long(F.col("g"))
+    sh = sh.withColumn("h31", base % MERSENNE31)
     aggs = []
     for p in range(PERMS):
         a, b = perm_consts(p)
@@ -1001,8 +1019,22 @@ def incremental_verified_flags(
     # their stages race on the uncached RDD (measured worse than the
     # duplicate evaluation it removes); eager materializes once before
     # any consumer plans.
-    shn = shingle_docs(new_df, text_col, id_col, n).localCheckpoint()
-    shc = shingle_docs(corpus_df, text_col, id_col, n).localCheckpoint()
+    # The pinned per-side indexes carry the 60-bit md5 of each shingle
+    # (``gh``), not the text (r12, guide §2.3 — same discipline as
+    # banded_jaccard_pairs): signature base hash = gh % M31, sizes are
+    # row counts, the verify joins compare membership on the 8-byte
+    # key; results identical absent a 60-bit collision inside one
+    # candidate pair (md5_long is the sanctioned hash, oracle rule 2).
+    shn = (
+        shingle_docs(new_df, text_col, id_col, n)
+        .select("doc", md5_long(F.col("g")).alias("gh"))
+        .localCheckpoint()
+    )
+    shc = (
+        shingle_docs(corpus_df, text_col, id_col, n)
+        .select("doc", md5_long(F.col("g")).alias("gh"))
+        .localCheckpoint()
+    )
     nb = minhash_band_buckets(new_df, text_col, id_col, n, shingles=shn)
     cb = minhash_band_buckets(corpus_df, text_col, id_col, n, shingles=shc).select(
         F.col("doc").alias("cd"), "band", "bucket"
@@ -1015,11 +1047,11 @@ def incremental_verified_flags(
     sn = shn.groupBy("doc").agg(F.count("*").alias("sz_n"))
     sc = shc.groupBy("doc").agg(F.count("*").alias("sz_c"))
     expanded = cand.join(shn.alias("a"), cand["nd"] == F.col("a.doc")).select(
-        "nd", "cd", F.col("a.g").alias("_g")
+        "nd", "cd", F.col("a.gh").alias("_g")
     )
     common = (
         expanded.join(
-            shc.alias("b"), (F.col("cd") == F.col("b.doc")) & (F.col("_g") == F.col("b.g"))
+            shc.alias("b"), (F.col("cd") == F.col("b.doc")) & (F.col("_g") == F.col("b.gh"))
         )
         .groupBy("nd", "cd")
         .agg(F.count("*").alias("common"))

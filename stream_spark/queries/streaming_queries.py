@@ -1496,6 +1496,7 @@ def streaming_dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     live = docs.filter(F.col("doc_id") % 4 == 0)
+    live_n = live.count()
     idx_dir = _index_staging_dir("dedup_index_maintain")
     out_dir = f"{_SCRATCH}/index_maintain_flags"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -1508,7 +1509,16 @@ def streaming_dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFram
     stream = ordered_replay_stream(
         spark, live.select("doc_id", "text"), stage, ["doc_id"], n_slices=4
     )
-    streaming_index_maintain(minhash_band_rows_arrow(stream), idx_dir, out_dir)
+    # hash inside each micro-batch's scan stage instead of paying a
+    # repartition exchange per batch (r12, the r5 streaming lever the
+    # throughput bench already uses): at <=5k docs/trigger the
+    # per-batch fixed cost dominates and the explicit exchange is pure
+    # overhead (interleaved A/B: 9.7 -> 7.2 s). Volume-conditional
+    # exactly like the bench's small-corpus heuristic -- at crawl-scale
+    # trigger volumes the CPU-sized exchange wins again (bounded
+    # metadata count, same class as the state-sizing counts).
+    par = 0 if live_n <= 20000 else None
+    streaming_index_maintain(minhash_band_rows_arrow(stream, parallelism=par), idx_dir, out_dir)
     return spark.read.parquet(out_dir).select(
         F.col("doc").alias("doc_id"), F.col("is_dup").cast("long").alias("is_dup")
     )
@@ -1532,6 +1542,7 @@ def streaming_dedup_index_maintain_bucketed(spark: SparkSession, sf_dir: str) ->
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     live = docs.filter(F.col("doc_id") % 4 == 0)
+    live_n = live.count()
     tbl = pid_scoped_table(spark, "b_idx_mnt")
     write_bucketed(
         minhash_band_buckets(corpus).select("band", "bucket").distinct(),
@@ -1548,7 +1559,9 @@ def streaming_dedup_index_maintain_bucketed(spark: SparkSession, sf_dir: str) ->
     stream = ordered_replay_stream(
         spark, live.select("doc_id", "text"), stage, ["doc_id"], n_slices=4
     )
-    streaming_index_maintain_bucketed(minhash_band_rows_arrow(stream), tbl, out_dir)
+    # same volume-conditional scan-stage hashing as the flat spelling
+    par = 0 if live_n <= 20000 else None
+    streaming_index_maintain_bucketed(minhash_band_rows_arrow(stream, parallelism=par), tbl, out_dir)
     return spark.read.parquet(out_dir).select(
         F.col("doc").alias("doc_id"), F.col("is_dup").cast("long").alias("is_dup")
     )

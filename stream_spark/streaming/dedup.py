@@ -361,7 +361,9 @@ def streaming_index_maintain(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        idx = spark.read.parquet(idx_dir)
+        idx = spark.read.schema(
+            batch_df.select("band", "bucket").schema
+        ).parquet(idx_dir)
         _maintain_flags(batch_df, idx).write.mode("append").parquet(out_dir)
         batch_df.select("band", "bucket").distinct().write.mode("append").parquet(idx_dir)
 

@@ -531,3 +531,33 @@ def test_simhash_inline_matches_explode_reference(spark):
     got = {(r["doc"], r["simhash"]) for r in simhash(df).collect()}
     want = {(r["doc"], r["simhash"]) for r in explode_ref(df).collect()}
     assert got == want and {d for d, _ in got} == {1, 2, 3, 4, 5, 6, 8}
+
+
+def test_minhash_signatures_prehashed_shingles_identical(spark):
+    """r12: the hashed shingle index (gh = md5_long(g)) must produce
+    BIT-IDENTICAL signatures to the string path — the base hash is
+    md5_long(g) % M31 either way, the pre-hashed frame just folds the
+    md5 into the shared pass. Pins the identity the banded/incremental
+    verify families rely on after the §2.3 narrower-type change
+    (verify joins and the cached index carry the 8-byte md5 key, not
+    the shingle text). Edge rows: exact dup, NULL text, <n tokens,
+    hostile whitespace."""
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.dedup import minhash_signatures, shingle_docs
+    from stream_spark.operators.text import md5_long
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, None),
+            (4, "one two"),
+            (5, "  spaced   out\ttokens  here  and   more  of them  "),
+        ],
+        "doc_id long, text string",
+    )
+    ref = {tuple(r) for r in minhash_signatures(df).collect()}
+    hashed = shingle_docs(df).select("doc", md5_long(F.col("g")).alias("gh"))
+    got = {tuple(r) for r in minhash_signatures(df, shingles=hashed).collect()}
+    assert got == ref and {r[0] for r in got} == {1, 2, 5}

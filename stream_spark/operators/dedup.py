@@ -168,22 +168,36 @@ def banded_jaccard_pairs(
     # the materialized shingle index feeds the signature build (via
     # ``shingles=``), sizes, AND both verification joins — previously
     # the candidate path re-ran its own shingle_docs pass.
-    # The materialized index carries the 60-bit md5 of each shingle
-    # (``gh``), not the shingle text (r12, guide §2.3 — narrower types):
-    # every downstream consumer is hash-compatible — the signature
-    # build's base hash IS md5_long(g) (``gh % MERSENNE31``), sizes only
-    # count rows, and the verification joins compare set membership,
-    # which the md5 key preserves exactly (``(doc, g)`` rows are
-    # distinct, so per-doc row counts and pair-overlap counts are
-    # unchanged absent a 60-bit collision inside one candidate pair's
-    # shingle sets — md5_long is the repo's one sanctioned hash, oracle
-    # rule 2, and the full 3-SF oracle gate pins the results). The
-    # cached RDD and the two verify exchanges carry an 8-byte long
-    # instead of ~20-40 bytes of n-gram text.
-    sh = _materialize_index(
-        shingle_docs(df, text_col, id_col, n).select(
-            "doc", md5_long(F.col("g")).alias("gh")
-        )
+    # ONE aggregation pass builds the per-doc PROFILE (r12, guide
+    # §2.3/§8 — decide with small rows, never shuffle the per-shingle
+    # rows into a pair join): the 60-bit md5 of each shingle
+    # (``gh = md5_long(g)`` — the signature's own base hash, folded
+    # once in the shared pass; md5_long is the sanctioned hash, oracle
+    # rule 2) feeds a single groupBy(doc) that yields the minhash
+    # signature AND the doc's hashed shingle set as one array column.
+    # Exchange-free: shingle_docs already hash-partitions on doc.
+    # The exploded shingle frame then has exactly ONE consumer, so the
+    # r9-r11 index pin moves to the COMPACT profile (one row per doc:
+    # 60 longs + the ~shingles/doc array), which the candidate
+    # self-join sides and both verification lookups read from cache.
+    #
+    # Verification joins each candidate pair to its two profile rows
+    # and intersects the arrays IN-ROW: ``common = |gs_a ∩ gs_b|`` and
+    # the sizes are the array sizes — identical values to the former
+    # expand-by-shingles + count spelling ((doc, g) rows are distinct,
+    # so per-doc counts and overlap counts are unchanged absent a
+    # 60-bit md5 collision inside one candidate pair; the 3-SF oracle
+    # gate pins the results). What this removes at every scale: the
+    # |cand| × shingles/doc expanded frame and its exchange, the
+    # per-pair aggregation, the separate sizes pass and both sizes
+    # joins. The clique lower bound (m²/2 pairs) now costs m²/2
+    # in-row array intersections instead of m²/2 × shingles/doc
+    # shuffled rows.
+    sh = shingle_docs(df, text_col, id_col, n).select(
+        "doc", md5_long(F.col("g")).alias("gh")
+    )
+    prof = _materialize_index(
+        minhash_signatures(df, text_col, id_col, n, shingles=sh, keep_set=True)
     )
     cand = minhash_lsh_candidates(
         df, text_col, id_col, n,
@@ -192,28 +206,19 @@ def banded_jaccard_pairs(
         # exchange across the self-join sides — the eager write is pure
         # overhead in this composition (+15% measured, r9)
         materialize=False,
-        shingles=sh,
+        sigs=prof,
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    # pair-keyed verification: expand each candidate pair by doc_a's
-    # shingles, probe doc_b's set — volume = |cand| × shingles/doc,
-    # keyed equi-joins only (no self-join, no Σ freq² blowup)
-    expanded = cand.join(sh.alias("a"), cand["doc_a"] == F.col("a.doc")).select(
-        "doc_a", "doc_b", F.col("a.gh").alias("_ga")
-    )
-    common = (
-        expanded.join(
-            sh.alias("b"),
-            (F.col("doc_b") == F.col("b.doc")) & (F.col("_ga") == F.col("b.gh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    # sizes is one row per DOCUMENT — O(corpus), never broadcast it
+    # prof is one row per DOCUMENT — O(corpus), never broadcast it
+    pa = prof.select(F.col("doc").alias("_da"), F.col("gs").alias("_gsa"))
+    pb = prof.select(F.col("doc").alias("_db"), F.col("gs").alias("_gsb"))
     return (
-        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
-        .withColumn("jaccard", F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")))
+        cand.join(pa, cand["doc_a"] == F.col("_da"))
+        .join(pb, cand["doc_b"] == F.col("_db"))
+        .withColumn("common", F.size(F.array_intersect(F.col("_gsa"), F.col("_gsb"))))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size(F.col("_gsa")) + F.size(F.col("_gsb")) - F.col("common")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -369,6 +374,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     shingles: DataFrame | None = None,
+    keep_set: bool = False,
 ) -> DataFrame:
     """PERMS min-hashes per doc.
 
@@ -378,10 +384,20 @@ def minhash_signatures(
     2^62 so the arithmetic is exact BIGINT in any engine.
 
     ``shingles``: a precomputed ``shingle_docs`` frame (columns
-    ``doc``, ``g``). Callers that ALSO need the exploded shingle index
-    (the banded verify-on-candidates family) pass their materialized
-    index here so the corpus is tokenized + exploded ONCE per query
-    instead of once per consumer (guide §2.4: remove repeated passes).
+    ``doc``, ``g`` — or ``doc``, ``gh`` when pre-hashed). Callers that
+    ALSO need the exploded shingle index (the banded verify-on-
+    candidates family) pass their materialized index here so the
+    corpus is tokenized + exploded ONCE per query instead of once per
+    consumer (guide §2.4: remove repeated passes).
+
+    ``keep_set``: additionally aggregate the doc's hashed shingle SET
+    as an array column ``gs`` in the SAME groupBy (requires a
+    pre-hashed ``shingles`` frame) — the banded verify family's
+    profile: one aggregation pass yields both the signature and the
+    exact-verification payload, so the exploded index needs no second
+    consumer (r12, guide §2.3/§8 — the heavy per-shingle rows never
+    feed a pair join; candidate pairs join two compact profile rows
+    and intersect arrays instead).
     """
     sh = shingles if shingles is not None else shingle_docs(df, text_col, id_col, n)
     # a pre-hashed index (column ``gh`` = md5_long(g)) folds to the
@@ -392,6 +408,10 @@ def minhash_signatures(
     for p in range(PERMS):
         a, b = perm_consts(p)
         aggs.append(F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MERSENNE31).alias(f"mh{p}"))
+    if keep_set:
+        if shingles is None or "gh" not in shingles.columns:
+            raise ValueError("keep_set requires a pre-hashed shingles frame (doc, gh)")
+        aggs.append(F.collect_list(F.col("gh")).alias("gs"))
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -665,10 +685,13 @@ def minhash_lsh_candidates(
     block_size: int | None = None,
     materialize: bool = True,
     shingles: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on any minhash band.
     ``shingles`` passes through to the signature build (see
-    ``minhash_signatures``).
+    ``minhash_signatures``); ``sigs`` skips it entirely — a
+    precomputed (doc, mh0..mhPERMS-1, ...) signature frame (extra
+    columns ignored), the r12 profile-reuse hook.
 
     ``materialize``: localCheckpoint the band-bucket table before the
     self-join (r9 A/B: −26% plain / −19% blocked — the signature
@@ -692,7 +715,11 @@ def minhash_lsh_candidates(
       oracle-gated query runs with both off — test corpora have no hot
       buckets).
     """
-    exploded = minhash_band_buckets(df, text_col, id_col, n, shingles=shingles)
+    exploded = (
+        _explode_band_buckets(sigs)
+        if sigs is not None
+        else minhash_band_buckets(df, text_col, id_col, n, shingles=shingles)
+    )
     if materialize:
         exploded = _materialize_index(exploded)
     if max_bucket_size is not None or block_size is not None:
@@ -1019,47 +1046,53 @@ def incremental_verified_flags(
     # their stages race on the uncached RDD (measured worse than the
     # duplicate evaluation it removes); eager materializes once before
     # any consumer plans.
-    # The pinned per-side indexes carry the 60-bit md5 of each shingle
-    # (``gh``), not the text (r12, guide §2.3 — same discipline as
-    # banded_jaccard_pairs): signature base hash = gh % M31, sizes are
-    # row counts, the verify joins compare membership on the 8-byte
-    # key; results identical absent a 60-bit collision inside one
-    # candidate pair (md5_long is the sanctioned hash, oracle rule 2).
-    shn = (
-        shingle_docs(new_df, text_col, id_col, n)
-        .select("doc", md5_long(F.col("g")).alias("gh"))
-        .localCheckpoint()
+    # Per-side compact PROFILES (r12, the banded_jaccard_pairs
+    # discipline): ONE aggregation per side yields the minhash
+    # signature AND the doc's hashed shingle set (gh = md5_long(g) —
+    # the signature's own base hash); the band index explodes from the
+    # profile and verification joins each candidate to its two profile
+    # rows and intersects the arrays in-row. Same values as the former
+    # expand-by-shingles + count spelling ((doc, g) rows are distinct;
+    # md5_long is the sanctioned hash, oracle rule 2), with the
+    # |cand| × shingles/doc expanded frame, its aggregation, and both
+    # sizes passes removed. EAGER pins, as before: the profile's
+    # consumers (band explode + verify lookup) are parallel subtrees
+    # of one job, and a lazy pin lets their stages race on the
+    # uncached RDD (measured worse than the duplicate evaluation).
+    shn = shingle_docs(new_df, text_col, id_col, n).select(
+        "doc", md5_long(F.col("g")).alias("gh")
     )
-    shc = (
-        shingle_docs(corpus_df, text_col, id_col, n)
-        .select("doc", md5_long(F.col("g")).alias("gh"))
-        .localCheckpoint()
+    shc = shingle_docs(corpus_df, text_col, id_col, n).select(
+        "doc", md5_long(F.col("g")).alias("gh")
     )
-    nb = minhash_band_buckets(new_df, text_col, id_col, n, shingles=shn)
-    cb = minhash_band_buckets(corpus_df, text_col, id_col, n, shingles=shc).select(
-        F.col("doc").alias("cd"), "band", "bucket"
-    )
+    profn = minhash_signatures(
+        new_df, text_col, id_col, n, shingles=shn, keep_set=True
+    ).localCheckpoint()
+    profc = minhash_signatures(
+        corpus_df, text_col, id_col, n, shingles=shc, keep_set=True
+    ).localCheckpoint()
+    nb = _explode_band_buckets(profn)
+    cb = _explode_band_buckets(profc).select(F.col("doc").alias("cd"), "band", "bucket")
     cand = (
         nb.join(cb, ["band", "bucket"])
         .select(F.col("doc").alias("nd"), "cd")
         .distinct()
     )
-    sn = shn.groupBy("doc").agg(F.count("*").alias("sz_n"))
-    sc = shc.groupBy("doc").agg(F.count("*").alias("sz_c"))
-    expanded = cand.join(shn.alias("a"), cand["nd"] == F.col("a.doc")).select(
-        "nd", "cd", F.col("a.gh").alias("_g")
-    )
-    common = (
-        expanded.join(
-            shc.alias("b"), (F.col("cd") == F.col("b.doc")) & (F.col("_g") == F.col("b.gh"))
-        )
-        .groupBy("nd", "cd")
-        .agg(F.count("*").alias("common"))
-    )
     ver = (
-        common.join(sn.alias("x"), F.col("nd") == F.col("x.doc"))
-        .join(sc.alias("y"), F.col("cd") == F.col("y.doc"))
-        .withColumn("j", F.col("common") / (F.col("sz_n") + F.col("sz_c") - F.col("common")))
+        cand.join(
+            profn.select(F.col("doc").alias("_dn"), F.col("gs").alias("_gsn")),
+            F.col("nd") == F.col("_dn"),
+        )
+        .join(
+            profc.select(F.col("doc").alias("_dc"), F.col("gs").alias("_gsc")),
+            F.col("cd") == F.col("_dc"),
+        )
+        .withColumn("common", F.size(F.array_intersect(F.col("_gsn"), F.col("_gsc"))))
+        .withColumn(
+            "j",
+            F.col("common")
+            / (F.size(F.col("_gsn")) + F.size(F.col("_gsc")) - F.col("common")),
+        )
         .filter(F.col("j") >= threshold)
         .select("nd", "cd", "j")
     )

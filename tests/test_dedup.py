@@ -561,3 +561,26 @@ def test_minhash_signatures_prehashed_shingles_identical(spark):
     hashed = shingle_docs(df).select("doc", md5_long(F.col("g")).alias("gh"))
     got = {tuple(r) for r in minhash_signatures(df, shingles=hashed).collect()}
     assert got == ref and {r[0] for r in got} == {1, 2, 5}
+
+
+def test_minhash_signatures_keep_set_requires_prehashed(spark, docs):
+    """r12: keep_set fuses the doc's hashed shingle set into the
+    signature aggregation — it is only defined over a pre-hashed
+    (doc, gh) frame; a string frame (or none) must fail loudly, and
+    the fused profile must carry exactly the doc's shingle-set size."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from stream_spark.operators.dedup import minhash_signatures, shingle_docs
+    from stream_spark.operators.text import md5_long
+
+    with _pytest.raises(ValueError, match="pre-hashed"):
+        minhash_signatures(docs, keep_set=True)
+    hashed = shingle_docs(docs).select("doc", md5_long(F.col("g")).alias("gh"))
+    prof = minhash_signatures(docs, shingles=hashed, keep_set=True)
+    sizes = {r["doc"]: r["n"] for r in prof.select("doc", F.size("gs").alias("n")).collect()}
+    want = {
+        r["doc"]: r["n"]
+        for r in hashed.groupBy("doc").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == want
